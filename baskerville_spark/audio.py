@@ -1,0 +1,120 @@
+"""Audio codec stand-ins + SNR math (driver- and executor-side numpy).
+
+Real audio codecs (libflac/libopus via soundfile/av) are NOT in this
+container, so the *codec layer* is a deterministic stand-in behind the same
+interface, clearly marked. Everything Spark-side — schema (binary column),
+Arrow batching, UDF signatures, partitioning — is real and is what matters
+at 100 TB. Swapping in real codecs means replacing `encode`/`decode` bodies
+only.
+
+Stand-in codecs (all deterministic, all little-endian):
+- ``pcm_s16le``: raw PCM16 — byte-identical round trip.
+- ``flac``: zlib-compressed PCM16 with a 'fLaC'-tagged header — lossless
+  round trip (models a lossless codec).
+- ``opus``: PCM quantized to 12 bits then zlib-compressed, 'OggS'-tagged —
+  lossy round trip at ~74 dB SNR (models a lossy codec that still clears
+  the 30 dB invariant).
+
+The per-row invariant (BASELINE.json input_hint): decoded PCM must be
+allclose to the deterministically regenerated reference signal at
+SNR >= 30 dB, plus exact transcript equality. If a real codec is wanted,
+replace `decode` and raise NotImplementedError for unknown codecs.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+import zlib
+
+import numpy as np
+
+SNR_THRESHOLD_DB = 30.0
+
+_FLAC_MAGIC = b"fLaC"
+_OPUS_MAGIC = b"OggS"
+
+KNOWN_CODECS = ("pcm_s16le", "flac", "opus")
+
+
+def clip_seed(clip_id: str) -> int:
+    """Stable 64-bit seed from a clip_id (md5 prefix — any stable hash works)."""
+    return int.from_bytes(hashlib.md5(clip_id.encode()).digest()[:8], "little")
+
+
+def synth_pcm_n(clip_id: str, sr_hz: int, n: int) -> np.ndarray:
+    """Deterministic PCM16 signal of exactly n samples: seeded sine + noise.
+
+    Same recipe on generator and checker side, so the SNR check is exact;
+    the checker infers n from the decoded payload length.
+    """
+    n = max(1, n)
+    rng = np.random.default_rng(clip_seed(clip_id))
+    t = np.arange(n, dtype=np.float64) / sr_hz
+    f0 = 100.0 + rng.uniform(0, 1000.0)
+    sig = 0.6 * np.sin(2 * np.pi * f0 * t) + 0.1 * rng.standard_normal(n)
+    pcm = np.clip(sig * 16384.0, -32768, 32767).astype(np.int16)
+    return pcm
+
+
+def synth_pcm(clip_id: str, sr_hz: int, dur_ms: int) -> np.ndarray:
+    """Deterministic PCM16 signal for a clip of dur_ms milliseconds."""
+    return synth_pcm_n(clip_id, sr_hz, int(sr_hz * dur_ms / 1000))
+
+
+def encode(pcm: np.ndarray, codec: str) -> bytes:
+    """Encode int16 PCM under the stand-in codec."""
+    raw = pcm.astype("<i2").tobytes()
+    if codec == "pcm_s16le":
+        return raw
+    if codec == "flac":
+        return _FLAC_MAGIC + struct.pack("<I", len(pcm)) + zlib.compress(raw, 6)
+    if codec == "opus":
+        # 12-bit quantization: SNR ~ 6.02*12 + 1.76 ≈ 74 dB — lossy but well
+        # above the 30 dB invariant for uncorrupted payloads.
+        q = (pcm.astype(np.int32) >> 4).astype("<i2").tobytes()
+        return _OPUS_MAGIC + struct.pack("<I", len(pcm)) + zlib.compress(q, 6)
+    raise NotImplementedError(f"unknown codec {codec!r}")
+
+
+def decode(payload: bytes, codec: str) -> np.ndarray | None:
+    """Decode to int16 PCM; None when the payload is structurally invalid."""
+    try:
+        if codec == "pcm_s16le":
+            if len(payload) % 2:
+                return None
+            return np.frombuffer(payload, dtype="<i2")
+        if codec == "flac":
+            if payload[:4] != _FLAC_MAGIC:
+                return None
+            (n,) = struct.unpack("<I", payload[4:8])
+            raw = zlib.decompress(payload[8:])
+            pcm = np.frombuffer(raw, dtype="<i2")
+            return pcm if len(pcm) == n else None
+        if codec == "opus":
+            if payload[:4] != _OPUS_MAGIC:
+                return None
+            (n,) = struct.unpack("<I", payload[4:8])
+            raw = zlib.decompress(payload[8:])
+            q = np.frombuffer(raw, dtype="<i2")
+            if len(q) != n:
+                return None
+            return (q.astype(np.int32) << 4).astype(np.int16)
+        return None  # unknown codec → structural violation, not a crash
+    except Exception:
+        return None
+
+
+def snr_db(ref: np.ndarray, test: np.ndarray) -> float:
+    """Signal-to-noise ratio of `test` against reference signal `ref` in dB."""
+    if ref.shape != test.shape:
+        return float("-inf")
+    r = ref.astype(np.float64)
+    e = r - test.astype(np.float64)
+    p_sig = float(np.mean(r * r))
+    p_err = float(np.mean(e * e))
+    if p_err == 0.0:
+        return float("inf")
+    if p_sig == 0.0:
+        return float("-inf")
+    return 10.0 * np.log10(p_sig / p_err)

@@ -1,0 +1,16 @@
+"""Check operators: each contributes named aggregate expressions and/or
+violation-row DataFrames, composed by the runner.
+
+Design follows the reference's feature-manager pattern — every feature
+contributes named agg expressions deduped by name into ONE
+``groupBy(keys).agg(*)`` (src/baskerville/models/feature_manager.py:150-205,
+funnel at src/baskerville/models/base_spark.py:445-458) — so the whole
+stats/verdict suite is a single shuffle over the fact table.
+"""
+
+from baskerville_spark.checks.stats import column_stats  # noqa: F401
+from baskerville_spark.checks.uniqueness import duplicate_keys, uniqueness_violations  # noqa: F401
+from baskerville_spark.checks.referential import ref_integrity_violations  # noqa: F401
+from baskerville_spark.checks.drift import capture_baseline, drift_verdicts  # noqa: F401
+from baskerville_spark.checks.invariants import audio_invariant  # noqa: F401
+from baskerville_spark.checks.schema_check import ColumnSpec, enforce_schema  # noqa: F401

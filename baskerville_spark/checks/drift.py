@@ -1,0 +1,265 @@
+"""Distribution-drift checks: PSI + two-sample KS vs a baseline snapshot.
+
+Generalizes the reference's incident detector — per-target avg/stddev over a
+trailing window compared to the current bucket, anomaly when
+``value > avg + sigma*stddev`` (src/baskerville/models/incident_detector.py:251-295,
+baseline SQL at 264-275) — into proper distribution distances:
+
+- **PSI** on histogram fractions (numeric: quantile-derived bin edges from
+  the baseline; categorical: observed category set + OTHER bucket).
+- **KS** approximated from the same binned CDFs. Exact two-sample KS needs a
+  global sort — O(n log n) shuffle at 10^12 rows; the binned approximation
+  bounds the error by the max bin mass and is one hash-aggregate instead
+  (documented trade-off, SURVEY.md §7 "What's hard").
+
+Scale: baseline snapshot is tiny (n_bins doubles per column) and rides into
+executors as literal arrays (broadcast-by-closure); the per-partition pass
+is ONE groupBy(part_id) over the fact table per column group, all JVM-side
+(conditional-sum binning, F.aggregate/zip_with for PSI/KS math — no Python).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, Row, SparkSession
+from pyspark.sql import functions as F
+
+from baskerville_spark.schema import BASELINE_SCHEMA
+
+EPS = 1e-4
+PSI_THRESHOLD = 0.2
+KS_THRESHOLD = 0.15
+DEFAULT_BINS = 10
+
+
+# --------------------------------------------------------------------------
+# Baseline capture
+# --------------------------------------------------------------------------
+
+def capture_baseline(
+    df: DataFrame,
+    numeric_cols: list[str],
+    categorical_cols: list[str],
+    n_bins: int = DEFAULT_BINS,
+    max_categories: int = 32,
+) -> list[Row]:
+    """Snapshot baseline distributions from (presumed clean) data.
+
+    Returns driver-side rows (BASELINE_SCHEMA); persist with
+    ``save_baseline``. The snapshot is tiny by construction, so a driver
+    round-trip is correct even at 10^12 input rows — all heavy lifting is
+    sketch aggregation on executors.
+    """
+    rows: list[Row] = []
+    if numeric_cols:
+        qs = [i / n_bins for i in range(n_bins + 1)]
+        aggs = []
+        for c in numeric_cols:
+            aggs.append(F.percentile_approx(F.col(c).cast("double"), qs).alias(f"{c}__q"))
+            aggs.append(F.count(F.col(c)).alias(f"{c}__n"))
+        snap = df.agg(*aggs).collect()[0]
+        for c in numeric_cols:
+            edges = _dedupe_edges(list(snap[f"{c}__q"] or []))
+            n = snap[f"{c}__n"]
+            fracs = _numeric_fractions(df, c, edges)
+            rows.append(
+                Row(
+                    column_name=c,
+                    kind="numeric",
+                    bin_edges=[float(e) for e in edges],
+                    categories=None,
+                    bin_fractions=fracs,
+                    quantiles=[float(x) for x in (snap[f"{c}__q"] or [])],
+                    n=int(n),
+                )
+            )
+    for c in categorical_cols:
+        top = (
+            df.groupBy(c)
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy(F.desc("cnt"))
+            .limit(max_categories)
+            .collect()
+        )
+        cats = [r[c] for r in top if r[c] is not None]
+        total = sum(r["cnt"] for r in top) or 1
+        fr = {r[c]: r["cnt"] / total for r in top if r[c] is not None}
+        fracs = [float(fr.get(cat, 0.0)) for cat in cats] + [0.0]  # trailing OTHER
+        rows.append(
+            Row(
+                column_name=c,
+                kind="categorical",
+                bin_edges=None,
+                categories=[str(x) for x in cats],
+                bin_fractions=fracs,
+                quantiles=None,
+                n=int(total),
+            )
+        )
+    return rows
+
+
+def _dedupe_edges(edges: list[float]) -> list[float]:
+    out: list[float] = []
+    for e in edges:
+        if e is None:
+            continue
+        if not out or e > out[-1]:
+            out.append(float(e))
+    if len(out) < 2:  # degenerate constant column
+        base = out[0] if out else 0.0
+        out = [base - 0.5, base + 0.5]
+    return out
+
+
+def _bucket_expr(col: Column, inner_edges: list[float]) -> Column:
+    """bucket index = #edges strictly below value — a JVM-side sum of casts."""
+    b = F.lit(0)
+    for e in inner_edges:
+        b = b + (col >= F.lit(e)).cast("int")
+    return b
+
+
+def _numeric_fractions(df: DataFrame, c: str, edges: list[float]) -> list[float]:
+    inner = edges[1:-1]
+    n_buckets = len(inner) + 1
+    bucket = _bucket_expr(F.col(c).cast("double"), inner)
+    row = (
+        df.where(F.col(c).isNotNull())
+        .agg(*[
+            F.sum((bucket == i).cast("long")).alias(f"b{i}") for i in range(n_buckets)
+        ])
+        .collect()[0]
+    )
+    counts = [row[f"b{i}"] or 0 for i in range(n_buckets)]
+    total = sum(counts) or 1
+    return [c_ / total for c_ in counts]
+
+
+def save_baseline(spark: SparkSession, rows: list[Row], path: str) -> None:
+    spark.createDataFrame(rows, schema=BASELINE_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def load_baseline(spark: SparkSession, path: str) -> list[Row]:
+    return spark.read.parquet(path).collect()
+
+
+# --------------------------------------------------------------------------
+# Drift evaluation
+# --------------------------------------------------------------------------
+
+def _psi_ks_from_fracs(cur_fracs: Column, base_fracs: list[float]) -> tuple[Column, Column]:
+    """PSI and binned-KS between a current fractions array column and a
+    literal baseline fractions array — computed with array built-ins
+    (zip_with/aggregate), fully JVM-side."""
+    base = F.array(*[F.lit(float(x)) for x in base_fracs])
+    clamped_p = F.transform(cur_fracs, lambda x: F.greatest(x, F.lit(EPS)))
+    clamped_q = F.transform(base, lambda x: F.greatest(x, F.lit(EPS)))
+    terms = F.zip_with(
+        clamped_p, clamped_q, lambda p, q: (p - q) * F.log(p / q)
+    )
+    psi = F.aggregate(terms, F.lit(0.0), lambda acc, x: acc + x)
+
+    n = len(base_fracs)
+    # binned KS: max over prefix sums |P_cdf - Q_cdf|
+    diffs = []
+    base_cdf = 0.0
+    for i in range(1, n + 1):
+        base_cdf = sum(base_fracs[:i])
+        cur_cdf = F.aggregate(
+            F.slice(cur_fracs, 1, i), F.lit(0.0), lambda acc, x: acc + x
+        )
+        diffs.append(F.abs(cur_cdf - F.lit(float(base_cdf))))
+    ks = F.greatest(*diffs) if len(diffs) > 1 else diffs[0]
+    return psi, ks
+
+
+def _current_fractions(
+    df: DataFrame, part_col: str, c: str, baseline_row: Row
+) -> DataFrame:
+    """Per-partition fractions array for one column, binned per the baseline."""
+    if baseline_row["kind"] == "numeric":
+        edges = list(baseline_row["bin_edges"])
+        inner = edges[1:-1]
+        n_buckets = len(inner) + 1
+        bucket = _bucket_expr(F.col(c).cast("double"), inner)
+        src = df.where(F.col(c).isNotNull())
+    else:
+        cats = list(baseline_row["categories"])
+        mapping = F.lit(len(cats))  # default → OTHER bucket
+        bucket = F.coalesce(
+            *[F.when(F.col(c) == F.lit(cat), F.lit(i)) for i, cat in enumerate(cats)],
+            mapping,
+        )
+        n_buckets = len(cats) + 1
+        src = df.where(F.col(c).isNotNull())
+
+    counts = src.groupBy(F.col(part_col).alias("part_id")).agg(
+        *[F.sum((bucket == i).cast("long")).alias(f"b{i}") for i in range(n_buckets)],
+        F.count(F.lit(1)).alias("__total"),
+    )
+    fracs = F.array(
+        *[(F.col(f"b{i}") / F.greatest(F.col("__total"), F.lit(1))).cast("double") for i in range(n_buckets)]
+    )
+    return counts.select("part_id", fracs.alias("fracs"), F.col("__total").alias("n_rows"))
+
+
+def drift_verdicts(
+    df: DataFrame,
+    baseline_rows: list[Row],
+    part_col: str = "part_id",
+    psi_threshold: float = PSI_THRESHOLD,
+    ks_threshold: float = KS_THRESHOLD,
+) -> DataFrame:
+    """Verdict rows (VERDICT_SCHEMA): psi:<col> and ks:<col> per partition.
+
+    Shape mirrors the reference's incident condition — two series must both
+    exceed their baseline for an incident (incident_detector.py:285-289); we
+    emit per-metric verdicts and let callers AND them.
+    """
+    out: DataFrame | None = None
+    for row in baseline_rows:
+        c = row["column_name"]
+        fr = _current_fractions(df, part_col, c, row)
+        psi, ks = _psi_ks_from_fracs(F.col("fracs"), list(row["bin_fractions"]))
+        v = fr.select(
+            F.col("part_id").cast("int").alias("part_id"),
+            psi.alias("__psi"),
+            ks.alias("__ks"),
+            F.col("n_rows"),
+        )
+        psi_v = v.select(
+            "part_id",
+            F.lit(f"psi:{c}").alias("check_name"),
+            (F.col("__psi") <= psi_threshold).alias("passed"),
+            F.col("__psi").cast("double").alias("metric_value"),
+            F.lit(float(psi_threshold)).alias("threshold"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.lit(None).cast("long").alias("n_violations"),
+        )
+        ks_v = v.select(
+            "part_id",
+            F.lit(f"ks:{c}").alias("check_name"),
+            (F.col("__ks") <= ks_threshold).alias("passed"),
+            F.col("__ks").cast("double").alias("metric_value"),
+            F.lit(float(ks_threshold)).alias("threshold"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.lit(None).cast("long").alias("n_violations"),
+        )
+        both = psi_v.unionByName(ks_v)
+        out = both if out is None else out.unionByName(both)
+    if out is None:
+        raise ValueError("empty baseline")
+    return out
+
+
+def psi_py(p: list[float], q: list[float]) -> float:
+    """Driver-side PSI for tests/goldens."""
+    s = 0.0
+    for pi, qi in zip(p, q):
+        pi, qi = max(pi, EPS), max(qi, EPS)
+        s += (pi - qi) * math.log(pi / qi)
+    return s

@@ -1,0 +1,143 @@
+"""Per-partition column statistics in ONE aggregation pass.
+
+Replaces the reference's per-feature agg-dict composition
+(src/baskerville/models/base_spark.py:209-250 + groupBy funnel at 445-458)
+with a single ``groupBy(part_id).agg(...)`` whose expressions are all
+JVM-side built-ins:
+
+- count / null_count          → F.count / F.sum(isnull)    (feature_request_total.py:25-27 analog)
+- min / max                   → F.min / F.max              (base_feature.py:113-116 analog)
+- approx_distinct             → approx_count_distinct (HLL++) — the scale-safe
+  replacement of the reference's exact F.countDistinct
+  (features/feature_unique_ua_total.py:28); the north rule mandates HLL at 10^12.
+- quantiles                   → percentile_approx (KLL-style sketch)
+
+Scale: one shuffle keyed on part_id; partial aggregation (map-side combine)
+applies to every expression, including the HLL and quantile sketches, so the
+reduce side sees one sketch per (partition, column) — no collect_list-style
+scale traps (cf. reference fallback agg base_spark.py:236-239).
+The long-format output is produced by exploding an array<struct> built from
+the wide agg row — stays inside whole-stage codegen, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_QUANTILES = [0.01, 0.05, 0.25, 0.5, 0.75, 0.95, 0.99]
+
+
+def _aggs_for(col: str, numeric: bool, quantiles: list[float], rsd: float) -> list[Column]:
+    c = F.col(col)
+    aggs = [
+        F.count(c).alias(f"{col}__count"),
+        F.sum(F.isnull(c).cast("long")).alias(f"{col}__null_count"),
+        F.approx_count_distinct(c, rsd).alias(f"{col}__approx_distinct"),
+    ]
+    if numeric:
+        aggs += [
+            F.min(c).cast("double").alias(f"{col}__min"),
+            F.max(c).cast("double").alias(f"{col}__max"),
+            F.percentile_approx(c.cast("double"), quantiles).alias(f"{col}__quantiles"),
+        ]
+    return aggs
+
+
+def column_stats(
+    df: DataFrame,
+    part_col: str = "part_id",
+    numeric_cols: list[str] | None = None,
+    other_cols: list[str] | None = None,
+    quantiles: list[float] | None = None,
+    rsd: float = 0.02,
+) -> DataFrame:
+    """Long-format per-(partition, column) stats: one shuffle total.
+
+    Returns columns: part_id, column_name, count, null_count, min, max,
+    approx_distinct, quantiles (array<double>, numeric cols only).
+    """
+    quantiles = quantiles or DEFAULT_QUANTILES
+    if numeric_cols is None or other_cols is None:
+        numeric_types = {"int", "bigint", "smallint", "tinyint", "double", "float", "decimal"}
+        inferred_num, inferred_other = [], []
+        for name, dtype in df.dtypes:
+            if name == part_col:
+                continue
+            base = dtype.split("(")[0]
+            (inferred_num if base in numeric_types else inferred_other).append(name)
+        numeric_cols = numeric_cols if numeric_cols is not None else inferred_num
+        other_cols = other_cols if other_cols is not None else inferred_other
+
+    aggs: list[Column] = []
+    for c in numeric_cols:
+        aggs += _aggs_for(c, True, quantiles, rsd)
+    for c in other_cols:
+        aggs += _aggs_for(c, False, quantiles, rsd)
+
+    wide = df.groupBy(F.col(part_col).alias("part_id")).agg(*aggs)
+
+    structs = []
+    for c in numeric_cols + other_cols:
+        numeric = c in numeric_cols
+        structs.append(
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col(f"{c}__count").alias("count"),
+                F.col(f"{c}__null_count").alias("null_count"),
+                (F.col(f"{c}__min") if numeric else F.lit(None).cast("double")).alias("min"),
+                (F.col(f"{c}__max") if numeric else F.lit(None).cast("double")).alias("max"),
+                F.col(f"{c}__approx_distinct").alias("approx_distinct"),
+                (
+                    F.col(f"{c}__quantiles")
+                    if numeric
+                    else F.lit(None).cast("array<double>")
+                ).alias("quantiles"),
+            )
+        )
+
+    return (
+        wide.select("part_id", F.explode(F.array(*structs)).alias("s"))
+        .select("part_id", "s.*")
+    )
+
+
+def stats_verdicts(
+    stats: DataFrame,
+    null_rate_max: float = 0.05,
+    range_bounds: dict[str, tuple[float, float]] | None = None,
+) -> DataFrame:
+    """Threshold stats into verdict rows (reference threshold-verdict shape,
+    src/baskerville/models/pipeline_tasks/tasks.py:1784-1794).
+
+    Emits one row per (part_id, check, column): null_rate check always;
+    range check for columns with declared bounds.
+    """
+    null_v = stats.select(
+        "part_id",
+        F.concat(F.lit("null_rate:"), F.col("column_name")).alias("check_name"),
+        (
+            (F.col("null_count") / F.greatest(F.col("count") + F.col("null_count"), F.lit(1)))
+            <= null_rate_max
+        ).alias("passed"),
+        (F.col("null_count") / F.greatest(F.col("count") + F.col("null_count"), F.lit(1)))
+        .cast("double")
+        .alias("metric_value"),
+        F.lit(null_rate_max).alias("threshold"),
+        (F.col("count") + F.col("null_count")).alias("n_rows"),
+        F.col("null_count").alias("n_violations"),
+    )
+    out = null_v
+    if range_bounds:
+        for col, (lo, hi) in range_bounds.items():
+            part = stats.where(F.col("column_name") == col).select(
+                "part_id",
+                F.concat(F.lit("range:"), F.col("column_name")).alias("check_name"),
+                ((F.col("min") >= lo) & (F.col("max") <= hi)).alias("passed"),
+                F.col("max").alias("metric_value"),
+                F.lit(float(hi)).alias("threshold"),
+                (F.col("count") + F.col("null_count")).alias("n_rows"),
+                F.lit(None).cast("long").alias("n_violations"),
+            )
+            out = out.unionByName(part)
+    return out

@@ -1,0 +1,231 @@
+"""Validation runner: composes all checks into verdicts + violations + stats.
+
+Query-lifecycle parity with the reference's fixed step DAG
+``preprocessing → group_by → feature_calculation → label_or_predict → save``
+(src/baskerville/models/base_spark.py:82-97) re-expressed as declarative
+DataFrame plans:
+
+  schema-enforce → [stats agg | uniqueness agg | RI anti-join |
+                    drift agg | audio-invariant mapInPandas] → verdicts/violations
+
+Scale design (100 TB):
+- Each check is a SEPARATE pruned scan of the fact table, not one cached
+  mega-plan: the stats/uniqueness/drift scans read only metadata columns
+  (parquet column pruning keeps the multi-hundred-KB ``bytes`` column on
+  disk); only the invariant scan reads payloads. Caching 100 TB is not an
+  option; pruned re-scans are.
+- There is exactly one shuffle per aggregate check, keyed on part_id (or
+  (part_id, clip_id) for uniqueness), with map-side partial aggregation.
+- Verdict/violation outputs are tiny relative to input; unions of them are
+  cheap.
+- Resume: partition pruning via a ``part_id IN (pending)`` predicate — with
+  parquet `partitionBy(part_id)` layout (or Iceberg partition specs) the
+  done partitions are never read at all.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, Row, SparkSession
+from pyspark.sql import functions as F
+
+from baskerville_spark.checks import drift as drift_mod
+from baskerville_spark.checks import invariants as inv_mod
+from baskerville_spark.checks import referential, stats, uniqueness
+from baskerville_spark.checks.schema_check import ColumnSpec, pattern_violations
+from baskerville_spark.runtime import manifest as manifest_mod
+
+#: Schema spec for the clip table: the enforced version of the reference's
+#: declared-but-unenforced log schema (data/samples/log_schema.json).
+CLIP_SPECS = [
+    ColumnSpec("clip_id", "string", required=True, drop_if_missing=True,
+               pattern=r"^clip_[0-9]{12}$"),
+    ColumnSpec("codec", "string", pattern=r"^(pcm_s16le|flac|opus)$"),
+    ColumnSpec("sr_hz", "int"),
+    ColumnSpec("dur_ms", "int"),
+    ColumnSpec("transcript", "string"),
+]
+
+
+@dataclass(frozen=True)
+class ValidationConfig:
+    null_rate_max: float = 0.05
+    range_bounds: dict = field(
+        default_factory=lambda: {"dur_ms": (1.0, 30000.0), "sr_hz": (8000.0, 48000.0)}
+    )
+    psi_threshold: float = drift_mod.PSI_THRESHOLD
+    ks_threshold: float = drift_mod.KS_THRESHOLD
+    n_salt: int = 64
+    ri_strategy: str = "auto"
+    snr_violation_rate_max: float = 0.0   # any SNR failure fails the partition
+    check_audio: bool = True
+    numeric_cols: tuple = ("sr_hz", "dur_ms")
+    categorical_cols: tuple = ("codec",)
+
+
+@dataclass
+class ValidationResult:
+    verdicts: DataFrame
+    violations: DataFrame
+    stats: DataFrame
+
+
+def _violation_verdicts(
+    violations: DataFrame, part_rows: DataFrame, check_names: list[str]
+) -> DataFrame:
+    """(part × check) grid left-joined with violation counts → pass/fail rows.
+
+    The cross join is parts × checks — a few dozen rows; broadcast by AQE.
+    """
+    spark = violations.sparkSession
+    checks_df = spark.createDataFrame(
+        [Row(check_name=c) for c in check_names]
+    )
+    grid = part_rows.crossJoin(F.broadcast(checks_df))
+    counts = violations.groupBy("part_id", "check_name").agg(
+        F.count(F.lit(1)).alias("n_violations")
+    )
+    return (
+        grid.join(counts, ["part_id", "check_name"], "left")
+        .select(
+            F.col("part_id").cast("int").alias("part_id"),
+            "check_name",
+            (F.coalesce(F.col("n_violations"), F.lit(0)) == 0).alias("passed"),
+            (
+                F.coalesce(F.col("n_violations"), F.lit(0))
+                / F.greatest(F.col("n_rows"), F.lit(1))
+            ).cast("double").alias("metric_value"),
+            F.lit(0.0).alias("threshold"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.coalesce(F.col("n_violations"), F.lit(0)).cast("long").alias("n_violations"),
+        )
+    )
+
+
+def run_validation(
+    spark: SparkSession,
+    clips: DataFrame,
+    transcript_ref: DataFrame | None = None,
+    baseline_rows: list[Row] | None = None,
+    cfg: ValidationConfig | None = None,
+) -> ValidationResult:
+    """Build the (lazy) verdict / violation / stats plans for the clip table."""
+    cfg = cfg or ValidationConfig()
+
+    part_rows = clips.groupBy(F.col("part_id").cast("int").alias("part_id")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+
+    # --- stats (metadata columns only; parquet never reads `bytes` here) ---
+    st = stats.column_stats(
+        clips,
+        numeric_cols=list(cfg.numeric_cols),
+        other_cols=["clip_id", "codec", "transcript"],
+    )
+    verdicts = stats.stats_verdicts(st, cfg.null_rate_max, cfg.range_bounds)
+
+    # --- violation-producing checks ---
+    violation_dfs: list[DataFrame] = [
+        uniqueness.uniqueness_violations(clips, n_salt=cfg.n_salt),
+    ]
+    check_names = ["uniqueness"]
+
+    if transcript_ref is not None:
+        violation_dfs.append(
+            referential.ref_integrity_violations(
+                clips, transcript_ref, strategy=cfg.ri_strategy
+            )
+        )
+        check_names.append("ref_integrity")
+
+    pv = pattern_violations(clips, CLIP_SPECS)
+    if pv is not None:
+        violation_dfs.append(pv)
+        check_names += [f"pattern:{s.name}" for s in CLIP_SPECS if s.pattern]
+
+    if cfg.check_audio:
+        inv = inv_mod.audio_invariant(clips, transcript_ref)
+        violation_dfs.append(inv_mod.invariant_violations(inv))
+        check_names += ["snr", "decode_error", "transcript_eq"]
+
+    violations = violation_dfs[0]
+    for v in violation_dfs[1:]:
+        violations = violations.unionByName(v)
+
+    verdicts = verdicts.unionByName(
+        _violation_verdicts(violations, part_rows, check_names)
+    )
+
+    # --- drift ---
+    if baseline_rows:
+        verdicts = verdicts.unionByName(
+            drift_mod.drift_verdicts(
+                clips, baseline_rows,
+                psi_threshold=cfg.psi_threshold, ks_threshold=cfg.ks_threshold,
+            )
+        )
+
+    return ValidationResult(verdicts=verdicts, violations=violations, stats=st)
+
+
+def run_resumable(
+    spark: SparkSession,
+    clips_path: str,
+    manifest_path: str,
+    out_dir: str,
+    transcript_ref_path: str | None = None,
+    baseline_path: str | None = None,
+    cfg: ValidationConfig | None = None,
+) -> list[int]:
+    """Resumable run over a partitioned clip table.
+
+    Reads the manifest, prunes finished partitions via a pushed-down
+    ``part_id IN (...)`` predicate (partition pruning on the parquet/Iceberg
+    layout), validates the rest in ONE Spark job, then commits a manifest
+    row per partition. Returns the list of partitions processed this run.
+    """
+    cfg = cfg or ValidationConfig()
+    started = datetime.now(timezone.utc)
+
+    clips = spark.read.parquet(clips_path)
+    all_parts = {
+        r["part_id"] for r in clips.select("part_id").distinct().collect()
+    }
+    done = manifest_mod.done_partitions(spark, manifest_path)
+    pending = sorted(all_parts - done)
+    if not pending:
+        return []
+
+    clips = clips.where(F.col("part_id").isin(pending))
+    tref = (
+        spark.read.parquet(transcript_ref_path) if transcript_ref_path else None
+    )
+    baseline_rows = (
+        drift_mod.load_baseline(spark, baseline_path) if baseline_path else None
+    )
+
+    res = run_validation(spark, clips, tref, baseline_rows, cfg)
+
+    res.violations.write.mode("append").parquet(f"{out_dir}/violations")
+    res.stats.write.mode("append").parquet(f"{out_dir}/stats")
+    verdict_rows = res.verdicts.collect()  # small: parts × checks
+    spark.createDataFrame(verdict_rows, res.verdicts.schema).write.mode(
+        "append"
+    ).parquet(f"{out_dir}/verdicts")
+
+    by_part: dict[int, dict[str, int]] = {p: {"n_rows": 0, "n_viol": 0} for p in pending}
+    for r in verdict_rows:
+        d = by_part.setdefault(r["part_id"], {"n_rows": 0, "n_viol": 0})
+        d["n_rows"] = max(d["n_rows"], r["n_rows"] or 0)
+        d["n_viol"] += r["n_violations"] or 0
+    for p in pending:
+        manifest_mod.commit_partition(
+            manifest_path,
+            int(p),
+            by_part[p]["n_rows"],
+            by_part[p]["n_viol"],
+            started,
+        )
+    return [int(p) for p in pending]

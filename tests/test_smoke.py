@@ -1,0 +1,33 @@
+"""End-to-end smoke: generate → validate → verdicts/violations sanity."""
+
+from __future__ import annotations
+
+from baskerville_spark.generator import expected_violation_indices
+from baskerville_spark.runtime.runner import ValidationConfig, run_validation
+
+
+def test_generator_counts(t1_clips, t1_cfg):
+    assert t1_clips.count() == t1_cfg.n_rows
+    parts = {r["part_id"] for r in t1_clips.select("part_id").distinct().collect()}
+    assert parts == set(range(t1_cfg.n_parts))
+
+
+def test_end_to_end_verdicts(spark, t1_clips, t1_tref, t1_cfg):
+    res = run_validation(spark, t1_clips, t1_tref, cfg=ValidationConfig())
+    verdicts = res.verdicts.collect()
+    assert len(verdicts) > 0
+    # partition 0 is the all-clean golden: every verdict for it passes
+    p0 = [v for v in verdicts if v["part_id"] == 0]
+    assert p0 and all(v["passed"] for v in p0)
+
+    exp = expected_violation_indices(t1_cfg)
+    viol = res.violations.collect()
+    got_by_check: dict[str, int] = {}
+    for v in viol:
+        got_by_check[v["check_name"]] = got_by_check.get(v["check_name"], 0) + 1
+    # duplicates produce `dup_count` rows but one violation row per key
+    assert got_by_check.get("uniqueness", 0) == len(exp["uniqueness"])
+    assert got_by_check.get("ref_integrity", 0) == len(exp["ref_integrity"])
+    assert got_by_check.get("transcript_eq", 0) == len(exp["transcript_eq"])
+    # snr violations: injected noise clips; mp3 clips are decode_error instead
+    assert got_by_check.get("snr", 0) == len(exp["snr"])

@@ -1,38 +1,682 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry is an operator family from SURVEY.md §2 implemented
+Spark-first (baskerville_spark package), with a DuckDB oracle in
+``oracle_sql()`` computing the identical result (same column names, floats
+rounded identically on both sides). Rows-only entries (no oracle) are the
+genuinely non-SQL-expressible ops: xxhash64-based sketches and the audio
+validation suite.
 """
 
 from __future__ import annotations
 
+import uuid
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Q1 — request-set aggregation funnel (reference core: one groupBy().agg(*)
+#       over composed named aggs, base_spark.py:445-458 / SURVEY §2.4)
+# ---------------------------------------------------------------------------
+
+def q01_request_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.unix_timestamp(F.min("ts")).alias("first_ts"),
+        F.unix_timestamp(F.max("ts")).alias("last_ts"),
+        F.countDistinct("event_type").alias("n_types"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+        F.round(F.var_samp("value"), 4).alias("var_value"),
+        F.count(F.when(F.col("event_type") == "error", 1)).alias("n_error"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("n_purchase"),
+    )
+
+
+_Q01_SQL = """
+SELECT user_id,
+       COUNT(*) AS n_events,
+       CAST(floor(epoch(MIN(ts))) AS BIGINT) AS first_ts,
+       CAST(floor(epoch(MAX(ts))) AS BIGINT) AS last_ts,
+       COUNT(DISTINCT event_type) AS n_types,
+       ROUND(AVG(value), 4) AS avg_value,
+       ROUND(VAR_SAMP(value), 4) AS var_value,
+       COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS n_error,
+       COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase
+FROM events GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q2 — window functions: lag intervals per user (feature_request_interval_*,
+#       SURVEY §2.5)
+# ---------------------------------------------------------------------------
+
+def q02_request_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # parquet ts is TIMESTAMP_NTZ; cast to session-TZ (UTC) timestamp for epoch math
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    prev_us = F.unix_micros(F.lag("ts").over(w).cast("timestamp"))
+    iv = ((ts_us - prev_us) / 1e6).alias("interval_s")
+    per_row = e.select("user_id", iv)
+    return per_row.groupBy("user_id").agg(
+        F.round(F.avg("interval_s"), 4).alias("avg_interval_s"),
+        F.round(F.var_samp("interval_s"), 4).alias("var_interval_s"),
+        F.count("interval_s").alias("n_intervals"),
+    )
+
+
+_Q02_SQL = """
+WITH iv AS (
+  SELECT user_id,
+         epoch_us(ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) / 1e6
+           AS interval_s
+  FROM events)
+SELECT user_id,
+       ROUND(AVG(interval_s), 4) AS avg_interval_s,
+       ROUND(VAR_SAMP(interval_s), 4) AS var_interval_s,
+       COUNT(interval_s) AS n_intervals
+FROM iv GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q3 — top-k per group via row_number (top-page feature done right,
+#       SURVEY §2.6: window instead of self-join)
+# ---------------------------------------------------------------------------
+
+def q03_top_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    counts = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("user_id").orderBy(F.desc("cnt"), F.asc("event_type"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("top_event"), "cnt")
+    )
+
+
+_Q03_SQL = """
+WITH c AS (SELECT user_id, event_type, COUNT(*) AS cnt FROM events GROUP BY 1, 2),
+r AS (SELECT user_id, event_type, cnt,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY cnt DESC, event_type ASC) rn
+      FROM c)
+SELECT user_id, event_type AS top_event, cnt FROM r WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q4 — pivot: anomaly/normal-per-host pattern (base_spark.py:494-504)
+# ---------------------------------------------------------------------------
+
+def q04_pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, EVENT_TYPES)
+    )
+
+
+_Q04_SQL = """
+SELECT user_id,
+       COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+       COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+       COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+       COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+       COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
+FROM events GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q5/Q6 — anti / semi joins (whitelist anti-join tasks.py:624-660; cache host
+#          filter request_set_cache.py:146-147)
+# ---------------------------------------------------------------------------
+
+def q05_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return c.join(o, "c_custkey", "left_anti").select("c_custkey", "c_name", "c_mktsegment")
+
+
+_Q05_SQL = """
+SELECT c_custkey, c_name, c_mktsegment FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+"""
+
+
+def q06_building_orders_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.join(
+            F.broadcast(c.select(F.col("c_custkey").alias("o_custkey"))),
+            "o_custkey",
+            "left_semi",
+        )
+        .select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("total_price"))
+    )
+
+
+_Q06_SQL = """
+SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS total_price FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q7 — range-predicate join (attack-window interval join, labeler.py:80-88)
+# ---------------------------------------------------------------------------
+
+def q07_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .where(F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 21 DAYS"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_late"),
+            F.round(F.avg(F.col("l_extendedprice")), 4).alias("avg_price"),
+        )
+    )
+
+
+_Q07_SQL = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_late,
+       ROUND(AVG(l_extendedprice), 4) AS avg_price
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= o_orderdate + INTERVAL 21 DAY
+GROUP BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q8 — column-stats profile (engine operator; checks/stats.py)
+# ---------------------------------------------------------------------------
+
+_Q08_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def q08_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from baskerville_spark.checks.stats import column_stats
+
+    li = _t(spark, sf_dir, "lineitem")
+    st = column_stats(li, part_col=None, numeric_cols=_Q08_COLS, other_cols=[])
+    return st.select(
+        "column_name",
+        "count",
+        "null_count",
+        F.round("min", 4).alias("min_v"),
+        F.round("max", 4).alias("max_v"),
+    )
+
+
+_Q08_SQL = " UNION ALL ".join(
+    f"""SELECT '{c}' AS column_name, COUNT({c}) AS count,
+        COUNT(*) - COUNT({c}) AS null_count,
+        ROUND(CAST(MIN({c}) AS DOUBLE), 4) AS min_v,
+        ROUND(CAST(MAX({c}) AS DOUBLE), 4) AS max_v FROM lineitem"""
+    for c in _Q08_COLS
+)
+
+
+# ---------------------------------------------------------------------------
+# Q9 — salted two-phase uniqueness (checks/uniqueness.py; north-rule skew op)
+# ---------------------------------------------------------------------------
+
+def q09_duplicate_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from baskerville_spark.checks.uniqueness import duplicate_keys
+
+    o = _t(spark, sf_dir, "orders")
+    return duplicate_keys(o, key="o_custkey", scope_per_partition=False)
+
+
+_Q09_SQL = """
+SELECT o_custkey, COUNT(*) AS dup_count FROM orders
+GROUP BY o_custkey HAVING COUNT(*) > 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q10 — incident/drift detection: per-type hourly buckets vs avg+2σ baseline
+#        (incident_detector.py:251-295 semantics)
+# ---------------------------------------------------------------------------
+
+def q10_incident_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    buckets = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("event_type")
+    flagged = buckets.select(
+        "event_type",
+        F.unix_timestamp("bucket").alias("bucket_epoch"),
+        "cnt",
+        F.round(F.avg("cnt").over(w), 4).alias("mean_cnt"),
+        F.round(F.stddev_samp("cnt").over(w), 4).alias("std_cnt"),
+        (F.col("cnt") > F.avg("cnt").over(w) + 2 * F.stddev_samp("cnt").over(w)).alias("__flag"),
+    )
+    return flagged.where("__flag").drop("__flag")
+
+
+_Q10_SQL = """
+WITH b AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket, COUNT(*) AS cnt
+  FROM events GROUP BY 1, 2),
+s AS (
+  SELECT event_type,
+         CAST(floor(epoch(bucket)) AS BIGINT) AS bucket_epoch,
+         cnt,
+         AVG(cnt) OVER (PARTITION BY event_type) AS m,
+         STDDEV_SAMP(cnt) OVER (PARTITION BY event_type) AS sd
+  FROM b)
+SELECT event_type, bucket_epoch, cnt,
+       ROUND(m, 4) AS mean_cnt, ROUND(sd, 4) AS std_cnt
+FROM s WHERE cnt > m + 2 * sd
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q11-Q13 — text analysis (functions/text.py)
+# ---------------------------------------------------------------------------
+
+def q11_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from baskerville_spark.functions.text import fingerprint
+
+    d = _t(spark, sf_dir, "documents")
+    return fingerprint(d).select(F.col("id").alias("doc_id"), "fingerprint")
+
+
+_Q11_SQL = """
+SELECT doc_id,
+       md5(array_to_string(
+         list_sort(list_distinct(
+           list_filter(
+             string_split_regex(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+'),
+             x -> x <> ''))),
+         ' ')) AS fingerprint
+FROM documents
+"""
+
+
+def q12_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from baskerville_spark.functions.text import quality_features
+
+    d = _t(spark, sf_dir, "documents")
+    q = quality_features(d)
+    return q.select(
+        F.col("id").alias("doc_id"),
+        "token_count_ws",
+        "token_count_bpe",
+        "n_chars",
+        F.round("alpha_ratio", 4).alias("alpha_ratio"),
+        F.round("digit_ratio", 4).alias("digit_ratio"),
+        F.round("mean_token_len", 4).alias("mean_token_len"),
+        F.round("stopword_ratio_en", 4).alias("stopword_ratio_en"),
+    )
+
+
+_Q12_SQL = """
+WITH t AS (
+  SELECT doc_id, text,
+         string_split_regex(trim(text), '\\s+') AS toks,
+         length(text) AS n_chars
+  FROM documents)
+SELECT doc_id,
+       len(toks) AS token_count_ws,
+       len(regexp_extract_all(lower(text), '[a-z0-9]{1,4}|[^a-z0-9\\s]')) AS token_count_bpe,
+       n_chars,
+       ROUND(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / greatest(n_chars, 1), 4) AS alpha_ratio,
+       ROUND(length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 / greatest(n_chars, 1), 4) AS digit_ratio,
+       ROUND(n_chars * 1.0 / greatest(len(toks), 1), 4) AS mean_token_len,
+       ROUND(len(list_intersect(list_distinct(list_transform(toks, x -> lower(x))),
+                                ['the','and','of','to','a','in','is','it','that','was'])) * 1.0
+             / greatest(len(list_distinct(list_transform(toks, x -> lower(x)))), 1), 4)
+         AS stopword_ratio_en
+FROM t
+"""
+
+
+def q13_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from baskerville_spark.functions.text import lang_id
+
+    d = _t(spark, sf_dir, "documents")
+    return lang_id(d).select(F.col("id").alias("doc_id"), "pred_lang", "lang_hits")
+
+
+def _langid_sql() -> str:
+    from baskerville_spark.functions.text import STOPWORDS
+
+    score = {
+        lang: (
+            "len(list_filter(string_split_regex(lower(text), '\\s+'), "
+            f"x -> list_contains([{', '.join(repr(w) for w in STOPWORDS[lang])}], x)))"
+        )
+        for lang in STOPWORDS
+    }
+    langs_desc = sorted(STOPWORDS, reverse=True)  # matches Spark struct-max tie-break
+    cases = []
+    for i, lang in enumerate(langs_desc):
+        others = langs_desc[i + 1 :]
+        if others:
+            cond = " AND ".join(f"s_{lang} >= s_{o}" for o in others)
+            cases.append(f"WHEN {cond} THEN '{lang}'")
+        else:
+            cases.append(f"ELSE '{lang}'")
+    case_sql = "CASE " + " ".join(cases) + " END"
+    greatest = "greatest(" + ", ".join(f"s_{l}" for l in sorted(STOPWORDS)) + ")"
+    scores_sql = ", ".join(f"{expr} AS s_{lang}" for lang, expr in score.items())
+    return f"""
+WITH s AS (SELECT doc_id, {scores_sql} FROM documents)
+SELECT doc_id, {case_sql} AS pred_lang, {greatest} AS lang_hits FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q14/Q22 — similarity search (functions/similarity.py)
+# ---------------------------------------------------------------------------
+
+def q14_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from baskerville_spark.functions.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.where("vec_id = 0").select("embedding").first()[0]]
+    top = cosine_topk(emb, qvec, k=10)
+    return top.select(F.col("id").alias("vec_id"), F.round("cosine_sim", 4).alias("cosine_sim"))
+
+
+_Q14_SQL = """
+WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0)
+SELECT b.vec_id,
+       ROUND(
+         list_sum(list_transform(generate_series(1, len(b.embedding)),
+                  i -> CAST(b.embedding[i] AS DOUBLE) * CAST(q.e[i] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+            * sqrt(list_sum(list_transform(q.e, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+         4) AS cosine_sim
+FROM embeddings b, q
+ORDER BY cosine_sim DESC, b.vec_id ASC
+LIMIT 10
+"""
+
+
+def q22_vector_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from baskerville_spark.functions.similarity import brute_force_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    p = brute_force_pairs(emb, threshold=0.45)
+    return p.select("id_a", "id_b", F.round("cosine_sim", 4).alias("cosine_sim"))
+
+
+_Q22_SQL = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(
+         list_sum(list_transform(generate_series(1, len(a.embedding)),
+                  i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+            * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+         4) AS cosine_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_sum(list_transform(generate_series(1, len(a.embedding)),
+               i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+      / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+         * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+      >= 0.45
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q15/Q16 — dedup (functions/dedup.py)
+# ---------------------------------------------------------------------------
+
+def q15_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from baskerville_spark.functions.dedup import ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    p = ngram_jaccard_pairs(d, n=3, threshold=0.8, max_df=1 << 30)
+    return p.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+_Q15_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t FROM documents),
+idx AS (
+  SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 2, 0))) AS i
+  FROM toks WHERE len(t) >= 3),
+sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle FROM idx),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT id_a, id_b,
+       ROUND(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8
+"""
+
+
+def q16_exact_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from baskerville_spark.functions.dedup import exact_duplicates
+
+    d = _t(spark, sf_dir, "documents")
+    return exact_duplicates(d).select("text_hash", "dup_count")
+
+
+_Q16_SQL = """
+SELECT md5(text) AS text_hash, COUNT(*) AS dup_count FROM documents
+GROUP BY md5(text) HAVING COUNT(*) > 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q17/Q18 — TPC-H-style multi-agg + join pipelines
+# ---------------------------------------------------------------------------
+
+def q17_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+_Q17_SQL = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       ROUND(AVG(l_quantity), 4) AS avg_qty,
+       ROUND(AVG(l_discount), 4) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q18_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "AUTOMOBILE")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+_Q18_SQL = """
+SELECT l_orderkey,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'AUTOMOBILE'
+GROUP BY l_orderkey
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q19-Q21, Q23 — rows-only ops (non-SQL-expressible or engine-specific)
+# ---------------------------------------------------------------------------
+
+def q19_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from baskerville_spark.functions.dedup import minhash_lsh_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    p = minhash_lsh_pairs(d, n=3, num_hashes=32, bands=8, verify_threshold=0.8)
+    return p.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q20_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from baskerville_spark.functions.dedup import simhash
+
+    d = _t(spark, sf_dir, "documents")
+    return simhash(d).select(F.col("id").alias("doc_id"), "simhash")
+
+
+def q21_clip_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship engine suite: synthetic clip table → per-partition verdicts.
+
+    Audio bytes can't live in the shared testdata, so the table is
+    synthesized deterministically in-session (seeded; FIXTURES.md §1).
+    """
+    from baskerville_spark.generator import GenConfig, generate_clips, generate_transcript_ref
+    from baskerville_spark.runtime.runner import ValidationConfig, run_validation
+
+    cfg = GenConfig(n_rows=1000, n_parts=4)
+    # cache: the validation suite scans the clip table once per check family;
+    # a generated (non-parquet) source would otherwise re-synthesize per scan
+    clips = generate_clips(spark, cfg).persist()
+    tref = generate_transcript_ref(spark, cfg).persist()
+    res = run_validation(spark, clips, tref, cfg=ValidationConfig())
+    return res.verdicts
+
+
+def q23_streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming tumbling-window agg (SURVEY §2.10), driven to
+    completion over the events parquet; result equals the batch oracle."""
+    e_schema = _t(spark, sf_dir, "events").schema
+    name = f"q23_out_{uuid.uuid4().hex[:8]}"
+    stream = (
+        spark.readStream.schema(e_schema)
+        .option("pathGlobFilter", "events.parquet")  # stream source needs a dir
+        .parquet(sf_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))  # NTZ → event-time type
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    q = (
+        stream.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.table(name)
+    return out.select(
+        F.unix_timestamp(F.col("window.start")).alias("bucket_epoch"),
+        "event_type",
+        "cnt",
+    )
+
+
+_Q23_SQL = """
+SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS bucket_epoch,
+       event_type, COUNT(*) AS cnt
+FROM events GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Driver contract
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q01_request_sets(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q01_request_sets": q01_request_sets,
+        "q02_request_intervals": q02_request_intervals,
+        "q03_top_event_per_user": q03_top_event_per_user,
+        "q04_pivot_event_counts": q04_pivot_event_counts,
+        "q05_customers_without_orders": q05_customers_without_orders,
+        "q06_building_orders_semi": q06_building_orders_semi,
+        "q07_late_shipments": q07_late_shipments,
+        "q08_stats_profile": q08_stats_profile,
+        "q09_duplicate_custkeys": q09_duplicate_custkeys,
+        "q10_incident_detection": q10_incident_detection,
+        "q11_fingerprints": q11_fingerprints,
+        "q12_quality_features": q12_quality_features,
+        "q13_lang_id": q13_lang_id,
+        "q14_ann_topk": q14_ann_topk,
+        "q15_ngram_jaccard": q15_ngram_jaccard,
+        "q16_exact_dups": q16_exact_dups,
+        "q17_pricing_summary": q17_pricing_summary,
+        "q18_top_revenue_orders": q18_top_revenue_orders,
+        "q19_minhash_pairs": q19_minhash_pairs,
+        "q20_simhash": q20_simhash,
+        "q21_clip_validation": q21_clip_validation,
+        "q22_vector_pairs": q22_vector_pairs,
+        "q23_streaming_window_counts": q23_streaming_window_counts,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q01_request_sets": _Q01_SQL,
+        "q02_request_intervals": _Q02_SQL,
+        "q03_top_event_per_user": _Q03_SQL,
+        "q04_pivot_event_counts": _Q04_SQL,
+        "q05_customers_without_orders": _Q05_SQL,
+        "q06_building_orders_semi": _Q06_SQL,
+        "q07_late_shipments": _Q07_SQL,
+        "q08_stats_profile": _Q08_SQL,
+        "q09_duplicate_custkeys": _Q09_SQL,
+        "q10_incident_detection": _Q10_SQL,
+        "q11_fingerprints": _Q11_SQL,
+        "q12_quality_features": _Q12_SQL,
+        "q13_lang_id": _langid_sql(),
+        "q14_ann_topk": _Q14_SQL,
+        "q15_ngram_jaccard": _Q15_SQL,
+        "q16_exact_dups": _Q16_SQL,
+        "q17_pricing_summary": _Q17_SQL,
+        "q18_top_revenue_orders": _Q18_SQL,
+        "q22_vector_pairs": _Q22_SQL,
+        "q23_streaming_window_counts": _Q23_SQL,
+        # q19/q20 (xxhash64 sketches) and q21 (audio suite): rows-only
+    }

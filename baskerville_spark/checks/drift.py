@@ -58,20 +58,32 @@ def capture_baseline(
         for c in numeric_cols:
             aggs.append(F.percentile_approx(F.col(c).cast("double"), qs).alias(f"{c}__q"))
             aggs.append(F.count(F.col(c)).alias(f"{c}__n"))
-        snap = df.agg(*aggs).collect()[0]
-        for c in numeric_cols:
-            edges = _dedupe_edges(list(snap[f"{c}__q"] or []))
-            n = snap[f"{c}__n"]
-            fracs = _numeric_fractions(df, c, edges)
+        snap = df.agg(*aggs).collect()[0]  # pass 1: sketches for edges
+        edges_by_col = {
+            c: _dedupe_edges(list(snap[f"{c}__q"] or [])) for c in numeric_cols
+        }
+        # pass 2: ONE agg with conditional sums for every (column, bucket)
+        frac_aggs = []
+        for c, edges in edges_by_col.items():
+            bucket = _bucket_expr(F.col(c).cast("double"), edges[1:-1])
+            notnull = F.col(c).isNotNull()
+            frac_aggs += [
+                F.sum((notnull & (bucket == i)).cast("long")).alias(f"{c}__b{i}")
+                for i in range(len(edges) - 1)
+            ]
+        frow = df.agg(*frac_aggs).collect()[0]
+        for c, edges in edges_by_col.items():
+            counts = [frow[f"{c}__b{i}"] or 0 for i in range(len(edges) - 1)]
+            total = sum(counts) or 1
             rows.append(
                 Row(
                     column_name=c,
                     kind="numeric",
                     bin_edges=[float(e) for e in edges],
                     categories=None,
-                    bin_fractions=fracs,
+                    bin_fractions=[cnt / total for cnt in counts],
                     quantiles=[float(x) for x in (snap[f"{c}__q"] or [])],
-                    n=int(n),
+                    n=int(snap[f"{c}__n"]),
                 )
             )
     for c in categorical_cols:
@@ -121,22 +133,6 @@ def _bucket_expr(col: Column, inner_edges: list[float]) -> Column:
     return b
 
 
-def _numeric_fractions(df: DataFrame, c: str, edges: list[float]) -> list[float]:
-    inner = edges[1:-1]
-    n_buckets = len(inner) + 1
-    bucket = _bucket_expr(F.col(c).cast("double"), inner)
-    row = (
-        df.where(F.col(c).isNotNull())
-        .agg(*[
-            F.sum((bucket == i).cast("long")).alias(f"b{i}") for i in range(n_buckets)
-        ])
-        .collect()[0]
-    )
-    counts = [row[f"b{i}"] or 0 for i in range(n_buckets)]
-    total = sum(counts) or 1
-    return [c_ / total for c_ in counts]
-
-
 def save_baseline(spark: SparkSession, rows: list[Row], path: str) -> None:
     spark.createDataFrame(rows, schema=BASELINE_SCHEMA).coalesce(1).write.mode(
         "overwrite"
@@ -177,34 +173,17 @@ def _psi_ks_from_fracs(cur_fracs: Column, base_fracs: list[float]) -> tuple[Colu
     return psi, ks
 
 
-def _current_fractions(
-    df: DataFrame, part_col: str, c: str, baseline_row: Row
-) -> DataFrame:
-    """Per-partition fractions array for one column, binned per the baseline."""
+def _bucket_for(c: str, baseline_row: Row):
+    """(bucket index Column, n_buckets) for a column, binned per its baseline."""
     if baseline_row["kind"] == "numeric":
-        edges = list(baseline_row["bin_edges"])
-        inner = edges[1:-1]
-        n_buckets = len(inner) + 1
-        bucket = _bucket_expr(F.col(c).cast("double"), inner)
-        src = df.where(F.col(c).isNotNull())
-    else:
-        cats = list(baseline_row["categories"])
-        mapping = F.lit(len(cats))  # default → OTHER bucket
-        bucket = F.coalesce(
-            *[F.when(F.col(c) == F.lit(cat), F.lit(i)) for i, cat in enumerate(cats)],
-            mapping,
-        )
-        n_buckets = len(cats) + 1
-        src = df.where(F.col(c).isNotNull())
-
-    counts = src.groupBy(F.col(part_col).alias("part_id")).agg(
-        *[F.sum((bucket == i).cast("long")).alias(f"b{i}") for i in range(n_buckets)],
-        F.count(F.lit(1)).alias("__total"),
+        inner = list(baseline_row["bin_edges"])[1:-1]
+        return _bucket_expr(F.col(c).cast("double"), inner), len(inner) + 1
+    cats = list(baseline_row["categories"])
+    bucket = F.coalesce(
+        *[F.when(F.col(c) == F.lit(cat), F.lit(i)) for i, cat in enumerate(cats)],
+        F.lit(len(cats)),  # default → OTHER bucket
     )
-    fracs = F.array(
-        *[(F.col(f"b{i}") / F.greatest(F.col("__total"), F.lit(1))).cast("double") for i in range(n_buckets)]
-    )
-    return counts.select("part_id", fracs.alias("fracs"), F.col("__total").alias("n_rows"))
+    return bucket, len(cats) + 1
 
 
 def drift_verdicts(
@@ -216,43 +195,59 @@ def drift_verdicts(
 ) -> DataFrame:
     """Verdict rows (VERDICT_SCHEMA): psi:<col> and ks:<col> per partition.
 
-    Shape mirrors the reference's incident condition — two series must both
-    exceed their baseline for an incident (incident_detector.py:285-289); we
-    emit per-metric verdicts and let callers AND them.
+    ONE scan + ONE shuffle total: every column's per-bucket conditional sums
+    are expressions in a single groupBy(part_id).agg(...); the PSI/KS math
+    then runs on the tiny wide result. Verdict shape mirrors the reference's
+    incident condition (incident_detector.py:285-289); callers AND the
+    per-metric verdicts as needed.
     """
+    if not baseline_rows:
+        raise ValueError("empty baseline")
+
+    aggs = []
+    buckets: dict[str, int] = {}
+    for row in baseline_rows:
+        c = row["column_name"]
+        bucket, n_buckets = _bucket_for(c, row)
+        buckets[c] = n_buckets
+        notnull = F.col(c).isNotNull()
+        aggs += [
+            F.sum((notnull & (bucket == i)).cast("long")).alias(f"{c}__b{i}")
+            for i in range(n_buckets)
+        ]
+        aggs.append(F.count(F.col(c)).alias(f"{c}__n"))
+    wide = df.groupBy(F.col(part_col).cast("int").alias("part_id")).agg(*aggs)
+
     out: DataFrame | None = None
     for row in baseline_rows:
         c = row["column_name"]
-        fr = _current_fractions(df, part_col, c, row)
-        psi, ks = _psi_ks_from_fracs(F.col("fracs"), list(row["bin_fractions"]))
-        v = fr.select(
-            F.col("part_id").cast("int").alias("part_id"),
+        fracs = F.array(
+            *[
+                (F.col(f"{c}__b{i}") / F.greatest(F.col(f"{c}__n"), F.lit(1))).cast("double")
+                for i in range(buckets[c])
+            ]
+        )
+        psi, ks = _psi_ks_from_fracs(fracs, list(row["bin_fractions"]))
+        v = wide.select(
+            "part_id",
             psi.alias("__psi"),
             ks.alias("__ks"),
-            F.col("n_rows"),
+            F.col(f"{c}__n").alias("n_rows"),
         )
-        psi_v = v.select(
-            "part_id",
-            F.lit(f"psi:{c}").alias("check_name"),
-            (F.col("__psi") <= psi_threshold).alias("passed"),
-            F.col("__psi").cast("double").alias("metric_value"),
-            F.lit(float(psi_threshold)).alias("threshold"),
-            F.col("n_rows").cast("long").alias("n_rows"),
-            F.lit(None).cast("long").alias("n_violations"),
-        )
-        ks_v = v.select(
-            "part_id",
-            F.lit(f"ks:{c}").alias("check_name"),
-            (F.col("__ks") <= ks_threshold).alias("passed"),
-            F.col("__ks").cast("double").alias("metric_value"),
-            F.lit(float(ks_threshold)).alias("threshold"),
-            F.col("n_rows").cast("long").alias("n_rows"),
-            F.lit(None).cast("long").alias("n_violations"),
-        )
-        both = psi_v.unionByName(ks_v)
-        out = both if out is None else out.unionByName(both)
-    if out is None:
-        raise ValueError("empty baseline")
+        for metric, col_expr, thr in (
+            ("psi", F.col("__psi"), psi_threshold),
+            ("ks", F.col("__ks"), ks_threshold),
+        ):
+            m = v.select(
+                "part_id",
+                F.lit(f"{metric}:{c}").alias("check_name"),
+                (col_expr <= thr).alias("passed"),
+                col_expr.cast("double").alias("metric_value"),
+                F.lit(float(thr)).alias("threshold"),
+                F.col("n_rows").cast("long").alias("n_rows"),
+                F.lit(None).cast("long").alias("n_violations"),
+            )
+            out = m if out is None else out.unionByName(m)
     return out
 
 

@@ -43,33 +43,43 @@ INVARIANT_RESULT_SCHEMA = T.StructType(
 
 def _check_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for b in batches:
-        n = len(b)
-        out = {
-            "part_id": b["part_id"].astype("int32"),
-            "clip_id": b["clip_id"],
-            "snr_db": pd.Series([None] * n, dtype="float64"),
-            "snr_ok": pd.Series([False] * n, dtype="bool"),
-            "decode_ok": pd.Series([False] * n, dtype="bool"),
-            "transcript_ok": pd.Series([None] * n, dtype="object"),
-        }
-        for idx in range(n):
-            row = b.iloc[idx]
-            payload, codec = row["bytes"], row["codec"]
+        snr_dbs: list[float | None] = []
+        snr_oks: list[bool] = []
+        decode_oks: list[bool] = []
+        transcript_oks: list[bool | None] = []
+        for payload, codec, sr_raw, clip_id, transcript, t_ref in zip(
+            b["bytes"], b["codec"], b["sr_hz"], b["clip_id"],
+            b["transcript"], b["transcript_ref"],
+        ):
             pcm = audio.decode(bytes(payload), codec) if payload is not None else None
             if pcm is not None and len(pcm) > 0:
-                sr = int(row["sr_hz"]) if pd.notna(row["sr_hz"]) else 16000
+                sr = int(sr_raw) if pd.notna(sr_raw) else 16000
                 # reference signal regenerated deterministically from clip_id;
                 # sample count inferred from the decoded payload (dur_ms may
                 # be null/bad — that's the range check's job, not this one's)
-                ref = audio.synth_pcm_n(row["clip_id"], sr, len(pcm))
+                ref = audio.synth_pcm_n(clip_id, sr, len(pcm))
                 s = audio.snr_db(ref, pcm)
-                out["snr_db"].iloc[idx] = s if s not in (float("inf"),) else 999.0
-                out["snr_ok"].iloc[idx] = s >= audio.SNR_THRESHOLD_DB
-                out["decode_ok"].iloc[idx] = True
-            t_ref = row.get("transcript_ref")
+                snr_dbs.append(999.0 if s == float("inf") else s)
+                snr_oks.append(bool(s >= audio.SNR_THRESHOLD_DB))
+                decode_oks.append(True)
+            else:
+                snr_dbs.append(None)
+                snr_oks.append(False)
+                decode_oks.append(False)
             if t_ref is not None and pd.notna(t_ref):
-                out["transcript_ok"].iloc[idx] = str(row["transcript"]) == str(t_ref)
-        yield pd.DataFrame(out)
+                transcript_oks.append(bool(str(transcript) == str(t_ref)))
+            else:
+                transcript_oks.append(None)
+        yield pd.DataFrame(
+            {
+                "part_id": b["part_id"].astype("int32"),
+                "clip_id": b["clip_id"],
+                "snr_db": pd.Series(snr_dbs, dtype="float64", index=b.index),
+                "snr_ok": pd.Series(snr_oks, dtype="bool", index=b.index),
+                "decode_ok": pd.Series(decode_oks, dtype="bool", index=b.index),
+                "transcript_ok": pd.Series(transcript_oks, dtype="object", index=b.index),
+            }
+        )
 
 
 def audio_invariant(
@@ -95,17 +105,38 @@ def audio_invariant(
 
 
 def invariant_violations(results: DataFrame) -> DataFrame:
-    """Violation rows (VIOLATION_SCHEMA) from invariant results."""
-    snr = results.where(~F.col("snr_ok")).select(
-        "part_id",
-        "clip_id",
-        F.when(F.col("decode_ok"), F.lit("snr")).otherwise(F.lit("decode_error")).alias("check_name"),
-        F.concat(F.lit("snr_db="), F.coalesce(F.round("snr_db", 2).cast("string"), F.lit("nan"))).alias("detail"),
+    """Violation rows (VIOLATION_SCHEMA) from invariant results.
+
+    Single scan: both violation kinds are emitted from one conditional-array
+    explode so the (expensive) upstream decode plan is traversed once, not
+    once per violation kind.
+    """
+    snr_struct = F.when(
+        ~F.col("snr_ok"),
+        F.struct(
+            F.when(F.col("decode_ok"), F.lit("snr"))
+            .otherwise(F.lit("decode_error"))
+            .alias("check_name"),
+            F.concat(
+                F.lit("snr_db="),
+                F.coalesce(F.round("snr_db", 2).cast("string"), F.lit("nan")),
+            ).alias("detail"),
+        ),
     )
-    tr = results.where(F.col("transcript_ok") == False).select(  # noqa: E712
-        "part_id",
-        "clip_id",
-        F.lit("transcript_eq").alias("check_name"),
-        F.lit("transcript != transcript_ref").alias("detail"),
+    tr_struct = F.when(
+        F.col("transcript_ok") == False,  # noqa: E712
+        F.struct(
+            F.lit("transcript_eq").alias("check_name"),
+            F.lit("transcript != transcript_ref").alias("detail"),
+        ),
     )
-    return snr.unionByName(tr)
+    return (
+        results.select(
+            "part_id",
+            "clip_id",
+            F.explode(
+                F.filter(F.array(snr_struct, tr_struct), lambda x: x.isNotNull())
+            ).alias("v"),
+        )
+        .select("part_id", "clip_id", "v.check_name", "v.detail")
+    )

@@ -46,7 +46,7 @@ def _aggs_for(col: str, numeric: bool, quantiles: list[float], rsd: float) -> li
 
 def column_stats(
     df: DataFrame,
-    part_col: str = "part_id",
+    part_col: str | None = "part_id",
     numeric_cols: list[str] | None = None,
     other_cols: list[str] | None = None,
     quantiles: list[float] | None = None,
@@ -56,8 +56,12 @@ def column_stats(
 
     Returns columns: part_id, column_name, count, null_count, min, max,
     approx_distinct, quantiles (array<double>, numeric cols only).
+    ``part_col=None`` computes whole-table stats (part_id = 0).
     """
     quantiles = quantiles or DEFAULT_QUANTILES
+    if part_col is None:
+        df = df.withColumn("__whole_table", F.lit(0))
+        part_col = "__whole_table"
     if numeric_cols is None or other_cols is None:
         numeric_types = {"int", "bigint", "smallint", "tinyint", "double", "float", "decimal"}
         inferred_num, inferred_other = [], []

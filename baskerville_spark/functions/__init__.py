@@ -1,0 +1,24 @@
+"""Large-scale training-data pipeline operators over generic tables:
+deduplication, text analysis, similarity search, multimodal plumbing.
+
+These extend the validation engine with the operations a 100 TB
+training-data pipeline needs. All hot paths are JVM-side Column algebra;
+Python appears only in Arrow-batched pandas UDFs (multimodal decode).
+"""
+
+from baskerville_spark.functions.dedup import (  # noqa: F401
+    exact_duplicates,
+    minhash_signatures,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from baskerville_spark.functions.text import (  # noqa: F401
+    lang_id,
+    quality_features,
+    fingerprint,
+)
+from baskerville_spark.functions.similarity import (  # noqa: F401
+    cosine_topk,
+    hyperplane_lsh_pairs,
+)

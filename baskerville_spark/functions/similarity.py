@@ -1,0 +1,122 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk``: brute-force top-k against a query vector. The dot product
+  is ``F.zip_with`` + ``F.aggregate`` — JVM-side array math, no Python. The
+  top-k is an orderBy+limit, which Spark executes as per-partition TakeOrdered
+  + driver merge (no global sort shuffle).
+- ``hyperplane_lsh_pairs``: the scale path for all-pairs similarity —
+  random-hyperplane (SRP) signatures bucket vectors so the self-join touches
+  only same-bucket candidates, verified with exact cosine. Planes are
+  deterministic (seeded numpy) and enter the plan as literal arrays
+  (broadcast-by-literal; a few KB).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k rows by cosine similarity to a constant query vector."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    emb = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            cosine(emb, q).cast("double").alias("cosine_sim"),
+        )
+        .orderBy(F.desc("cosine_sim"), F.asc("id"))
+        .limit(k)
+    )
+
+
+def srp_signature(vec_col: Column, planes: np.ndarray) -> Column:
+    """Sign-random-projection bucket id: one bit per hyperplane."""
+    sig = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(float(x)) for x in plane])
+        bit = (_dot(vec_col, p) > 0).cast("long")
+        sig = sig.bitwiseOR(F.shiftleft(bit, i))
+    return sig
+
+
+def hyperplane_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 12,
+    n_tables: int = 2,
+    threshold: float = 0.85,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate vector pairs: SRP buckets → candidate self-join →
+    exact cosine verify. n_tables independent plane sets trade recall for
+    join fan-out."""
+    rng = np.random.default_rng(seed)
+    emb = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = df.select(F.col(id_col).alias("id"), emb.alias("v"))
+
+    cand = None
+    for t in range(n_tables):
+        planes = rng.standard_normal((n_planes, dim))
+        sig = base.select("id", "v", srp_signature(F.col("v"), planes).alias("bucket"))
+        a = sig.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"), "bucket")
+        b = sig.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"), "bucket")
+        pairs = a.join(b, "bucket").where(F.col("id_a") < F.col("id_b")).select(
+            "id_a", "id_b", "v_a", "v_b"
+        )
+        cand = pairs if cand is None else cand.unionByName(pairs)
+
+    return (
+        cand.dropDuplicates(["id_a", "id_b"])
+        .select(
+            "id_a",
+            "id_b",
+            cosine(F.col("v_a"), F.col("v_b")).cast("double").alias("cosine_sim"),
+        )
+        .where(F.col("cosine_sim") >= threshold)
+    )
+
+
+def brute_force_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.85,
+) -> DataFrame:
+    """O(n²) oracle for LSH recall tests — small data only."""
+    emb = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = df.select(F.col(id_col).alias("id"), emb.alias("v"))
+    a = base.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"))
+    b = base.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine(F.col("v_a"), F.col("v_b")).cast("double").alias("cosine_sim"))
+        .where(F.col("cosine_sim") >= threshold)
+    )

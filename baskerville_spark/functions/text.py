@@ -1,0 +1,90 @@
+"""Text analysis: token stats, quality scoring, language ID, fingerprinting.
+
+All pure Column algebra (split/regexp/array built-ins) — whole-stage codegen
+end to end, no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: tiny per-language stopword sets for the n-gram/stopword-overlap heuristic
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "that", "was"],
+    "de": ["der", "die", "das", "und", "ist", "von", "zu", "mit", "den", "nicht"],
+    "fr": ["le", "la", "les", "et", "de", "un", "une", "est", "dans", "que"],
+    "es": ["el", "la", "los", "de", "y", "en", "es", "un", "una", "que"],
+    "zh": ["的", "是", "了", "在", "和", "有", "我", "不", "这", "他"],
+}
+
+
+def quality_features(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document quality metrics: token counts, ratios, mean word length.
+
+    token_count_ws: whitespace tokens; token_count_bpe: BPE-ish regex pieces
+    (word fragments of <=4 chars, digits, punctuation — a cheap stand-in for
+    a real tokenizer's piece count).
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_chars = F.length(F.col(text_col))
+    n_alpha = F.length(F.regexp_replace(F.col(text_col), r"[^A-Za-z]", ""))
+    n_punct = F.length(F.regexp_replace(F.col(text_col), r"[^.,;:!?'\"()\[\]{}-]", ""))
+    n_digit = F.length(F.regexp_replace(F.col(text_col), r"[^0-9]", ""))
+    bpe_pieces = F.regexp_count(
+        F.lower(F.col(text_col)), F.lit(r"[a-z0-9]{1,4}|[^a-z0-9\s]")
+    )
+    stop_en = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    low_toks = F.transform(toks, lambda t: F.lower(t))
+    stop_ratio = F.size(F.array_intersect(F.array_distinct(low_toks), stop_en)) / F.greatest(
+        F.size(F.array_distinct(low_toks)), F.lit(1)
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.size(toks).cast("long").alias("token_count_ws"),
+        bpe_pieces.cast("long").alias("token_count_bpe"),
+        n_chars.cast("long").alias("n_chars"),
+        (n_alpha / F.greatest(n_chars, F.lit(1))).cast("double").alias("alpha_ratio"),
+        (n_punct / F.greatest(n_chars, F.lit(1))).cast("double").alias("punct_ratio"),
+        (n_digit / F.greatest(n_chars, F.lit(1))).cast("double").alias("digit_ratio"),
+        (n_chars / F.greatest(F.size(toks), F.lit(1))).cast("double").alias("mean_token_len"),
+        stop_ratio.cast("double").alias("stopword_ratio_en"),
+    )
+
+
+def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Stopword-overlap language ID: argmax over per-language hit counts.
+
+    Counts occurrences (not distinct) of each language's stopwords among the
+    tokens; ties broken by language code order for determinism.
+    """
+    toks = F.transform(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t)
+    scores = []
+    for lang in sorted(STOPWORDS):
+        sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+        hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+        scores.append(F.struct(hits.alias("hits"), F.lit(lang).alias("lang")))
+    # array_max on struct orders by (hits, lang); invert lang for asc tie-break
+    best = F.array_max(F.array(*scores))
+    return df.select(
+        F.col(id_col).alias("id"),
+        best["lang"].alias("pred_lang"),
+        best["hits"].cast("long").alias("lang_hits"),
+    )
+
+
+def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Canonical-form fingerprint: sorted distinct lowercase tokens → md5.
+
+    The classic 'fingerprint clustering' key (lowercase, strip punctuation,
+    sort-unique tokens, hash) — robust to token reordering and duplication.
+    """
+    norm = F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9\s]", " ")
+    toks = F.filter(F.split(norm, r"\s+"), lambda t: t != "")
+    canon = F.concat_ws(" ", F.array_sort(F.array_distinct(toks)))
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.md5(canon).alias("fingerprint"),
+    )

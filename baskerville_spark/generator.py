@@ -135,9 +135,14 @@ def _row(i: int, cfg: GenConfig) -> dict:
     }
 
 
+def _default_partitions(spark: SparkSession, cfg: GenConfig) -> int:
+    # enough splits to keep every core busy even with uneven synth cost
+    return max(cfg.n_parts, spark.sparkContext.defaultParallelism * 2)
+
+
 def generate_clips(spark: SparkSession, cfg: GenConfig, num_partitions: int | None = None) -> DataFrame:
     """Distributed generation: range → mapInPandas; each row derived from its index."""
-    num_partitions = num_partitions or max(4, cfg.n_parts)
+    num_partitions = num_partitions or _default_partitions(spark, cfg)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
@@ -150,7 +155,7 @@ def generate_clips(spark: SparkSession, cfg: GenConfig, num_partitions: int | No
 
 def generate_transcript_ref(spark: SparkSession, cfg: GenConfig, num_partitions: int | None = None) -> DataFrame:
     """Authoritative transcript dim; RI-violation clip_ids deterministically absent."""
-    num_partitions = num_partitions or max(4, cfg.n_parts)
+    num_partitions = num_partitions or _default_partitions(spark, cfg)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:

@@ -110,13 +110,17 @@ def run_validation(
     transcript_ref: DataFrame | None = None,
     baseline_rows: list[Row] | None = None,
     cfg: ValidationConfig | None = None,
+    persist_intermediate: bool = True,
 ) -> ValidationResult:
-    """Build the (lazy) verdict / violation / stats plans for the clip table."""
-    cfg = cfg or ValidationConfig()
+    """Build the verdict / violation / stats plans for the clip table.
 
-    part_rows = clips.groupBy(F.col("part_id").cast("int").alias("part_id")).agg(
-        F.count(F.lit(1)).alias("n_rows")
-    )
+    ``persist_intermediate`` caches the NARROW check outputs (violation rows,
+    invariant results — tiny relative to input) so materializing verdicts and
+    violations does not re-run the expensive scans (in particular the audio
+    decode). At cluster scale the equivalent is writing these intermediates
+    to the results table and reading back — same O(output) cost.
+    """
+    cfg = cfg or ValidationConfig()
 
     # --- stats (metadata columns only; parquet never reads `bytes` here) ---
     st = stats.column_stats(
@@ -124,7 +128,14 @@ def run_validation(
         numeric_cols=list(cfg.numeric_cols),
         other_cols=["clip_id", "codec", "transcript"],
     )
+    if persist_intermediate:
+        st = st.persist()  # tiny (parts × cols); feeds several verdict branches
     verdicts = stats.stats_verdicts(st, cfg.null_rate_max, cfg.range_bounds)
+
+    # per-partition row counts derived from stats — no extra scan of the fact
+    part_rows = st.where(F.col("column_name") == "clip_id").select(
+        "part_id", (F.col("count") + F.col("null_count")).alias("n_rows")
+    )
 
     # --- violation-producing checks ---
     violation_dfs: list[DataFrame] = [
@@ -153,6 +164,8 @@ def run_validation(
     violations = violation_dfs[0]
     for v in violation_dfs[1:]:
         violations = violations.unionByName(v)
+    if persist_intermediate:
+        violations = violations.persist()
 
     verdicts = verdicts.unionByName(
         _violation_verdicts(violations, part_rows, check_names)

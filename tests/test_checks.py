@@ -1,0 +1,106 @@
+"""Operator-level tests: uniqueness, referential integrity, stats, schema.
+
+Property invariants from FIXTURES.md §6: salted == naive uniqueness,
+broadcast == sort-merge RI verdicts, approx distinct within rsd bound.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from baskerville_spark.checks.referential import ref_integrity_violations
+from baskerville_spark.checks.schema_check import (
+    ColumnSpec,
+    enforce_schema,
+    pattern_violations,
+)
+from baskerville_spark.checks.stats import column_stats
+from baskerville_spark.checks.uniqueness import duplicate_keys, naive_duplicate_keys
+from baskerville_spark.generator import expected_violation_indices
+
+
+def test_salted_equals_naive_uniqueness(t1_clips):
+    salted = {
+        (r["part_id"], r["clip_id"], r["dup_count"])
+        for r in duplicate_keys(t1_clips, n_salt=16).collect()
+    }
+    naive = {
+        (r["part_id"], r["clip_id"], r["dup_count"])
+        for r in naive_duplicate_keys(t1_clips).collect()
+    }
+    assert salted == naive and len(salted) > 0
+
+
+def test_salted_invariant_to_salt_count(t1_clips):
+    a = {tuple(r) for r in duplicate_keys(t1_clips, n_salt=1).collect()}
+    b = {tuple(r) for r in duplicate_keys(t1_clips, n_salt=257).collect()}
+    assert a == b
+
+
+def test_ri_broadcast_equals_sortmerge(t1_clips, t1_tref, t1_cfg):
+    bc = {tuple(r) for r in ref_integrity_violations(t1_clips, t1_tref, strategy="broadcast").collect()}
+    sm = {tuple(r) for r in ref_integrity_violations(t1_clips, t1_tref, strategy="sortmerge").collect()}
+    assert bc == sm
+    exp = expected_violation_indices(t1_cfg)["ref_integrity"]
+    assert len(bc) == len(exp)
+
+
+def test_column_stats_values(spark):
+    df = spark.createDataFrame(
+        [(0, 1.0), (0, 2.0), (0, None), (0, 4.0), (1, 10.0)],
+        "part_id int, x double",
+    )
+    st = {r["column_name"]: r for r in column_stats(df, numeric_cols=["x"], other_cols=[]).where("part_id = 0").collect()}
+    r = st["x"]
+    assert r["count"] == 3 and r["null_count"] == 1
+    assert r["min"] == 1.0 and r["max"] == 4.0
+    assert r["quantiles"][3] == 2.0  # median of {1,2,4} via percentile_approx
+
+
+def test_approx_distinct_within_rsd(t1_clips):
+    st = column_stats(
+        t1_clips, part_col=None, numeric_cols=[], other_cols=["clip_id"], rsd=0.02
+    ).collect()[0]
+    exact = t1_clips.select("clip_id").distinct().count()
+    assert abs(st["approx_distinct"] - exact) / exact < 0.1
+
+
+def test_schema_enforcement(spark):
+    specs = [
+        ColumnSpec("a", "string", required=True, default="dflt"),
+        ColumnSpec("b", "int", default=0, drop_if_missing=False),
+        ColumnSpec("c", "string", drop_if_missing=True),
+        ColumnSpec("code", "string", pattern=r"^[1-5][0-9][0-9]$"),
+    ]
+    df = spark.createDataFrame(
+        [(1, "x", "200"), (None, None, "999"), (2, "y", "abc"), (3, None, None)],
+        "b int, c string, code string",
+    )
+    out = enforce_schema(df, specs)
+    rows = out.collect()
+    # the two rows with null c dropped; missing col a added with default
+    assert len(rows) == 2
+    assert all(r["a"] == "dflt" for r in rows)
+    assert {r["b"] for r in rows} == {1, 2}
+
+    pv = pattern_violations(
+        df.withColumn("part_id", F.lit(0)).withColumn("clip_id", F.col("c")),
+        specs,
+    )
+    bad = {r["detail"] for r in pv.collect()}
+    assert bad == {"value=999", "value=abc"}
+
+
+def test_stats_single_shuffle_plan(t1_clips):
+    """The stats plan must contain exactly one exchange (one shuffle)."""
+    st = column_stats(t1_clips, numeric_cols=["sr_hz", "dur_ms"], other_cols=["codec"])
+    plan = st._jdf.queryExecution().executedPlan().toString()
+    assert plan.lower().count("exchange") <= 2  # partial/final pair of one agg
+
+
+@pytest.mark.parametrize("strategy,fragment", [("broadcast", "BroadcastHashJoin")])
+def test_ri_plan_uses_broadcast(t1_clips, t1_tref, strategy, fragment):
+    v = ref_integrity_violations(t1_clips, t1_tref, strategy=strategy)
+    plan = v._jdf.queryExecution().executedPlan().toString()
+    assert fragment in plan

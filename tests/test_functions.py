@@ -1,0 +1,131 @@
+"""Training-data pipeline ops: dedup, text, similarity, multimodal plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from baskerville_spark.functions.dedup import (
+    exact_duplicates,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from baskerville_spark.functions.similarity import (
+    brute_force_pairs,
+    cosine_topk,
+    hyperplane_lsh_pairs,
+)
+from baskerville_spark.functions.text import fingerprint, lang_id, quality_features
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2, "the quick brown fox jumps over the lazy dog near the river bank tonight"),
+    (3, "completely different words about spark query engines and column pruning"),
+    (4, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (5, "der hund ist nicht zu der von und den mit"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id int, text string")
+
+
+def test_exact_duplicates(docs):
+    groups = exact_duplicates(docs).collect()
+    assert len(groups) == 1
+    assert groups[0]["dup_count"] == 2 and groups[0]["ids"] == [1, 4]
+
+
+def test_ngram_jaccard_finds_near_dups(docs):
+    pairs = {(r["id_a"], r["id_b"]) for r in ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()}
+    assert (1, 2) in pairs and (1, 4) in pairs and (2, 4) in pairs
+    assert not any(3 in p or 5 in p for p in pairs)
+
+
+def test_minhash_lsh_recalls_exact_and_near(docs):
+    pairs = {(r["id_a"], r["id_b"]) for r in minhash_lsh_pairs(docs, n=3, verify_threshold=0.5).collect()}
+    assert (1, 4) in pairs  # identical docs always collide
+    assert (1, 2) in pairs  # ~0.8 jaccard: expected with 8 bands of 4
+
+
+def test_simhash_near_dups_close(docs):
+    sh = {r["id"]: r["simhash"] for r in simhash(docs).collect()}
+    ham_12 = bin((sh[1] ^ sh[2]) & (2**64 - 1)).count("1")
+    ham_13 = bin((sh[1] ^ sh[3]) & (2**64 - 1)).count("1")
+    assert sh[1] == sh[4]
+    assert ham_12 < ham_13
+
+
+def test_fingerprint_token_order_invariant(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma beta alpha alpha"), (3, "delta")],
+        "doc_id int, text string",
+    )
+    fps = {r["id"]: r["fingerprint"] for r in fingerprint(df).collect()}
+    assert fps[1] == fps[2] != fps[3]
+
+
+def test_lang_id(docs):
+    langs = {r["id"]: r["pred_lang"] for r in lang_id(docs).collect()}
+    assert langs[1] == "en" and langs[5] == "de"
+
+
+def test_quality_features(spark):
+    df = spark.createDataFrame([(1, "Hello world 42!")], "doc_id int, text string")
+    r = quality_features(df).collect()[0]
+    assert r["token_count_ws"] == 3
+    assert r["n_chars"] == 15
+    assert abs(r["digit_ratio"] - 2 / 15) < 1e-9
+
+
+def _vec_df(spark, n=60, dim=16, seed=7):
+    rng = np.random.default_rng(seed)
+    base = rng.standard_normal((n, dim))
+    # make pairs (i, i+1) near-duplicates for even i < 20
+    for i in range(0, 20, 2):
+        base[i + 1] = base[i] + 0.05 * rng.standard_normal(dim)
+    rows = [(i, [float(x) for x in base[i]]) for i in range(n)]
+    return spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+
+
+def test_cosine_topk_self_first(spark):
+    df = _vec_df(spark)
+    q = [float(x) for x in df.where("vec_id = 0").first()["embedding"]]
+    top = cosine_topk(df, q, k=3).collect()
+    assert top[0]["id"] == 0 and abs(top[0]["cosine_sim"] - 1.0) < 1e-6
+    assert top[1]["id"] == 1  # injected near-duplicate
+
+
+def test_lsh_recall_vs_brute_force(spark):
+    df = _vec_df(spark)
+    exact = {(r["id_a"], r["id_b"]) for r in brute_force_pairs(df, threshold=0.95).collect()}
+    assert len(exact) >= 8  # the injected near-dup pairs
+    approx = {
+        (r["id_a"], r["id_b"])
+        for r in hyperplane_lsh_pairs(
+            df, dim=16, n_planes=8, n_tables=4, threshold=0.95
+        ).collect()
+    }
+    assert approx.issubset(exact | approx)  # verify step keeps only >= threshold
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.75, (recall, exact - approx)
+
+
+def test_multimodal_image_plumbing(spark):
+    from baskerville_spark.functions.multimodal import image_features
+
+    w, h = 4, 3
+    payload = (
+        w.to_bytes(4, "little") + h.to_bytes(4, "little") + bytes(range(w * h))
+    )
+    df = spark.createDataFrame(
+        [("a", bytearray(payload), "rawgray"), ("b", bytearray(b"xx"), "jpeg")],
+        "item_id string, payload binary, fmt string",
+    )
+    out = {r["item_id"]: r for r in image_features(df).collect()}
+    assert out["a"]["decode_ok"] and out["a"]["width"] == 4 and out["a"]["height"] == 3
+    assert abs(out["a"]["mean_luma"] - np.mean(range(12))) < 1e-9
+    assert not out["b"]["decode_ok"]  # jpeg decode is stubbed NotImplemented

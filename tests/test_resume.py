@@ -1,0 +1,67 @@
+"""Checkpoint manifest + resumable runner (Runtime-ledger parity:
+reference db/models.py:41-75 / base_spark.py:567-579, per-partition and
+idempotent here)."""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+from baskerville_spark.generator import GenConfig, write_clips, write_transcript_ref
+from baskerville_spark.runtime.manifest import commit_partition, done_partitions
+from baskerville_spark.runtime.runner import ValidationConfig, run_resumable
+
+CFG = GenConfig(n_rows=400, n_parts=4)
+
+
+def _paths(tmp_path):
+    return (
+        str(tmp_path / "clips"),
+        str(tmp_path / "tref"),
+        str(tmp_path / "manifest"),
+        str(tmp_path / "out"),
+    )
+
+
+def test_resume_skips_done_partitions(spark, tmp_path):
+    clips_p, tref_p, man_p, out_p = _paths(tmp_path)
+    write_clips(spark, clips_p, CFG)
+    write_transcript_ref(spark, tref_p, CFG)
+
+    # pretend partitions 0 and 2 already finished (killed-job scenario)
+    now = datetime.now(timezone.utc)
+    commit_partition(man_p, 0, 100, 0, now)
+    commit_partition(man_p, 2, 100, 5, now)
+
+    processed = run_resumable(
+        spark, clips_p, man_p, out_p, tref_p, cfg=ValidationConfig(check_audio=False)
+    )
+    assert processed == [1, 3]
+    assert done_partitions(spark, man_p) == {0, 1, 2, 3}
+
+    # idempotent: nothing pending on re-run
+    assert run_resumable(
+        spark, clips_p, man_p, out_p, tref_p, cfg=ValidationConfig(check_audio=False)
+    ) == []
+
+
+def test_fresh_run_processes_all(spark, tmp_path):
+    clips_p, tref_p, man_p, out_p = _paths(tmp_path)
+    write_clips(spark, clips_p, CFG)
+    write_transcript_ref(spark, tref_p, CFG)
+    processed = run_resumable(
+        spark, clips_p, man_p, out_p, tref_p, cfg=ValidationConfig(check_audio=False)
+    )
+    assert processed == [0, 1, 2, 3]
+    verdicts = spark.read.parquet(f"{out_p}/verdicts")
+    assert verdicts.where("part_id = 0").count() > 0
+    m = done_partitions(spark, man_p)
+    assert m == {0, 1, 2, 3}
+
+
+def test_recommit_overwrites(tmp_path, spark):
+    man_p = str(tmp_path / "m")
+    now = datetime.now(timezone.utc)
+    commit_partition(man_p, 7, 10, 1, now, attempt=1)
+    commit_partition(man_p, 7, 10, 1, now, attempt=2)  # retry same partition
+    rows = spark.read.parquet(man_p).where("part_id = 7").collect()
+    assert len(rows) == 1 and rows[0]["attempt"] == 2

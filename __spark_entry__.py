@@ -680,3 +680,207 @@ def oracle_sql() -> dict[str, str]:
         "q23_streaming_window_counts": _Q23_SQL,
         # q19/q20 (xxhash64 sketches) and q21 (audio suite): rows-only
     }
+
+
+# ---------------------------------------------------------------------------
+# Q24-Q29 — sessionization, JSON, rollup, as-of join, sampling, state merge
+# ---------------------------------------------------------------------------
+
+def q24_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: lag + cumsum over gap>30min (SURVEY §2.10 /
+    pyspark-guide sessionization pattern)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_s = F.unix_micros(F.col("ts").cast("timestamp")) / 1e6
+    prev_s = F.unix_micros(F.lag("ts").over(w).cast("timestamp")) / 1e6
+    new_sess = F.when(prev_s.isNull() | ((ts_s - prev_s) > 1800), 1).otherwise(0)
+    sess = e.select("user_id", "ts", "event_id", new_sess.alias("ns"))
+    sess = sess.withColumn(
+        "session_id", F.sum("ns").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.unix_timestamp(F.min("ts")).alias("start_ts"),
+        F.unix_timestamp(F.max("ts")).alias("end_ts"),
+    )
+
+
+_Q24_SQL = """
+WITH g AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR epoch_us(ts - LAG(ts) OVER w) / 1e6 > 1800
+              THEN 1 ELSE 0 END AS ns
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT user_id, ts,
+         SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM g)
+SELECT user_id, session_id, COUNT(*) AS n_events,
+       CAST(floor(epoch(MIN(ts))) AS BIGINT) AS start_ts,
+       CAST(floor(epoch(MAX(ts))) AS BIGINT) AS end_ts
+FROM s GROUP BY user_id, session_id
+"""
+
+
+def q25_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON column handling: from_json on the props blob (reference
+    to_json/from_json usage, spark/helpers.py:68-82)."""
+    e = _t(spark, sf_dir, "events")
+    parsed = e.select(
+        "event_type",
+        F.from_json("props", "k int").getField("k").alias("k"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count("k").alias("n"),
+        F.round(F.avg("k"), 4).alias("avg_k"),
+        F.max("k").alias("max_k"),
+    )
+
+
+_Q25_SQL = """
+SELECT event_type,
+       COUNT(CAST(json_extract_string(props, '$.k') AS INT)) AS n,
+       ROUND(AVG(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+FROM events GROUP BY event_type
+"""
+
+
+def q26_rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+    )
+
+
+_Q26_SQL = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS sum_qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def q27_asof_prev_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join expressed as a running 'last matching' window — each error
+    event matched to the user's most recent prior click (guide: as-of join
+    via window; replaces reference's per-row lookup pattern)."""
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    click_ts = F.last(
+        F.when(F.col("event_type") == "click", F.col("ts")), ignorenulls=True
+    ).over(w)
+    return (
+        e.withColumn("prev_click_ts", click_ts)
+        .where(F.col("event_type") == "error")
+        .select(
+            "event_id",
+            "user_id",
+            F.unix_timestamp(F.col("ts")).alias("error_ts"),
+            F.unix_timestamp(F.col("prev_click_ts")).alias("prev_click_ts"),
+        )
+    )
+
+
+_Q27_SQL = """
+WITH m AS (
+  SELECT event_id, user_id, ts, event_type,
+         LAST_VALUE(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_click
+  FROM events)
+SELECT event_id, user_id,
+       CAST(floor(epoch(ts)) AS BIGINT) AS error_ts,
+       CAST(floor(epoch(prev_click)) AS BIGINT) AS prev_click_ts
+FROM m WHERE event_type = 'error'
+"""
+
+
+def q28_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling per stratum (reference sampleBy, tasks.py:1486-1499).
+    Seeded but engine-specific sampling → rows-only check."""
+    e = _t(spark, sf_dir, "events")
+    fractions = {t: 0.2 for t in EVENT_TYPES}
+    return (
+        e.sampleBy("event_type", fractions, seed=777)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+    )
+
+
+def q29_state_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental state upsert (reference request-set cache full_outer merge,
+    request_set_cache.py:370-400) via runtime.state.upsert_state."""
+    from baskerville_spark.runtime.state import upsert_state
+
+    e = _t(spark, sf_dir, "events")
+    ts_epoch = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    half = F.lit("2024-01-15 00:00:00")
+    agg = lambda df: df.groupBy("user_id").agg(  # noqa: E731
+        F.count(F.lit(1)).alias("n_events"),
+        F.max(ts_epoch).alias("updated_at"),
+    )
+    state = agg(e.where(F.col("ts") < half))
+    updates = agg(e.where(F.col("ts") >= half))
+    return upsert_state(state, updates, keys=["user_id"], value_cols=["n_events"])
+
+
+_Q29_SQL = """
+WITH s AS (
+  SELECT user_id, COUNT(*) AS n_events,
+         CAST(floor(epoch(MAX(ts))) AS BIGINT) AS updated_at
+  FROM events WHERE ts < TIMESTAMP '2024-01-15 00:00:00' GROUP BY user_id),
+u AS (
+  SELECT user_id, COUNT(*) AS n_events,
+         CAST(floor(epoch(MAX(ts))) AS BIGINT) AS updated_at
+  FROM events WHERE ts >= TIMESTAMP '2024-01-15 00:00:00' GROUP BY user_id)
+SELECT COALESCE(u.user_id, s.user_id) AS user_id,
+       CASE WHEN u.user_id IS NOT NULL THEN u.n_events ELSE s.n_events END AS n_events,
+       CASE WHEN u.user_id IS NOT NULL THEN u.updated_at ELSE s.updated_at END AS updated_at
+FROM s FULL OUTER JOIN u ON s.user_id = u.user_id
+"""
+
+
+def _extra_queries():
+    return {
+        "q24_sessionization": q24_sessionization,
+        "q25_json_props": q25_json_props,
+        "q26_rollup_counts": q26_rollup_counts,
+        "q27_asof_prev_click": q27_asof_prev_click,
+        "q28_stratified_sample": q28_stratified_sample,
+        "q29_state_merge": q29_state_merge,
+    }
+
+
+def _extra_oracles():
+    return {
+        "q24_sessionization": _Q24_SQL,
+        "q25_json_props": _Q25_SQL,
+        "q26_rollup_counts": _Q26_SQL,
+        "q27_asof_prev_click": _Q27_SQL,
+        "q29_state_merge": _Q29_SQL,
+        # q28 sampling is engine-specific → rows-only
+    }
+
+
+_base_queries = queries
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    out = _base_queries()
+    out.update(_extra_queries())
+    return out
+
+
+_base_oracles = oracle_sql
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = _base_oracles()
+    out.update(_extra_oracles())
+    return out

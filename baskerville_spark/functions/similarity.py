@@ -79,16 +79,26 @@ def hyperplane_lsh_pairs(
     join fan-out."""
     rng = np.random.default_rng(seed)
     emb = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    base = df.select(F.col(id_col).alias("id"), emb.alias("v"))
+    base = df.select(F.col(id_col).alias("id"), emb.alias("v")).withColumn(
+        "n", _norm(F.col("v"))
+    )
 
     cand = None
     for t in range(n_tables):
         planes = rng.standard_normal((n_planes, dim))
-        sig = base.select("id", "v", srp_signature(F.col("v"), planes).alias("bucket"))
-        a = sig.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"), "bucket")
-        b = sig.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"), "bucket")
+        sig = base.select(
+            "id", "v", "n", srp_signature(F.col("v"), planes).alias("bucket")
+        )
+        a = sig.select(
+            F.col("id").alias("id_a"), F.col("v").alias("v_a"),
+            F.col("n").alias("n_a"), "bucket",
+        )
+        b = sig.select(
+            F.col("id").alias("id_b"), F.col("v").alias("v_b"),
+            F.col("n").alias("n_b"), "bucket",
+        )
         pairs = a.join(b, "bucket").where(F.col("id_a") < F.col("id_b")).select(
-            "id_a", "id_b", "v_a", "v_b"
+            "id_a", "id_b", "v_a", "v_b", "n_a", "n_b"
         )
         cand = pairs if cand is None else cand.unionByName(pairs)
 
@@ -97,7 +107,9 @@ def hyperplane_lsh_pairs(
         .select(
             "id_a",
             "id_b",
-            cosine(F.col("v_a"), F.col("v_b")).cast("double").alias("cosine_sim"),
+            (_dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b")))
+            .cast("double")
+            .alias("cosine_sim"),
         )
         .where(F.col("cosine_sim") >= threshold)
     )
@@ -109,14 +121,26 @@ def brute_force_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.85,
 ) -> DataFrame:
-    """O(n²) oracle for LSH recall tests — small data only."""
+    """O(n²) all-pairs cosine — the exact baseline (LSH is the scale path).
+
+    Norms are precomputed per vector BEFORE the join, so each pair costs one
+    array pass (the dot product) instead of three.
+    """
     emb = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    base = df.select(F.col(id_col).alias("id"), emb.alias("v"))
-    a = base.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"))
-    b = base.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"))
+    base = df.select(F.col(id_col).alias("id"), emb.alias("v")).withColumn(
+        "n", _norm(F.col("v"))
+    )
+    a = base.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"), F.col("n").alias("n_a"))
+    b = base.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"), F.col("n").alias("n_b"))
     return (
         a.crossJoin(b)
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cosine(F.col("v_a"), F.col("v_b")).cast("double").alias("cosine_sim"))
+        .select(
+            "id_a",
+            "id_b",
+            (_dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b")))
+            .cast("double")
+            .alias("cosine_sim"),
+        )
         .where(F.col("cosine_sim") >= threshold)
     )

@@ -1,0 +1,112 @@
+"""State cache (enrich/prune/upsert/expire/StateStore) + streaming stateful."""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import functions as F
+
+from baskerville_spark.runtime.state import (
+    StateStore,
+    enrich_with_state,
+    expire_state,
+    prune_state_to_batch,
+    upsert_state,
+)
+
+
+def _dfs(spark):
+    state = spark.createDataFrame(
+        [("a", 10, 100.0), ("b", 20, 100.0)], "k string, n int, updated_at double"
+    )
+    updates = spark.createDataFrame(
+        [("b", 25, 200.0), ("c", 5, 200.0)], "k string, n int, updated_at double"
+    )
+    return state, updates
+
+
+def test_upsert_new_wins_old_survives(spark):
+    state, updates = _dfs(spark)
+    merged = {r["k"]: (r["n"], r["updated_at"]) for r in
+              upsert_state(state, updates, ["k"], ["n"]).collect()}
+    assert merged == {"a": (10, 100.0), "b": (25, 200.0), "c": (5, 200.0)}
+
+
+def test_enrich_and_prune(spark):
+    state, _ = _dfs(spark)
+    batch = spark.createDataFrame([("b", 1.0), ("c", 2.0)], "k string, x double")
+    enriched = {r["k"]: r["old_n"] for r in
+                enrich_with_state(batch, state, ["k"], ["n"]).collect()}
+    assert enriched == {"b": 20, "c": None}
+    pruned = {r["k"] for r in prune_state_to_batch(state, batch, ["k"]).collect()}
+    assert pruned == {"b"}
+
+
+def test_expire(spark):
+    state = spark.createDataFrame(
+        [("a", 50000.0), ("b", 99800.0)], "k string, updated_at double"
+    )
+    kept = {r["k"] for r in expire_state(state, now_epoch_s=100000.0, ttl_s=86400).collect()}
+    assert kept == {"a", "b"}
+    kept = {r["k"] for r in expire_state(state, now_epoch_s=100000.0, ttl_s=500).collect()}
+    assert kept == {"b"}
+
+
+def test_state_store_atomic_flip(spark, tmp_path):
+    store = StateStore(str(tmp_path / "store"))
+    assert store.read(spark) is None
+    df1 = spark.createDataFrame([("a", 1)], "k string, n int")
+    store.write(df1)
+    assert store.read(spark).collect()[0]["n"] == 1
+    df2 = spark.createDataFrame([("a", 2)], "k string, n int")
+    store.write(df2)
+    assert store.read(spark).collect()[0]["n"] == 2
+
+
+def test_streaming_incremental_stats(spark, tmp_path):
+    """Drive the applyInPandasWithState op with a file stream: two files
+    arriving as separate micro-batches must merge state across batches."""
+    import json
+    import os
+
+    from baskerville_spark.streaming.stateful import incremental_group_stats
+
+    src = tmp_path / "stream_src"
+    os.makedirs(src)
+    with open(src / "batch1.json", "w") as f:
+        for row in [{"key": "x", "value": 1.0}, {"key": "x", "value": 3.0},
+                    {"key": "y", "value": 10.0}]:
+            f.write(json.dumps(row) + "\n")
+
+    stream = (
+        spark.readStream.schema("key string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    out = incremental_group_stats(stream)
+    name = f"inc_{int(time.time() * 1000)}"
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        with open(src / "batch2.json", "w") as f:
+            f.write(json.dumps({"key": "x", "value": 5.0}) + "\n")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = spark.sql(f"SELECT * FROM {name}").collect()
+    # memory sink in update mode appends; take the LAST row per key
+    last = {}
+    for r in rows:
+        last[r["key"]] = r
+    x = last["x"]
+    assert x["n_total"] == 3 and x["n_batches"] == 2
+    assert x["min_value"] == 1.0 and x["max_value"] == 5.0
+    assert abs(x["mean_value"] - 3.0) < 1e-9
+    y = last["y"]
+    assert y["n_total"] == 1 and y["mean_value"] == 10.0

@@ -68,12 +68,12 @@ def encode(pcm: np.ndarray, codec: str) -> bytes:
     if codec == "pcm_s16le":
         return raw
     if codec == "flac":
-        return _FLAC_MAGIC + struct.pack("<I", len(pcm)) + zlib.compress(raw, 6)
+        return _FLAC_MAGIC + struct.pack("<I", len(pcm)) + zlib.compress(raw, 1)
     if codec == "opus":
         # 12-bit quantization: SNR ~ 6.02*12 + 1.76 ≈ 74 dB — lossy but well
         # above the 30 dB invariant for uncorrupted payloads.
         q = (pcm.astype(np.int32) >> 4).astype("<i2").tobytes()
-        return _OPUS_MAGIC + struct.pack("<I", len(pcm)) + zlib.compress(q, 6)
+        return _OPUS_MAGIC + struct.pack("<I", len(pcm)) + zlib.compress(q, 1)
     raise NotImplementedError(f"unknown codec {codec!r}")
 
 

@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from typing import Iterator
 
-import pandas as pd
+import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -41,44 +41,63 @@ INVARIANT_RESULT_SCHEMA = T.StructType(
 )
 
 
-def _check_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+_ARROW_OUT = pa.schema(
+    [
+        pa.field("part_id", pa.int32()),
+        pa.field("clip_id", pa.string()),
+        pa.field("snr_db", pa.float64()),
+        pa.field("snr_ok", pa.bool_()),
+        pa.field("decode_ok", pa.bool_()),
+        pa.field("transcript_ok", pa.bool_()),
+    ]
+)
+
+
+def _check_arrow_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    """Arrow-native check loop: no pandas materialization, payload bytes are
+    zero-copy slices of the Arrow buffer until decode."""
     for b in batches:
-        snr_dbs: list[float | None] = []
-        snr_oks: list[bool] = []
-        decode_oks: list[bool] = []
-        transcript_oks: list[bool | None] = []
-        for payload, codec, sr_raw, clip_id, transcript, t_ref in zip(
-            b["bytes"], b["codec"], b["sr_hz"], b["clip_id"],
-            b["transcript"], b["transcript_ref"],
-        ):
-            pcm = audio.decode(bytes(payload), codec) if payload is not None else None
+        payloads = b.column(b.schema.get_field_index("bytes"))
+        codecs = b.column(b.schema.get_field_index("codec")).to_pylist()
+        srs = b.column(b.schema.get_field_index("sr_hz")).to_pylist()
+        clip_ids = b.column(b.schema.get_field_index("clip_id")).to_pylist()
+        transcripts = b.column(b.schema.get_field_index("transcript")).to_pylist()
+        trefs = b.column(b.schema.get_field_index("transcript_ref")).to_pylist()
+        part_ids = b.column(b.schema.get_field_index("part_id"))
+
+        n = len(b)
+        snr_dbs: list[float | None] = [None] * n
+        snr_oks: list[bool] = [False] * n
+        decode_oks: list[bool] = [False] * n
+        transcript_oks: list[bool | None] = [None] * n
+        for i in range(n):
+            pv = payloads[i]
+            payload = pv.as_py() if pv.is_valid else None
+            pcm = (
+                audio.decode(payload, codecs[i]) if payload is not None else None
+            )
             if pcm is not None and len(pcm) > 0:
-                sr = int(sr_raw) if pd.notna(sr_raw) else 16000
+                sr = int(srs[i]) if srs[i] is not None else 16000
                 # reference signal regenerated deterministically from clip_id;
                 # sample count inferred from the decoded payload (dur_ms may
                 # be null/bad — that's the range check's job, not this one's)
-                ref = audio.synth_pcm_n(clip_id, sr, len(pcm))
+                ref = audio.synth_pcm_n(clip_ids[i], sr, len(pcm))
                 s = audio.snr_db(ref, pcm)
-                snr_dbs.append(999.0 if s == float("inf") else s)
-                snr_oks.append(bool(s >= audio.SNR_THRESHOLD_DB))
-                decode_oks.append(True)
-            else:
-                snr_dbs.append(None)
-                snr_oks.append(False)
-                decode_oks.append(False)
-            if t_ref is not None and pd.notna(t_ref):
-                transcript_oks.append(bool(str(transcript) == str(t_ref)))
-            else:
-                transcript_oks.append(None)
-        yield pd.DataFrame(
-            {
-                "part_id": b["part_id"].astype("int32"),
-                "clip_id": b["clip_id"],
-                "snr_db": pd.Series(snr_dbs, dtype="float64", index=b.index),
-                "snr_ok": pd.Series(snr_oks, dtype="bool", index=b.index),
-                "decode_ok": pd.Series(decode_oks, dtype="bool", index=b.index),
-                "transcript_ok": pd.Series(transcript_oks, dtype="object", index=b.index),
-            }
+                snr_dbs[i] = 999.0 if s == float("inf") else s
+                snr_oks[i] = bool(s >= audio.SNR_THRESHOLD_DB)
+                decode_oks[i] = True
+            if trefs[i] is not None:
+                transcript_oks[i] = bool(transcripts[i] == trefs[i])
+        yield pa.RecordBatch.from_arrays(
+            [
+                part_ids.cast(pa.int32()),
+                pa.array(clip_ids, pa.string()),
+                pa.array(snr_dbs, pa.float64()),
+                pa.array(snr_oks, pa.bool_()),
+                pa.array(decode_oks, pa.bool_()),
+                pa.array(transcript_oks, pa.bool_()),
+            ],
+            schema=_ARROW_OUT,
         )
 
 
@@ -101,7 +120,7 @@ def audio_invariant(
         df = df.join(dim, on="clip_id", how="left")
     else:
         df = df.withColumn("transcript_ref", F.lit(None).cast("string"))
-    return df.mapInPandas(_check_batches, schema=INVARIANT_RESULT_SCHEMA)
+    return df.mapInArrow(_check_arrow_batches, schema=INVARIANT_RESULT_SCHEMA)
 
 
 def invariant_violations(results: DataFrame) -> DataFrame:

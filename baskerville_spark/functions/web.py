@@ -1,0 +1,69 @@
+"""Native-expression replacements for the reference's per-row web-log UDFs
+(SURVEY.md §2.9) — every one of these was a row-at-a-time Python UDF in the
+reference; here they are pure Column algebra (codegen, pushdown-friendly).
+
+| reference UDF | file:line | here |
+|---|---|---|
+| udf_remove_www (strip www./port, lowercase) | spark/udfs.py:21-26 | remove_www |
+| udf_normalize_host_name (longest dot-token) | spark/udfs.py:29-38 | normalize_host |
+| filter_prefixes / filter_stars (URL wildcard) | tasks.py:700-717 | url_matches_any |
+| challenge_decision (anomalies >= t*(a+n)) | base_spark.py:486-504 | challenge_decision |
+| status-class floor(code/100) | feature_response4xx_total.py:27-31 | status_class |
+| path depth size(split(url,'/'))-1 | feature_path_depth_average.py:31-35 | path_depth |
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def remove_www(host: Column) -> Column:
+    """Lowercase, strip a leading 'www.' and any ':port' suffix."""
+    h = F.lower(host)
+    h = F.regexp_replace(h, r"^www\.", "")
+    return F.regexp_replace(h, r":\d+$", "")
+
+
+def normalize_host(host: Column) -> Column:
+    """Longest dot-separated token of the cleaned host (the reference's
+    heuristic site name: udfs.py:29-38), via array_max over (len, token)."""
+    toks = F.split(remove_www(host), r"\.")
+    best = F.array_max(
+        F.transform(toks, lambda t: F.struct(F.length(t).alias("l"), t.alias("t")))
+    )
+    return best["t"]
+
+
+def url_matches_any(url: Column, patterns: list[str]) -> Column:
+    """URL whitelist: exact match, 'prefix*' wildcard, or '*suffix' wildcard —
+    the reference's filter_prefixes/filter_stars UDF pair as startswith/endswith."""
+    cond = F.lit(False)
+    for p in patterns:
+        if p.endswith("*") and p.startswith("*"):
+            cond = cond | url.contains(F.lit(p[1:-1]))
+        elif p.endswith("*"):
+            cond = cond | url.startswith(F.lit(p[:-1]))
+        elif p.startswith("*"):
+            cond = cond | url.endswith(F.lit(p[1:]))
+        else:
+            cond = cond | (url == F.lit(p))
+    return cond
+
+
+def status_class(code: Column) -> Column:
+    """HTTP status class: floor(code/100) (feature_response4xx_total.py:27-31)."""
+    return F.floor(code.cast("int") / 100).cast("int")
+
+
+def path_depth(url: Column) -> Column:
+    """Slash depth of a URL path (feature_path_depth_average.py:31-35)."""
+    return (F.size(F.split(url, "/")) - 1).cast("int")
+
+
+def challenge_decision(n_anomalous: Column, n_normal: Column, threshold: float) -> Column:
+    """Per-host challenge vote: anomalies >= threshold * total
+    (base_spark.py:486-504) — the verdict-thresholding shape reused by our
+    partition pass/fail."""
+    total = n_anomalous + n_normal
+    return (total > 0) & (n_anomalous >= F.lit(threshold) * total)

@@ -26,6 +26,7 @@ from typing import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from baskerville_spark import audio
 from baskerville_spark.schema import CLIP_SCHEMA, TRANSCRIPT_REF_SCHEMA
@@ -203,9 +204,21 @@ def expected_violation_indices(cfg: GenConfig) -> dict[str, list[int]]:
     return out
 
 
-def write_clips(spark: SparkSession, path: str, cfg: GenConfig) -> None:
+def write_clips(
+    spark: SparkSession, path: str, cfg: GenConfig, files_per_part: int = 2
+) -> None:
+    """Write partitioned by part_id.
+
+    Generator range-splits are contiguous and part assignment is contiguous,
+    so each task intersects at most two part values — file count stays
+    ~n_tasks + n_parts without any shuffle (production: Iceberg
+    write.target-file-size governs this).
+    """
+    _ = files_per_part
     generate_clips(spark, cfg).write.mode("overwrite").partitionBy("part_id").parquet(path)
 
 
 def write_transcript_ref(spark: SparkSession, path: str, cfg: GenConfig) -> None:
-    generate_transcript_ref(spark, cfg).write.mode("overwrite").parquet(path)
+    df = generate_transcript_ref(spark, cfg)
+    n_files = max(4, cfg.n_rows // 100_000 + 1)
+    df.repartition(n_files).write.mode("overwrite").parquet(path)

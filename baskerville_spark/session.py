@@ -27,10 +27,10 @@ import os
 
 from pyspark.sql import SparkSession
 
-# Rows per Arrow batch in pandas-UDF exchange. Audio rows carry ~0.1-1 MB of
-# binary payload, so 256 rows ≈ 25-250 MB per batch per core — safe at 4 GB
-# executors; raise for metadata-only tables.
-ARROW_BATCH_ROWS = 256
+# Rows per Arrow batch in pandas/Arrow-UDF exchange. Audio rows carry
+# ~0.03-1 MB of binary payload; 512 rows bounds a batch at ~15-500 MB per
+# core. Tune DOWN via env for long-duration clips (30 s @ 48 kHz ≈ 1 MB/row).
+ARROW_BATCH_ROWS = int(os.environ.get("BASK_ARROW_BATCH_ROWS", "512"))
 
 
 def get_session(

@@ -1,0 +1,63 @@
+"""Native replacements of the reference's web-log UDFs (SURVEY §2.9)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from baskerville_spark.functions.web import (
+    challenge_decision,
+    normalize_host,
+    path_depth,
+    remove_www,
+    status_class,
+    url_matches_any,
+)
+
+
+def _one_col(spark, rows, expr):
+    df = spark.createDataFrame([(r,) for r in rows], "x string")
+    return [r["y"] for r in df.select(expr(F.col("x")).alias("y")).collect()]
+
+
+def test_remove_www(spark):
+    out = _one_col(spark, ["WWW.Example.COM:8080", "api.example.com", "www.a.b"], remove_www)
+    assert out == ["example.com", "api.example.com", "a.b"]
+
+
+def test_normalize_host(spark):
+    # longest dot-token heuristic (udfs.py:29-38)
+    out = _one_col(spark, ["www.deflect.ca", "cdn.verylongname.io"], normalize_host)
+    assert out == ["deflect", "verylongname"]
+
+
+def test_url_matches_any(spark):
+    df = spark.createDataFrame(
+        [("/api/v1/users",), ("/static/app.js",), ("/login",), ("/misc",)],
+        "url string",
+    )
+    matched = [
+        r["url"]
+        for r in df.where(
+            url_matches_any(F.col("url"), ["/api/*", "*.js", "/login"])
+        ).collect()
+    ]
+    assert matched == ["/api/v1/users", "/static/app.js", "/login"]
+
+
+def test_status_class_and_path_depth(spark):
+    df = spark.createDataFrame([(404, "/a/b/c"), (200, "/")], "code int, url string")
+    rows = df.select(
+        status_class(F.col("code")).alias("sc"), path_depth(F.col("url")).alias("pd")
+    ).collect()
+    assert [(r["sc"], r["pd"]) for r in rows] == [(4, 3), (2, 1)]
+
+
+def test_challenge_decision(spark):
+    df = spark.createDataFrame([(9, 1), (1, 9), (0, 0)], "a int, n int")
+    out = [
+        r["c"]
+        for r in df.select(
+            challenge_decision(F.col("a"), F.col("n"), 0.5).alias("c")
+        ).collect()
+    ]
+    assert out == [True, False, False]

@@ -884,3 +884,76 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
     out = _base_oracles()
     out.update(_extra_oracles())
     return out
+
+
+# ---------------------------------------------------------------------------
+# Q30-Q31 — cube, set operations (SURVEY §2.7)
+# ---------------------------------------------------------------------------
+
+def q30_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return e.cube("event_type", F.date_format("ts", "yyyy-MM").alias("month")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+_Q30_SQL = """
+SELECT event_type, strftime(ts, '%Y-%m') AS month, COUNT(*) AS n,
+       ROUND(SUM(value), 2) AS sum_value
+FROM events GROUP BY CUBE (event_type, strftime(ts, '%Y-%m'))
+"""
+
+
+def q31_heavy_both_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set ops (SURVEY §2.7): users with >12 views INTERSECT users with >12
+    clicks, EXCEPT users with >15 errors — intersect/except as DataFrame ops."""
+    e = _t(spark, sf_dir, "events")
+
+    def heavy(t):
+        return (
+            e.where(F.col("event_type") == t)
+            .groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+            .where("n > 12").select("user_id")
+        )
+
+    err_users = (
+        e.where(F.col("event_type") == "error")
+        .groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+        .where("n > 15").select("user_id")
+    )
+    return heavy("view").intersect(heavy("click")).exceptAll(
+        heavy("view").intersect(heavy("click")).intersect(err_users)
+    )
+
+
+_Q31_SQL = """
+WITH hv AS (SELECT user_id FROM events WHERE event_type = 'view'
+            GROUP BY user_id HAVING COUNT(*) > 12),
+hc AS (SELECT user_id FROM events WHERE event_type = 'click'
+       GROUP BY user_id HAVING COUNT(*) > 12),
+err AS (SELECT user_id FROM events WHERE event_type = 'error'
+       GROUP BY user_id HAVING COUNT(*) > 15)
+SELECT user_id FROM hv INTERSECT SELECT user_id FROM hc
+EXCEPT SELECT user_id FROM err
+"""
+
+
+_prev_queries_q30 = queries
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    out = _prev_queries_q30()
+    out["q30_cube_counts"] = q30_cube_counts
+    out["q31_heavy_both_types"] = q31_heavy_both_types
+    return out
+
+
+_prev_oracles_q30 = oracle_sql
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = _prev_oracles_q30()
+    out["q30_cube_counts"] = _Q30_SQL
+    out["q31_heavy_both_types"] = _Q31_SQL
+    return out

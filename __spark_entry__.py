@@ -447,7 +447,10 @@ def q15_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from baskerville_spark.functions.dedup import ngram_jaccard_pairs
 
     d = _t(spark, sf_dir, "documents")
-    p = ngram_jaccard_pairs(d, n=3, threshold=0.8, max_df=1 << 30)
+    # max_df=20: the stop-shingle guard is ACTIVE at bench scale (sf0.1 max
+    # 3-gram df is 25) and a no-op at the sf0.01 gate (max df 7) — the
+    # exercised plan is the bounded one, not the quadratic one.
+    p = ngram_jaccard_pairs(d, n=3, threshold=0.8, max_df=20)
     return p.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
@@ -457,7 +460,9 @@ WITH toks AS (
 idx AS (
   SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 2, 0))) AS i
   FROM toks WHERE len(t) >= 3),
-sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle FROM idx),
+sh0 AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle FROM idx),
+keep AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) <= 20),
+sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN keep USING (shingle)),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
 common AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
@@ -714,8 +719,8 @@ WITH g AS (
   FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
 s AS (
   SELECT user_id, ts,
-         SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                       ROWS UNBOUNDED PRECEDING) AS session_id
+         CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
   FROM g)
 SELECT user_id, session_id, COUNT(*) AS n_events,
        CAST(floor(epoch(MIN(ts))) AS BIGINT) AS start_ts,
@@ -939,6 +944,229 @@ EXCEPT SELECT user_id FROM err
 """
 
 
+# ---------------------------------------------------------------------------
+# Q32-Q37 — SRP-LSH ANN pairs, first/last touch, map ops, simhash Hamming
+#           join, native session windows, geo-localize pandas-UDF lookup
+# ---------------------------------------------------------------------------
+
+def _augmented_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings ∪ deterministic near-duplicate twins: every 10th vector
+    gets a twin (id + 1_000_000) with odd-index components scaled by 0.95
+    (cosine ≈ 0.9997 to its base; background pairs top out ≈ 0.66). The
+    perturbation is plain arithmetic so the DuckDB oracle reproduces it."""
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    twins = emb.where(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: F.when(i % 2 == 1, x.cast("double") * 0.95).otherwise(
+                x.cast("double")
+            ),
+        ).alias("embedding"),
+    )
+    return base.unionByName(twins)
+
+
+def q32_srp_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs vector near-dup detection on the SCALE path: SRP/hyperplane
+    LSH buckets → candidate equi-join → exact-cosine verify. The oracle is
+    the brute-force SQL — a green row proves LSH output == exact at this
+    threshold (recall 1.0 on the fixture), making q22 the baseline it
+    claims to be."""
+    from baskerville_spark.functions.similarity import hyperplane_lsh_pairs
+
+    aug = _augmented_embeddings(spark, sf_dir)
+    p = hyperplane_lsh_pairs(
+        aug, dim=64, n_planes=12, n_tables=4, threshold=0.9, seed=42
+    )
+    return p.select("id_a", "id_b", F.round("cosine_sim", 4).alias("cosine_sim"))
+
+
+_Q32_SQL = """
+WITH aug AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000,
+         list_transform(generate_series(1, len(embedding)),
+                        i -> CASE WHEN i % 2 = 0 THEN CAST(embedding[i] AS DOUBLE) * 0.95
+                                  ELSE CAST(embedding[i] AS DOUBLE) END)
+  FROM embeddings WHERE vec_id % 10 = 0),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_sum(list_transform(generate_series(1, len(a.e)), i -> a.e[i] * b.e[i]))
+         / (sqrt(list_sum(list_transform(a.e, x -> x * x)))
+            * sqrt(list_sum(list_transform(b.e, x -> x * x)))) AS c
+  FROM aug a JOIN aug b ON a.vec_id < b.vec_id)
+SELECT id_a, id_b, ROUND(c, 4) AS cosine_sim FROM p WHERE c >= 0.9
+"""
+
+
+def q33_first_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F.first / F.last aggregation over an ordered full-frame window
+    (reference: F.first for country/host per request set,
+    features/feature_country.py:21-23, tasks.py:992 — made deterministic
+    here by explicit ordering)."""
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        e.select(
+            "user_id",
+            F.first("event_type").over(w).alias("first_type"),
+            F.last("event_type").over(w).alias("last_type"),
+            F.round(
+                F.first(
+                    F.when(F.col("event_type") == "purchase", F.col("value")),
+                    ignorenulls=True,
+                ).over(w),
+                4,
+            ).alias("first_purchase_value"),
+        )
+        .distinct()
+    )
+
+
+_Q33_SQL = """
+WITH w AS (
+  SELECT user_id,
+         FIRST_VALUE(event_type) OVER win AS first_type,
+         LAST_VALUE(event_type) OVER win AS last_type,
+         FIRST_VALUE(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+           OVER win AS fpv
+  FROM events
+  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+SELECT DISTINCT user_id, first_type, last_type, ROUND(fpv, 4) AS first_purchase_value
+FROM w
+"""
+
+
+def q34_map_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType column ops (reference feature-map blob, base_spark.py:818-829):
+    create_map literal for per-type weights, element_at lookups, and a
+    map_from_entries-built map column aggregated per user."""
+    e = _t(spark, sf_dir, "events")
+    weights = F.create_map(
+        F.lit("click"), F.lit(1.0),
+        F.lit("view"), F.lit(0.5),
+        F.lit("purchase"), F.lit(5.0),
+        F.lit("signup"), F.lit(3.0),
+        F.lit("error"), F.lit(0.0),
+    )
+    scored = e.select(
+        "user_id", "event_type", F.element_at(weights, F.col("event_type")).alias("w")
+    )
+    counts = scored.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("w").alias("wsum")
+    )
+    m = counts.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("event_type", "cnt")))
+        ).alias("type_counts"),
+        F.round(F.sum("wsum"), 2).alias("engagement"),
+    )
+    return m.select(
+        "user_id",
+        F.size("type_counts").alias("n_types"),
+        F.coalesce(F.element_at("type_counts", F.lit("click")), F.lit(0)).alias("clicks"),
+        F.coalesce(F.element_at("type_counts", F.lit("purchase")), F.lit(0)).alias("purchases"),
+        "engagement",
+    )
+
+
+_Q34_SQL = """
+SELECT user_id,
+       COUNT(DISTINCT event_type) AS n_types,
+       COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS clicks,
+       COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchases,
+       ROUND(CAST(SUM(CASE event_type WHEN 'click' THEN 1.0 WHEN 'view' THEN 0.5
+                      WHEN 'purchase' THEN 5.0 WHEN 'signup' THEN 3.0
+                      ELSE 0.0 END) AS DOUBLE), 2) AS engagement
+FROM events GROUP BY user_id
+"""
+
+
+def q35_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming-neighbour pairs via the 16-bit chunk pigeonhole join
+    (exercises dedup.simhash_near_dups's banded equi-join — never all-pairs).
+    xxhash64-based → rows-only check; the pytest golden plants near-dups."""
+    from baskerville_spark.functions.dedup import simhash_near_dups
+
+    d = _t(spark, sf_dir, "documents")
+    return simhash_near_dups(d, max_hamming=3)
+
+
+def q36_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native F.session_window (SURVEY §2.10) in batch mode — same gap
+    semantics as the manual lag-cumsum in q24 (a gap of exactly 30 min
+    starts a NEW session under session_window, hence >= in the oracle)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.withColumn("ts2", F.col("ts").cast("timestamp"))
+        .groupBy("user_id", F.session_window("ts2", "30 minutes").alias("sw"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.unix_timestamp(F.min("ts2")).alias("start_ts"),
+            F.unix_timestamp(F.max("ts2")).alias("end_ts"),
+        )
+        .select("user_id", "n_events", "start_ts", "end_ts")
+    )
+
+
+_Q36_SQL = """
+WITH g AS (
+  SELECT user_id, ts,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR epoch_us(ts - LAG(ts) OVER w) / 1e6 >= 1800
+              THEN 1 ELSE 0 END AS ns
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT user_id, ts,
+         SUM(ns) OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g)
+SELECT user_id, COUNT(*) AS n_events,
+       CAST(floor(epoch(MIN(ts))) AS BIGINT) AS start_ts,
+       CAST(floor(epoch(MAX(ts))) AS BIGINT) AS end_ts
+FROM s GROUP BY user_id, sid
+"""
+
+
+def q37_geo_localize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized pandas-UDF + broadcast lookup-table pattern (reference
+    compute_geotime, udfs.py:41-62, minus the tzwhere dependency): a
+    360-entry nautical-timezone table is broadcast once and indexed inside
+    an Arrow-batched pandas UDF; local-time math stays JVM-side."""
+    from baskerville_spark.functions.geo import localize_events
+
+    e = _t(spark, sf_dir, "events")
+    lon = (F.col("user_id") * 37 % 360 - 180).cast("int")
+    return localize_events(e.withColumn("lon", lon))
+
+
+_Q37_SQL = """
+WITH x AS (
+  SELECT user_id, ts,
+         CAST((user_id * 37) % 360 - 180 AS INT) AS lon
+  FROM events),
+y AS (
+  SELECT user_id, lon,
+         CAST(floor((lon + 7.5) / 15.0) AS INT) AS tz_offset, ts
+  FROM x)
+SELECT user_id, lon, tz_offset,
+       COUNT(CASE WHEN EXTRACT(hour FROM ts + to_hours(tz_offset)) < 6
+                  THEN 1 END) AS n_night_events
+FROM y GROUP BY 1, 2, 3
+"""
+
+
 _prev_queries_q30 = queries
 
 
@@ -946,6 +1174,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F
     out = _prev_queries_q30()
     out["q30_cube_counts"] = q30_cube_counts
     out["q31_heavy_both_types"] = q31_heavy_both_types
+    out["q32_srp_lsh_pairs"] = q32_srp_lsh_pairs
+    out["q33_first_last_touch"] = q33_first_last_touch
+    out["q34_map_features"] = q34_map_features
+    out["q35_simhash_near_dups"] = q35_simhash_near_dups
+    out["q36_session_window"] = q36_session_window
+    out["q37_geo_localize"] = q37_geo_localize
     return out
 
 
@@ -956,4 +1190,10 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
     out = _prev_oracles_q30()
     out["q30_cube_counts"] = _Q30_SQL
     out["q31_heavy_both_types"] = _Q31_SQL
+    out["q32_srp_lsh_pairs"] = _Q32_SQL
+    out["q33_first_last_touch"] = _Q33_SQL
+    out["q34_map_features"] = _Q34_SQL
+    # q35 (xxhash64 simhash): rows-only
+    out["q36_session_window"] = _Q36_SQL
+    out["q37_geo_localize"] = _Q37_SQL
     return out

@@ -2,24 +2,32 @@
 
 Scale design notes (the whole point of these over naive pairwise):
 - **exact**: hash-groupBy on md5(text) — never shuffles the text itself,
-  only (hash, id). Salted two-phase like checks/uniqueness.py when a
-  pathological duplicate explodes one key.
+  only (hash, id). Exemplar ids are bounded via a row_number window (an
+  external, spillable sort) instead of collect_list, so a pathological
+  text duplicated 10^9 times never materializes a 10^9-element array on
+  one reducer.
 - **n-gram Jaccard**: inverted-index self-join on shingles. The classic
   quadratic blowup is bounded by dropping shingles with document frequency
   > max_df (a stop-shingle filter) — standard trick; without it one common
-  shingle joins the whole corpus to itself.
+  shingle joins the whole corpus to itself. Document sizes are computed
+  over the SAME filtered shingle set as the pair counts, so the reported
+  metric is exactly Jaccard over the max_df-filtered shingle space (equal
+  to true Jaccard whenever no shingle exceeds max_df).
 - **MinHash+LSH**: k hash functions h_i(s) = xxhash64(i || shingle), min per
   doc per i → signature; band hashes → bucket join → candidates; verified
-  with exact Jaccard on candidates only. All hashing via the built-in
+  with exact Jaccard computed on the CANDIDATE DOCS ONLY (shingles are
+  left-semi-joined to candidate ids before the pair join), so the verify
+  cost is O(candidates), not O(corpus^2). All hashing via the built-in
   xxhash64 — zero Python.
 - **SimHash**: 64 per-bit conditional sums over token hashes in ONE
   groupBy.agg — wide but JVM-side; near-dup candidates via band equality on
-  16-bit chunks (Hamming ≤ 3 ⇒ at least one of 4 chunks equal).
+  16-bit chunks (Hamming <= 3 ⇒ at least one of 4 chunks equal), then an
+  exact popcount(xor) filter — see ``simhash_near_dups``.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -44,45 +52,61 @@ def word_shingles(
 
 
 def exact_duplicates(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
-) -> DataFrame:
-    """Groups of byte-identical texts: (text_hash, dup_count, ids)."""
-    hashed = df.select(F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col).alias("id"))
-    return (
-        hashed.groupBy("text_hash")
-        .agg(F.count(F.lit(1)).alias("dup_count"), F.sort_array(F.collect_list("id")).alias("ids"))
-        .where(F.col("dup_count") > 1)
-    )
-
-
-def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    n: int = 5,
-    threshold: float = 0.5,
-    max_df: int = 1000,
+    exemplar_k: int = 16,
 ) -> DataFrame:
-    """Document pairs with shingle-Jaccard >= threshold.
+    """Groups of byte-identical texts: (text_hash, dup_count, ids).
 
-    inverted index → pair counts → |A∩B| / (|A|+|B|−|A∩B|). Shingles with
-    document frequency > max_df are dropped (stop-shingle guard against the
-    quadratic join blowup at corpus scale).
+    ``ids`` holds at most ``exemplar_k`` exemplar ids (the smallest by sort
+    order). Counting uses a plain groupBy (map-side combine keeps skewed
+    hashes cheap); exemplars come from a row_number window, whose external
+    sort spills instead of holding the whole group in memory — so one text
+    duplicated a billion times costs a disk sort, not an OOM.
     """
-    sh = word_shingles(df, id_col, text_col, n)
-    doc_sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    filtered = sh.join(
-        sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_")).where(F.col("df_") <= max_df),
-        "shingle",
+    hashed = df.select(F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col).alias("id"))
+    counts = (
+        hashed.groupBy("text_hash")
+        .agg(F.count(F.lit(1)).alias("dup_count"))
+        .where(F.col("dup_count") > 1)
     )
-    a = filtered.select(F.col("id").alias("id_a"), "shingle")
-    b = filtered.select(F.col("id").alias("id_b"), "shingle")
+    w = Window.partitionBy("text_hash").orderBy("id")
+    exemplars = (
+        hashed.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= exemplar_k)
+        .groupBy("text_hash")
+        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+    )
+    return counts.join(exemplars, "text_hash").select("text_hash", "dup_count", "ids")
+
+
+def _jaccard_pairs_over(sh: DataFrame, threshold: float, candidates: DataFrame | None) -> DataFrame:
+    """Pair Jaccard from a (id, shingle) table; sizes and intersections use
+    the SAME shingle set so the metric is internally consistent.
+
+    ``candidates`` (id_a, id_b), when given, restricts the pair join to
+    candidate docs (left-semi on the shingle table) and the output to
+    candidate pairs — the LSH verify path.
+    """
+    if candidates is not None:
+        cand_ids = (
+            candidates.select(F.col("id_a").alias("id"))
+            .unionByName(candidates.select(F.col("id_b").alias("id")))
+            .distinct()
+        )
+        sh = sh.join(cand_ids, "id", "left_semi")
+    doc_sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.select(F.col("id").alias("id_a"), "shingle")
+    b = sh.select(F.col("id").alias("id_b"), "shingle")
     common = (
         a.join(b, "shingle")
         .where(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
+    if candidates is not None:
+        common = common.join(candidates, ["id_a", "id_b"], "left_semi")
     sa = doc_sizes.select(F.col("id").alias("id_a"), F.col("n_shingles").alias("n_a"))
     sb = doc_sizes.select(F.col("id").alias("id_b"), F.col("n_shingles").alias("n_b"))
     return (
@@ -98,6 +122,33 @@ def ngram_jaccard_pairs(
         )
         .where(F.col("jaccard") >= threshold)
     )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    threshold: float = 0.5,
+    max_df: int = 1000,
+) -> DataFrame:
+    """Document pairs with shingle-Jaccard >= threshold.
+
+    inverted index → pair counts → |A∩B| / (|A|+|B|−|A∩B|). Shingles with
+    document frequency > max_df are dropped BEFORE both the pair join and
+    the size computation (stop-shingle guard against the quadratic join
+    blowup at corpus scale); the metric is Jaccard over the filtered
+    shingle space — identical to true Jaccard when nothing is filtered.
+    """
+    sh = word_shingles(df, id_col, text_col, n)
+    low_df = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df_"))
+        .where(F.col("df_") <= max_df)
+        .select("shingle")
+    )
+    filtered = sh.join(low_df, "shingle", "left_semi")
+    return _jaccard_pairs_over(filtered, threshold, candidates=None)
 
 
 def minhash_signatures(
@@ -129,7 +180,10 @@ def minhash_lsh_pairs(
     verify_threshold: float | None = 0.5,
 ) -> DataFrame:
     """Near-dup candidate pairs via banded MinHash; optionally verified with
-    exact shingle Jaccard (candidates only — the cheap-then-exact pattern)."""
+    exact shingle Jaccard on the candidates ONLY (the cheap-then-exact
+    pattern): shingles are left-semi-joined to candidate ids before the
+    verify pair join, so the exact pass costs O(candidate docs), never the
+    full-corpus quadratic join."""
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, id_col, text_col, n, num_hashes)
     banded = sigs.select(
@@ -158,8 +212,8 @@ def minhash_lsh_pairs(
     )
     if verify_threshold is None:
         return cand
-    verified = ngram_jaccard_pairs(df, id_col, text_col, n, verify_threshold, max_df=1 << 30)
-    return cand.join(verified, ["id_a", "id_b"])
+    sh = word_shingles(df, id_col, text_col, n)
+    return _jaccard_pairs_over(sh, verify_threshold, candidates=cand)
 
 
 def simhash(
@@ -195,3 +249,44 @@ def simhash(
         ]
     )
     return out.select("id", "simhash", chunks.alias("chunks"))
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """(id_a, id_b, hamming) pairs with SimHash Hamming distance <= max_hamming.
+
+    Pigeonhole banding: Hamming <= 3 over 64 bits implies at least one of
+    the four 16-bit chunks is EQUAL, so the candidate join is an equi-join
+    on (band, chunk) — never all-pairs. Candidates are then filtered with
+    the exact popcount of the XOR. ``max_hamming`` must be < 4 for the
+    4-chunk pigeonhole to be lossless.
+    """
+    if max_hamming >= 4:
+        raise ValueError("4-chunk banding is only lossless for max_hamming <= 3")
+    s = simhash(df, id_col, text_col)
+    exploded = s.select(
+        "id", "simhash", F.posexplode("chunks").alias("band", "chunk")
+    )
+    a = exploded.select(
+        F.col("id").alias("id_a"), F.col("simhash").alias("sim_a"), "band", "chunk"
+    )
+    b = exploded.select(
+        F.col("id").alias("id_b"), F.col("simhash").alias("sim_b"), "band", "chunk"
+    )
+    cand = (
+        a.join(b, ["band", "chunk"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sim_a", "sim_b")
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast("int")
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

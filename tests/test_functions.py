@@ -114,6 +114,72 @@ def test_lsh_recall_vs_brute_force(spark):
     assert recall >= 0.75, (recall, exact - approx)
 
 
+def test_exact_duplicates_bounded_exemplars(spark):
+    """A 10^5-copy duplicate must not materialize a 10^5-element id array."""
+    n = 100_000
+    df = spark.range(n).select(
+        F.col("id").cast("int").alias("doc_id"), F.lit("same text always").alias("text")
+    )
+    rows = exact_duplicates(df, exemplar_k=8).collect()
+    assert len(rows) == 1
+    assert rows[0]["dup_count"] == n
+    assert rows[0]["ids"] == list(range(8))
+
+
+def test_ngram_guard_bounds_ubiquitous_shingle(spark):
+    """One shingle shared by every doc must not join the corpus to itself."""
+    n = 200
+    docs = [(i, f"common shingle here unique{i} tail{i} words{i}") for i in range(n)]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    # every doc contains the 3-gram 'common shingle here' (df = 200)
+    unguarded = ngram_jaccard_pairs(df, n=3, threshold=0.0, max_df=1 << 30).count()
+    guarded = ngram_jaccard_pairs(df, n=3, threshold=0.0, max_df=50).count()
+    assert unguarded == n * (n - 1) // 2  # quadratic without the guard
+    assert guarded == 0  # stop-shingle filter removes the only shared shingle
+
+
+def test_minhash_verify_is_candidates_only(docs):
+    """The exact-Jaccard verify must key on LSH candidates (left-semi join),
+    not recompute the full-corpus pair join."""
+    plan = minhash_lsh_pairs(docs, n=3, verify_threshold=0.5)._jdf.queryExecution().toString()
+    assert "LeftSemi" in plan
+
+
+def test_simhash_near_dups_planted(spark):
+    from baskerville_spark.functions.dedup import simhash_near_dups
+
+    base = " ".join(f"tok{i}" for i in range(400))
+    docs = [
+        (1, base),
+        (2, base + " lambda"),          # one extra token among 400: Hamming 2
+        (3, base),                       # exact dup of 1: Hamming 0
+        (4, "totally different content about query engines and shuffles"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in simhash_near_dups(df).collect()}
+    assert pairs[(1, 3)] == 0
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 3
+    assert not any(4 in p for p in pairs)
+
+
+def test_geo_localize_lookup(spark):
+    from baskerville_spark.functions.geo import localize_events
+
+    rows = [
+        (1, 0, "2024-01-01 12:00:00"),     # UTC offset 0 → hour 12, not night
+        (2, -180, "2024-01-01 12:00:00"),  # offset -12 → hour 0, night
+        (3, 52, "2024-01-01 01:00:00"),    # offset 3 → hour 4, night
+        (3, 52, "2024-01-01 10:00:00"),    # offset 3 → hour 13
+    ]
+    df = spark.createDataFrame(rows, "user_id int, lon int, ts string").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    out = {r["user_id"]: r for r in localize_events(df).collect()}
+    assert out[1]["tz_offset"] == 0 and out[1]["n_night_events"] == 0
+    assert out[2]["tz_offset"] == -12 and out[2]["n_night_events"] == 1
+    assert out[3]["tz_offset"] == 3 and out[3]["n_night_events"] == 1
+
+
 def test_multimodal_image_plumbing(spark):
     from baskerville_spark.functions.multimodal import image_features
 

@@ -582,7 +582,15 @@ def q21_clip_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     clips = generate_clips(spark, cfg).persist()
     tref = generate_transcript_ref(spark, cfg).persist()
     res = run_validation(spark, clips, tref, cfg=ValidationConfig())
-    return res.verdicts
+    # materialize the (tiny) verdicts while the upstream caches are alive,
+    # then release everything so repeated queries() runs in one session
+    # (the driver harness, bench.py) don't accumulate cached blocks
+    out = res.verdicts.persist()
+    out.count()
+    res.unpersist()
+    clips.unpersist()
+    tref.unpersist()
+    return out
 
 
 def q23_streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -137,7 +137,12 @@ def stats_verdicts(
             part = stats.where(F.col("column_name") == col).select(
                 "part_id",
                 F.concat(F.lit("range:"), F.col("column_name")).alias("check_name"),
-                ((F.col("min") >= lo) & (F.col("max") <= hi)).alias("passed"),
+                # coalesce: an all-NULL partition has NULL min/max → vacuous
+                # pass (the null-rate check flags it), never a NULL verdict
+                # that a boolean filter downstream would silently drop
+                F.coalesce(
+                    (F.col("min") >= lo) & (F.col("max") <= hi), F.lit(True)
+                ).alias("passed"),
                 F.col("max").alias("metric_value"),
                 F.lit(float(hi)).alias("threshold"),
                 (F.col("count") + F.col("null_count")).alias("n_rows"),

@@ -14,7 +14,7 @@ reference; here they are pure Column algebra (codegen, pushdown-friendly).
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -59,6 +59,34 @@ def status_class(code: Column) -> Column:
 def path_depth(url: Column) -> Column:
     """Slash depth of a URL path (feature_path_depth_average.py:31-35)."""
     return (F.size(F.split(url, "/")) - 1).cast("int")
+
+
+def multiply_traffic(
+    df: DataFrame,
+    factor: int,
+    ip_col: str = "client_ip",
+    seed: int = 42,
+) -> DataFrame:
+    """Load-test traffic multiplication (reference spark/helpers.py:220-239):
+    union ``factor`` copies of the batch, each clone's IPs rewritten with a
+    seeded rand so per-IP grouping fans out realistically. Copy 0 is the
+    original traffic. Pure column ops — the multiplied stream is never
+    driver-side."""
+    if factor < 1:
+        raise ValueError("factor must be >= 1")
+    out = df.withColumn("load_test_copy", F.lit(0))
+    for i in range(1, factor):
+        fake_ip = F.concat_ws(
+            ".",
+            (F.rand(seed + i) * 253 + 1).cast("int"),
+            (F.rand(seed + i * 7919) * 255).cast("int"),
+            (F.rand(seed + i * 104729) * 255).cast("int"),
+            (F.rand(seed + i * 1299709) * 253 + 1).cast("int"),
+        )
+        out = out.unionByName(
+            df.withColumn(ip_col, fake_ip).withColumn("load_test_copy", F.lit(i))
+        )
+    return out
 
 
 def challenge_decision(n_anomalous: Column, n_normal: Column, threshold: float) -> Column:

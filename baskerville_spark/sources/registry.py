@@ -44,5 +44,58 @@ def read_table(
     if fmt == "orc":
         return reader.orc(path)
     if fmt == "jdbc":
-        return reader.format("jdbc").load()
+        # `path` is the table name; connection props (url, driver, ...) come
+        # in via **options
+        return reader.format("jdbc").option("dbtable", path).load()
     raise ValueError(f"unknown format {fmt!r}")
+
+
+def read_jdbc_partitioned(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    partition_col: str,
+    num_partitions: int = 8,
+    quote: str = '"',
+    **options,
+) -> DataFrame:
+    """Range-partitioned parallel JDBC read (reference
+    src/baskerville/models/pipeline_tasks/tasks.py:458-530: bounds query →
+    numPartitions/lowerBound/upperBound).
+
+    One cheap MIN/MAX bounds query, then the table read fans out into
+    ``num_partitions`` disjoint range scans — each executor opens its own
+    connection instead of one connection streaming the whole table through
+    the driver. Falls back to a single-partition read when the table is
+    empty or the bounds collapse.
+    """
+    def rd():
+        r = spark.read.format("jdbc").option("url", url)
+        for k, v in options.items():
+            r = r.option(k, v)
+        return r
+
+    # the bounds query goes to the external engine verbatim → quote the
+    # identifier (ANSI double quotes by default; Spark quotes the
+    # partitionColumn predicates itself via the JDBC dialect)
+    qc = f"{quote}{partition_col}{quote}"
+    bounds = (
+        rd()
+        .option(
+            "query",
+            f"SELECT MIN({qc}) AS lo, MAX({qc}) AS hi FROM {table}",
+        )
+        .load()
+        .collect()[0]
+    )
+    lo, hi = bounds[0], bounds[1]  # positional: engines fold alias case
+    base = rd().option("dbtable", table)
+    if lo is None or lo == hi:
+        return base.load()
+    return (
+        base.option("partitionColumn", partition_col)
+        .option("lowerBound", str(lo))
+        .option("upperBound", str(hi))
+        .option("numPartitions", str(num_partitions))
+        .load()
+    )

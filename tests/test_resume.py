@@ -58,6 +58,31 @@ def test_fresh_run_processes_all(spark, tmp_path):
     assert m == {0, 1, 2, 3}
 
 
+def test_retry_replaces_not_duplicates(spark, tmp_path):
+    """Crash between output writes and manifest commit: the retried
+    partition's output rows must be REPLACED (dynamic partition overwrite),
+    never appended twice."""
+    import os
+
+    clips_p, tref_p, man_p, out_p = _paths(tmp_path)
+    write_clips(spark, clips_p, CFG)
+    write_transcript_ref(spark, tref_p, CFG)
+    run_resumable(spark, clips_p, man_p, out_p, tref_p,
+                  cfg=ValidationConfig(check_audio=False))
+    v1 = spark.read.parquet(f"{out_p}/verdicts").count()
+    s1 = spark.read.parquet(f"{out_p}/stats").count()
+
+    # simulate the crash: partition 1's outputs are on disk but its
+    # manifest commit never happened
+    os.remove(f"{man_p}/part-00001.parquet")
+    assert run_resumable(spark, clips_p, man_p, out_p, tref_p,
+                         cfg=ValidationConfig(check_audio=False)) == [1]
+
+    assert spark.read.parquet(f"{out_p}/verdicts").count() == v1
+    assert spark.read.parquet(f"{out_p}/stats").count() == s1
+    assert done_partitions(spark, man_p) == {0, 1, 2, 3}
+
+
 def test_recommit_overwrites(tmp_path, spark):
     man_p = str(tmp_path / "m")
     now = datetime.now(timezone.utc)

@@ -53,3 +53,51 @@ def test_registry_fallback(spark, tmp_path):
     # iceberg jars absent → parquet fallback reads the same path
     assert read_table(spark, p, fmt="iceberg").count() == 5
     assert read_table(spark, p, fmt="parquet").count() == 5
+
+
+def test_registry_csv_orc_json_roundtrip(spark, tmp_path):
+    from baskerville_spark.sources.registry import read_table
+
+    src = spark.range(20).selectExpr("id", "concat('u', id) AS name")
+    expected = {(r["id"], r["name"]) for r in src.collect()}
+
+    for fmt, opts in (
+        ("csv", {"header": "true", "inferSchema": "true"}),
+        ("orc", {}),
+        ("json", {}),
+    ):
+        p = str(tmp_path / fmt)
+        getattr(src.write, fmt)(p, **({"header": True} if fmt == "csv" else {}))
+        df = read_table(spark, p, fmt=fmt, **opts)
+        assert {(r["id"], r["name"]) for r in df.collect()} == expected, fmt
+
+
+DERBY = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+
+
+def test_jdbc_range_partitioned_read(spark, tmp_path):
+    """Real JDBC round-trip against embedded Derby (ships in Spark's jars):
+    the bounds query must fan the read out into disjoint range partitions."""
+    from baskerville_spark.sources.registry import read_jdbc_partitioned, read_table
+
+    url = f"jdbc:derby:{tmp_path}/db;create=true"
+    src = spark.range(1000).selectExpr(
+        "CAST(id AS BIGINT) AS rid", "CAST(id % 7 AS INT) AS grp"
+    )
+    (
+        src.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "events")
+        .options(**DERBY)
+        .save()
+    )
+
+    df = read_jdbc_partitioned(
+        spark, url, "events", partition_col="rid", num_partitions=4, **DERBY
+    )
+    assert df.rdd.getNumPartitions() == 4          # parallel range scans
+    assert df.count() == 1000
+    assert df.agg({"rid": "sum"}).collect()[0][0] == 999 * 1000 // 2
+
+    # registry jdbc path: `path` is the table name
+    assert read_table(spark, "events", fmt="jdbc", url=url, **DERBY).count() == 1000

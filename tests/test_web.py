@@ -61,3 +61,21 @@ def test_challenge_decision(spark):
         ).collect()
     ]
     assert out == [True, False, False]
+
+
+def test_multiply_traffic(spark):
+    from baskerville_spark.functions.web import multiply_traffic
+
+    df = spark.createDataFrame(
+        [("1.1.1.1", "a.com"), ("2.2.2.2", "b.com")], "client_ip string, host string"
+    )
+    out = multiply_traffic(df, factor=5, seed=7)
+    assert out.count() == 10
+    # original traffic survives as copy 0; clones carry synthetic IPs
+    originals = out.where("load_test_copy = 0").select("client_ip").collect()
+    assert {r["client_ip"] for r in originals} == {"1.1.1.1", "2.2.2.2"}
+    n_ips = out.select("client_ip").distinct().count()
+    assert n_ips > 2  # clone IPs fan out per-IP grouping
+    # deterministic: same seed, same result
+    again = multiply_traffic(df, factor=5, seed=7).select("client_ip").distinct().count()
+    assert again == n_ips

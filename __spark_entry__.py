@@ -23,6 +23,16 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _docs_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents, repartitioned for explode-heavy (shingle) pipelines: the
+    testdata table is a single parquet file → one scan task, which serializes
+    the whole shingle fan-out on one core (a small-file artifact — at real
+    scale the table has many files and this repartition is unnecessary)."""
+    return _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+
 # ---------------------------------------------------------------------------
 # Q1 — request-set aggregation funnel (reference core: one groupBy().agg(*)
 #       over composed named aggs, base_spark.py:445-458 / SURVEY §2.4)
@@ -417,7 +427,11 @@ LIMIT 10
 def q22_vector_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from baskerville_spark.functions.similarity import brute_force_pairs
 
-    emb = _t(spark, sf_dir, "embeddings")
+    # repartition: the testdata table is one parquet file -> one scan task,
+    # which would serialize the O(n^2) pair loop on a single core
+    emb = _t(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     p = brute_force_pairs(emb, threshold=0.45)
     return p.select("id_a", "id_b", F.round("cosine_sim", 4).alias("cosine_sim"))
 
@@ -446,7 +460,7 @@ WHERE list_sum(list_transform(generate_series(1, len(a.embedding)),
 def q15_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from baskerville_spark.functions.dedup import ngram_jaccard_pairs
 
-    d = _t(spark, sf_dir, "documents")
+    d = _docs_wide(spark, sf_dir)
     # max_df=20: the stop-shingle guard is ACTIVE at bench scale (sf0.1 max
     # 3-gram df is 25) and a no-op at the sf0.01 gate (max df 7) — the
     # exercised plan is the bounded one, not the quadratic one.
@@ -555,7 +569,7 @@ LIMIT 10
 def q19_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from baskerville_spark.functions.dedup import minhash_lsh_pairs
 
-    d = _t(spark, sf_dir, "documents")
+    d = _docs_wide(spark, sf_dir)
     p = minhash_lsh_pairs(d, n=3, num_hashes=32, bands=8, verify_threshold=0.8)
     return p.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
@@ -563,7 +577,7 @@ def q19_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q20_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from baskerville_spark.functions.dedup import simhash
 
-    d = _t(spark, sf_dir, "documents")
+    d = _docs_wide(spark, sf_dir)
     return simhash(d).select(F.col("id").alias("doc_id"), "simhash")
 
 
@@ -961,8 +975,12 @@ def _augmented_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """embeddings ∪ deterministic near-duplicate twins: every 10th vector
     gets a twin (id + 1_000_000) with odd-index components scaled by 0.95
     (cosine ≈ 0.9997 to its base; background pairs top out ≈ 0.66). The
-    perturbation is plain arithmetic so the DuckDB oracle reproduces it."""
-    emb = _t(spark, sf_dir, "embeddings")
+    perturbation is plain arithmetic so the DuckDB oracle reproduces it.
+    Repartitioned: the single-file testdata scan would otherwise serialize
+    signature computation on one core."""
+    emb = _t(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     base = emb.select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
     )
@@ -1107,7 +1125,7 @@ def q35_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     xxhash64-based → rows-only check; the pytest golden plants near-dups."""
     from baskerville_spark.functions.dedup import simhash_near_dups
 
-    d = _t(spark, sf_dir, "documents")
+    d = _docs_wide(spark, sf_dir)
     return simhash_near_dups(d, max_hamming=3)
 
 

@@ -88,6 +88,11 @@ def _jaccard_pairs_over(sh: DataFrame, threshold: float, candidates: DataFrame |
     ``candidates`` (id_a, id_b), when given, restricts the pair join to
     candidate docs (left-semi on the shingle table) and the output to
     candidate pairs — the LSH verify path.
+
+    Plan shape: doc sizes ride along as a window count over ``id`` (bounded
+    per-partition by a document's shingle count — never a skew trap) instead
+    of two post-aggregation joins, so the a/b join branches are canonically
+    identical and ReuseExchange computes the shingle subtree ONCE.
     """
     if candidates is not None:
         cand_ids = (
@@ -96,23 +101,21 @@ def _jaccard_pairs_over(sh: DataFrame, threshold: float, candidates: DataFrame |
             .distinct()
         )
         sh = sh.join(cand_ids, "id", "left_semi")
-    doc_sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    a = sh.select(F.col("id").alias("id_a"), "shingle")
-    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    sized = sh.withColumn(
+        "n_sh", F.count(F.lit(1)).over(Window.partitionBy("id"))
+    )
+    a = sized.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"), "shingle")
+    b = sized.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"), "shingle")
     common = (
         a.join(b, "shingle")
         .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
+        .groupBy("id_a", "id_b", "n_a", "n_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     if candidates is not None:
         common = common.join(candidates, ["id_a", "id_b"], "left_semi")
-    sa = doc_sizes.select(F.col("id").alias("id_a"), F.col("n_shingles").alias("n_a"))
-    sb = doc_sizes.select(F.col("id").alias("id_b"), F.col("n_shingles").alias("n_b"))
     return (
-        common.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select(
+        common.select(
             "id_a",
             "id_b",
             (

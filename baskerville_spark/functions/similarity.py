@@ -14,6 +14,7 @@
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -76,34 +77,53 @@ def hyperplane_lsh_pairs(
 ) -> DataFrame:
     """Near-duplicate vector pairs: SRP buckets → candidate self-join →
     exact cosine verify. n_tables independent plane sets trade recall for
-    join fan-out."""
+    join fan-out.
+
+    Plan shape (the banded-LSH pattern, same as MinHash): ALL tables'
+    bucket ids are computed in one pass and exploded to slim
+    (id, table, bucket) rows, so there is ONE candidate equi-join carrying
+    two ids — vectors and norms are fetched by id joins only for the
+    deduplicated candidate pairs. Wide rows never enter the self-join or
+    the distinct."""
+    from pyspark.sql.types import ArrayType, LongType
+
     rng = np.random.default_rng(seed)
+    # one (n_tables*n_planes, dim) matrix; same draw order as per-table calls
+    planes = np.vstack([rng.standard_normal((n_planes, dim)) for _ in range(n_tables)])
+    bit_weights = 1 << np.arange(n_planes, dtype=np.int64)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def srp_buckets(emb: pd.Series) -> pd.Series:
+        # Arrow-batched sign-random-projection: ONE BLAS matmul per batch
+        # instead of n_tables*n_planes literal-array dot expressions (whose
+        # codegen alone costs more than the data at any scale)
+        x = np.vstack(emb.to_numpy()).astype(np.float64)        # (n, dim)
+        signs = (x @ planes.T) > 0                              # (n, T*P)
+        b = signs.reshape(len(x), n_tables, n_planes) @ bit_weights  # (n, T)
+        return pd.Series(list(b.astype(np.int64)))
+
     emb = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     base = df.select(F.col(id_col).alias("id"), emb.alias("v")).withColumn(
         "n", _norm(F.col("v"))
     )
 
-    cand = None
-    for t in range(n_tables):
-        planes = rng.standard_normal((n_planes, dim))
-        sig = base.select(
-            "id", "v", "n", srp_signature(F.col("v"), planes).alias("bucket")
-        )
-        a = sig.select(
-            F.col("id").alias("id_a"), F.col("v").alias("v_a"),
-            F.col("n").alias("n_a"), "bucket",
-        )
-        b = sig.select(
-            F.col("id").alias("id_b"), F.col("v").alias("v_b"),
-            F.col("n").alias("n_b"), "bucket",
-        )
-        pairs = a.join(b, "bucket").where(F.col("id_a") < F.col("id_b")).select(
-            "id_a", "id_b", "v_a", "v_b", "n_a", "n_b"
-        )
-        cand = pairs if cand is None else cand.unionByName(pairs)
+    buckets = base.select(
+        "id", F.posexplode(srp_buckets(F.col("v"))).alias("table", "bucket")
+    )
+    a = buckets.select(F.col("id").alias("id_a"), "table", "bucket")
+    b = buckets.select(F.col("id").alias("id_b"), "table", "bucket")
+    cand = (
+        a.join(b, ["table", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
 
+    va = base.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"), F.col("n").alias("n_a"))
+    vb = base.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"), F.col("n").alias("n_b"))
     return (
-        cand.dropDuplicates(["id_a", "id_b"])
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
         .select(
             "id_a",
             "id_b",

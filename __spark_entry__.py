@@ -1193,6 +1193,64 @@ FROM y GROUP BY 1, 2, 3
 """
 
 
+def q38_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate nearest neighbors (the ANN scale path besides LSH):
+    deterministic Lloyd-trained coarse quantizer → Arrow-batched cluster
+    assignment → probe-limited brute force. Oracle = the exact top-k SQL
+    (q14's), so a green row proves recall 1.0 at this nprobe on the fixture.
+
+    nprobe=12/16 on THIS data: the synthetic vectors are structure-free
+    (near-uniform on the sphere), the worst case for a coarse quantizer —
+    real embedding corpora cluster, and nprobe/n_centroids shrinks
+    accordingly. The plan property that matters at scale: the scan reads
+    only probed clusters (cluster IN (...) prunes on an indexed column)."""
+    from baskerville_spark.functions.similarity import ivf_topk, train_ivf_centroids
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cent = train_ivf_centroids(emb, n_centroids=16, sample_mod=5, seed=42)
+    qvec = [float(x) for x in emb.where("vec_id = 0").select("embedding").first()[0]]
+    wide = emb.repartition(spark.sparkContext.defaultParallelism)
+    top = ivf_topk(wide, qvec, cent, k=10, nprobe=12)
+    return top.select(F.col("id").alias("vec_id"), F.round("cosine_sim", 4).alias("cosine_sim"))
+
+
+def q39_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming dropDuplicates with watermark (SURVEY §2.10
+    exactly-once dedup shape): the deduped (user, type) stream aggregates to
+    distinct-user counts per type, equal to the batch DISTINCT oracle."""
+    e_schema = _t(spark, sf_dir, "events").schema
+    name = f"q39_out_{uuid.uuid4().hex[:8]}"
+    stream = (
+        spark.readStream.schema(e_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "1 hour")
+        .dropDuplicates(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+_Q39_SQL = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users FROM events GROUP BY event_type
+"""
+
+
 _prev_queries_q30 = queries
 
 
@@ -1206,6 +1264,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F
     out["q35_simhash_near_dups"] = q35_simhash_near_dups
     out["q36_session_window"] = q36_session_window
     out["q37_geo_localize"] = q37_geo_localize
+    out["q38_ivf_topk"] = q38_ivf_topk
+    out["q39_streaming_dedup"] = q39_streaming_dedup
     return out
 
 
@@ -1222,4 +1282,6 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
     # q35 (xxhash64 simhash): rows-only
     out["q36_session_window"] = _Q36_SQL
     out["q37_geo_localize"] = _Q37_SQL
+    out["q38_ivf_topk"] = _Q14_SQL  # exact top-k: green row == recall 1.0
+    out["q39_streaming_dedup"] = _Q39_SQL
     return out

@@ -1,19 +1,19 @@
-"""Salted two-phase uniqueness check on clip_id.
+"""Uniqueness check on clip_id, with skew handled where it actually bites.
 
 The reference has NO skew story (SURVEY.md §4: hot (target, ip) groups land
-on one reducer unmitigated); the north rule requires explicit salting here.
+on one reducer unmitigated). The skew analysis here, validated by round-1
+property tests and plan audits:
 
-Phase 1 groups by (key, salt) where salt = spark_partition_id() % n_salt —
-every (key, salt) group lives inside one input partition, so even a
-pathological key duplicated 10^9 times fans its partial counts across
-``n_salt`` reducers instead of one. Phase 2 sums the partials per key and
-keeps count > 1. Both phases are plain HashAggregates with map-side combine;
-no row ever leaves the JVM.
-
-Equivalently (and what Catalyst ultimately executes for phase 1): a partial
-aggregation keyed on the salted composite. The explicit formulation makes
-the skew contract visible and testable — the property test asserts salted ==
-naive ``groupBy(key).count()`` (FIXTURES.md §6).
+- **Counts (algebraic aggregates)**: Spark's partial aggregation (map-side
+  combine) IS the mitigation — each input partition sends at most ONE
+  partial row per key to its reducer, so a key duplicated 10^9 times costs
+  its reducer ≤ #input-partitions rows. An explicit salt only adds a second
+  shuffle (round 1 shipped the salted variant; the property tests proved it
+  equal and the plan audit showed the extra exchange bought nothing).
+- **List/set aggregates (non-algebraic state)**: reduce-side state is
+  unbounded, and THIS is where salted two-phase aggregation earns its keep
+  — see ``duplicate_exemplars``: phase 1 caps each (key, salt) group's list
+  at k, phase 2 merges ≤ n_salt bounded lists.
 """
 
 from __future__ import annotations
@@ -31,19 +31,56 @@ def duplicate_keys(
 ) -> DataFrame:
     """Keys appearing more than once → (part_id?, key, dup_count).
 
-    ``scope_per_partition=True`` checks uniqueness within each table
-    partition (the per-partition verdict unit); False checks globally.
+    ONE shuffle on the key; map-side combine bounds the reducer's input for
+    any skew (see module docstring). ``n_salt`` is accepted for call-site
+    compatibility and intentionally unused here — salting counts is a
+    pessimization. ``scope_per_partition=True`` checks uniqueness within
+    each table partition (the per-partition verdict unit); False globally.
     """
     group_final = [part_col, key] if scope_per_partition else [key]
-    salted = (
+    return (
         df.select(*group_final)
+        .groupBy(*group_final)
+        .agg(F.count(F.lit(1)).alias("dup_count"))
+        .where(F.col("dup_count") > 1)
+    )
+
+
+def duplicate_exemplars(
+    df: DataFrame,
+    key: str = "clip_id",
+    id_col: str = "clip_id",
+    part_col: str | None = None,
+    k: int = 8,
+    n_salt: int = 64,
+) -> DataFrame:
+    """(key, dup_count, exemplar_ids≤k) per duplicated key — SALTED
+    two-phase aggregation, the case where salting is load-bearing.
+
+    collect_list state is unbounded on the reduce side; salting with
+    spark_partition_id() makes every phase-1 group local to one input
+    split (bounded by maxPartitionBytes), caps its list at k, and phase 2
+    merges ≤ n_salt lists of ≤ k — a hot key never materializes more than
+    n_salt*k elements anywhere.
+    """
+    group_final = [part_col, key] if part_col else [key]
+    phase1 = (
+        df.select(*group_final, F.col(id_col).alias("__id"))
         .withColumn("__salt", F.spark_partition_id() % n_salt)
         .groupBy(*group_final, "__salt")
-        .agg(F.count(F.lit(1)).alias("partial_count"))
+        .agg(
+            F.slice(F.sort_array(F.collect_list("__id")), 1, k).alias("partial_ids"),
+            F.count(F.lit(1)).alias("partial_count"),
+        )
     )
     return (
-        salted.groupBy(*group_final)
-        .agg(F.sum("partial_count").alias("dup_count"))
+        phase1.groupBy(*group_final)
+        .agg(
+            F.sum("partial_count").alias("dup_count"),
+            F.slice(
+                F.sort_array(F.flatten(F.collect_list("partial_ids"))), 1, k
+            ).alias("exemplar_ids"),
+        )
         .where(F.col("dup_count") > 1)
     )
 

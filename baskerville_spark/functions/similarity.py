@@ -135,6 +135,97 @@ def hyperplane_lsh_pairs(
     )
 
 
+def train_ivf_centroids(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    sample_mod: int = 10,
+    iters: int = 10,
+    seed: int = 42,
+) -> np.ndarray:
+    """Coarse-quantizer centroids for IVF: seeded Lloyd iterations on a
+    deterministic sample (ids ≡ 0 mod sample_mod), trained driver-side.
+
+    The sample is bounded and collected once — standard IVF practice (the
+    quantizer trains on a fraction; assignment is the distributed part).
+    Deterministic: fixed sample, fixed init, fixed iteration count — unlike
+    parallel k-means, whose result depends on partitioning.
+    """
+    sample = np.vstack(
+        [
+            np.asarray(r[0], dtype=np.float64)
+            for r in df.where(F.col(id_col) % sample_mod == 0)
+            .select(vec_col)
+            .collect()
+        ]
+    )
+    rng = np.random.default_rng(seed)
+    cent = sample[rng.choice(len(sample), size=n_centroids, replace=False)]
+    for _ in range(iters):
+        d2 = ((sample[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+        assign = d2.argmin(1)
+        for c in range(n_centroids):
+            members = sample[assign == c]
+            if len(members):
+                cent[c] = members.mean(0)
+    return cent
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, v, cluster): nearest-centroid assignment via ONE Arrow-batched
+    matmul per batch (argmin ||x−c||² = argmax x·c − ½|c|²)."""
+    from pyspark.sql.types import IntegerType
+
+    cent = np.asarray(centroids, dtype=np.float64)
+    half_norms = 0.5 * (cent * cent).sum(1)
+
+    @F.pandas_udf(IntegerType())
+    def assign(emb: pd.Series) -> pd.Series:
+        x = np.vstack(emb.to_numpy()).astype(np.float64)
+        scores = x @ cent.T - half_norms
+        return pd.Series(scores.argmax(1).astype(np.int32))
+
+    emb = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    return df.select(
+        F.col(id_col).alias("id"), emb.alias("v")
+    ).withColumn("cluster", assign(F.col("v")))
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    centroids: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: probe only the ``nprobe`` clusters nearest the
+    query, brute-force cosine inside them. At scale the assignment is a
+    write-once index column (partition/cluster-prune the scan); the probe
+    filter is a pushed-down ``cluster IN (...)`` predicate, so the scan
+    touches nprobe/n_centroids of the data instead of all of it."""
+    cent = np.asarray(centroids, dtype=np.float64)
+    q = np.asarray(query_vec, dtype=np.float64)
+    probe = np.argsort(((cent - q) ** 2).sum(1))[:nprobe].tolist()
+    assigned = ivf_assign(df, cent, id_col, vec_col)
+    cand = assigned.where(F.col("cluster").isin([int(p) for p in probe]))
+    qcol = F.array(*[F.lit(float(x)) for x in q])
+    return (
+        cand.select(
+            "id", cosine(F.col("v"), qcol).cast("double").alias("cosine_sim")
+        )
+        .orderBy(F.desc("cosine_sim"), F.asc("id"))
+        .limit(k)
+    )
+
+
 def brute_force_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

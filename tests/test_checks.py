@@ -32,6 +32,26 @@ def test_salted_equals_naive_uniqueness(t1_clips):
     assert salted == naive and len(salted) > 0
 
 
+def test_duplicate_exemplars_bounded_under_skew(spark):
+    from pyspark.sql import functions as F
+
+    from baskerville_spark.checks.uniqueness import duplicate_exemplars
+
+    # one key duplicated 50k times + unique tail
+    df = spark.range(60_000).select(
+        F.when(F.col("id") < 50_000, F.lit("hot")).otherwise(
+            F.concat(F.lit("u"), F.col("id"))
+        ).alias("clip_id"),
+        F.col("id").alias("row_id"),
+    )
+    rows = duplicate_exemplars(df, key="clip_id", id_col="row_id", k=5).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["dup_count"] == 50_000
+    assert r["exemplar_ids"] == [0, 1, 2, 3, 4]  # smallest k, exact
+    assert len(r["exemplar_ids"]) == 5
+
+
 def test_salted_invariant_to_salt_count(t1_clips):
     a = {tuple(r) for r in duplicate_keys(t1_clips, n_salt=1).collect()}
     b = {tuple(r) for r in duplicate_keys(t1_clips, n_salt=257).collect()}

@@ -114,6 +114,23 @@ def test_lsh_recall_vs_brute_force(spark):
     assert recall >= 0.75, (recall, exact - approx)
 
 
+def test_ivf_topk_matches_brute_force(spark):
+    from baskerville_spark.functions.similarity import ivf_topk, train_ivf_centroids
+
+    df = _vec_df(spark, n=120, dim=16)
+    cent = train_ivf_centroids(df, n_centroids=8, sample_mod=2, seed=11)
+    assert cent.shape == (8, 16)
+    q = [float(x) for x in df.where("vec_id = 0").first()["embedding"]]
+    exact = [r["id"] for r in cosine_topk(df, q, k=5).collect()]
+    approx = [
+        r["id"] for r in ivf_topk(df, q, cent, k=5, nprobe=8).collect()
+    ]  # nprobe == n_centroids → exhaustive → must equal exact
+    assert approx == exact
+    # probing fewer clusters still finds the query vector itself + its twin
+    few = [r["id"] for r in ivf_topk(df, q, cent, k=2, nprobe=2).collect()]
+    assert few[0] == 0 and few[1] == 1
+
+
 def test_exact_duplicates_bounded_exemplars(spark):
     """A 10^5-copy duplicate must not materialize a 10^5-element id array."""
     n = 100_000

@@ -1251,6 +1251,52 @@ SELECT event_type, COUNT(DISTINCT user_id) AS n_users FROM events GROUP BY event
 """
 
 
+def q40_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image decode + feature extraction over binary payloads (multimodal
+    plumbing, brief §multimodal): real numpy BMP decode inside mapInPandas;
+    every 17th item is a corrupt 'jpeg' exercising the decode_ok=false
+    path. Images are synthesized in-session (binary payloads can't live in
+    the shared testdata) with closed-form features, so the DuckDB oracle
+    reproduces them arithmetically."""
+    from baskerville_spark.functions.multimodal import image_features, make_bmp
+
+    rows = []
+    for i in range(240):
+        if i % 17 == 0:
+            rows.append((f"img_{i:04d}", bytearray(b"\xff\xd8garbage"), "jpeg"))
+        else:
+            c = (i * 7) % 256
+            rows.append(
+                (f"img_{i:04d}", bytearray(make_bmp(16 + i % 16, 8 + i % 8, (c, c, c))), "bmp")
+            )
+    df = spark.createDataFrame(
+        rows, "item_id string, payload binary, fmt string"
+    ).repartition(spark.sparkContext.defaultParallelism)
+    out = image_features(df)
+    return out.select(
+        "item_id",
+        "width",
+        "height",
+        "n_channels",
+        F.round("mean_luma", 4).alias("mean_luma"),
+        "ahash",  # solid-color images: no cell exceeds the mean → 0
+        "decode_ok",
+    )
+
+
+_Q40_SQL = """
+WITH idx AS (SELECT unnest(generate_series(0, 239)) AS i)
+SELECT 'img_' || lpad(CAST(i AS VARCHAR), 4, '0') AS item_id,
+       CASE WHEN i % 17 = 0 THEN NULL ELSE CAST(16 + i % 16 AS INT) END AS width,
+       CASE WHEN i % 17 = 0 THEN NULL ELSE CAST(8 + i % 8 AS INT) END AS height,
+       CASE WHEN i % 17 = 0 THEN NULL ELSE 3 END AS n_channels,
+       CASE WHEN i % 17 = 0 THEN NULL ELSE CAST((i * 7) % 256 AS DOUBLE) END AS mean_luma,
+       CASE WHEN i % 17 = 0 THEN NULL ELSE 0 END AS ahash,
+       (i % 17 <> 0) AS decode_ok
+FROM idx
+"""
+
+
 _prev_queries_q30 = queries
 
 
@@ -1266,6 +1312,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F
     out["q37_geo_localize"] = q37_geo_localize
     out["q38_ivf_topk"] = q38_ivf_topk
     out["q39_streaming_dedup"] = q39_streaming_dedup
+    out["q40_image_features"] = q40_image_features
     return out
 
 
@@ -1284,4 +1331,5 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
     out["q37_geo_localize"] = _Q37_SQL
     out["q38_ivf_topk"] = _Q14_SQL  # exact top-k: green row == recall 1.0
     out["q39_streaming_dedup"] = _Q39_SQL
+    out["q40_image_features"] = _Q40_SQL
     return out

@@ -1,11 +1,18 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
 Audio decode is REAL in this repo (baskerville_spark.audio — deterministic
-codec stand-ins). Image/video decode libraries are not in the container, so
-those decoders are stubs behind ``NotImplementedError`` — but the Spark-side
-plumbing (schema, Arrow batch shape, UDF signature, partition behavior) is
-real and tested: swap the `_decode_*` body for Pillow/PyAV and nothing else
-changes.
+codec stand-ins), and image decode is REAL for the uncompressed container
+formats that need only numpy: BMP (24/32-bit BI_RGB), binary netpbm
+(P5 PGM / P6 PPM), and the synthetic 'rawgray' fixture format. Compressed
+codecs (jpeg/png/webp) need Pillow/turbojpeg, which are not in this
+container — those raise ``NotImplementedError`` and surface as
+``decode_ok=false`` rows. The Spark-side plumbing (schema, Arrow batch
+shape, UDF signature, partition behavior) is identical either way: swap
+the codec branch and nothing else changes.
+
+Feature extraction includes an 8x8 average-hash (``ahash``) so image
+near-duplicate detection composes with the SimHash Hamming-band join in
+``functions.dedup.simhash_near_dups`` (same 64-bit + chunks shape).
 """
 
 from __future__ import annotations
@@ -24,15 +31,70 @@ IMAGE_META_SCHEMA = T.StructType(
         T.StructField("height", T.IntegerType(), True),
         T.StructField("n_channels", T.IntegerType(), True),
         T.StructField("mean_luma", T.DoubleType(), True),
+        T.StructField("ahash", T.LongType(), True),
         T.StructField("decode_ok", T.BooleanType(), False),
     ]
 )
 
 
+def _decode_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed 24/32-bit BI_RGB BMP → (h, w, 3) RGB uint8."""
+    if payload[:2] != b"BM" or len(payload) < 54:
+        raise ValueError("not a BMP")
+    data_off = int.from_bytes(payload[10:14], "little")
+    w = int.from_bytes(payload[18:22], "little", signed=True)
+    h = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    comp = int.from_bytes(payload[30:34], "little")
+    if comp != 0 or bpp not in (24, 32):
+        raise NotImplementedError("compressed or palette BMP needs Pillow")
+    bottom_up, h = h > 0, abs(h)
+    nch = bpp // 8
+    stride = (w * nch + 3) // 4 * 4
+    if data_off + stride * h > len(payload):
+        raise ValueError("truncated BMP payload")
+    rows = np.frombuffer(payload, np.uint8, count=stride * h, offset=data_off)
+    img = rows.reshape(h, stride)[:, : w * nch].reshape(h, w, nch)
+    if bottom_up:
+        img = img[::-1]
+    return img[..., 2::-1]  # BGR(A) → RGB, drop alpha
+
+
+def _decode_pnm(payload: bytes) -> np.ndarray:
+    """Binary netpbm: P5 (gray) / P6 (RGB), maxval <= 255."""
+    magic = payload[:2]
+    if magic not in (b"P5", b"P6"):
+        raise ValueError("not a binary PGM/PPM")
+    pos, vals = 2, []
+    while len(vals) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment to end of line
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        vals.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = vals
+    if maxval > 255:
+        raise NotImplementedError("16-bit netpbm needs Pillow")
+    nch = 1 if magic == b"P5" else 3
+    n = w * h * nch
+    if pos + n > len(payload):
+        raise ValueError("truncated netpbm payload")
+    return np.frombuffer(payload, np.uint8, count=n, offset=pos).reshape(h, w, nch)
+
+
 def _decode_image(payload: bytes, fmt: str) -> np.ndarray:
-    """Stub: real impl would be Pillow/turbojpeg. Deterministic fake for the
-    synthetic 'rawgray' format (w:h header + raw bytes); everything else is
-    not implemented in this container."""
+    """numpy-only decoders for uncompressed formats; compressed codecs are
+    honestly NotImplemented in this container (no Pillow/turbojpeg)."""
+    if fmt == "bmp":
+        return _decode_bmp(payload)
+    if fmt in ("pgm", "ppm", "pnm"):
+        return _decode_pnm(payload)
     if fmt == "rawgray":
         w = int.from_bytes(payload[0:4], "little")
         h = int.from_bytes(payload[4:8], "little")
@@ -41,6 +103,23 @@ def _decode_image(payload: bytes, fmt: str) -> np.ndarray:
             raise ValueError("truncated rawgray payload")
         return arr.reshape(h, w, 1)
     raise NotImplementedError(f"image codec {fmt!r} needs Pillow/PyAV (not in container)")
+
+
+def _ahash64(img: np.ndarray) -> int:
+    """64-bit average hash: 8x8 center-sampled luma thumbnail, bit i set when
+    cell i exceeds the thumbnail mean. Composable with the SimHash
+    Hamming-band join (same bigint shape)."""
+    luma = img.astype(np.float64).mean(axis=2)
+    h, w = luma.shape
+    yy = np.minimum(((np.arange(8) + 0.5) * h / 8).astype(int), h - 1)
+    xx = np.minimum(((np.arange(8) + 0.5) * w / 8).astype(int), w - 1)
+    thumb = luma[yy][:, xx]
+    bits = (thumb > thumb.mean()).flatten()
+    val = 0
+    for i, b in enumerate(bits):
+        if b:
+            val |= 1 << i
+    return int(np.int64(np.uint64(val)))  # wrap to signed for LongType
 
 
 def image_features(df: DataFrame, fmt_col: str = "fmt") -> DataFrame:
@@ -63,6 +142,7 @@ def image_features(df: DataFrame, fmt_col: str = "fmt") -> DataFrame:
                             "height": img.shape[0],
                             "n_channels": img.shape[2],
                             "mean_luma": float(img.mean()),
+                            "ahash": _ahash64(img),
                             "decode_ok": True,
                         }
                     )
@@ -74,6 +154,7 @@ def image_features(df: DataFrame, fmt_col: str = "fmt") -> DataFrame:
                             "height": None,
                             "n_channels": None,
                             "mean_luma": None,
+                            "ahash": None,
                             "decode_ok": False,
                         }
                     )
@@ -82,3 +163,27 @@ def image_features(df: DataFrame, fmt_col: str = "fmt") -> DataFrame:
     return df.select("item_id", "payload", fmt_col).mapInPandas(
         run, schema=IMAGE_META_SCHEMA
     )
+
+
+def make_bmp(width: int, height: int, rgb: tuple[int, int, int]) -> bytes:
+    """Minimal solid-color 24-bit BMP writer (test/fixture helper — the
+    deterministic image source for gate queries, since binary images can't
+    live in the shared testdata)."""
+    stride = (width * 3 + 3) // 4 * 4
+    row = (bytes((rgb[2], rgb[1], rgb[0])) * width).ljust(stride, b"\x00")
+    pixels = row * height
+    header = (
+        b"BM"
+        + (54 + len(pixels)).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + width.to_bytes(4, "little", signed=True)
+        + height.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(pixels).to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    return header + pixels

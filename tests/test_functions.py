@@ -198,17 +198,47 @@ def test_geo_localize_lookup(spark):
 
 
 def test_multimodal_image_plumbing(spark):
-    from baskerville_spark.functions.multimodal import image_features
+    from baskerville_spark.functions.multimodal import image_features, make_bmp
 
     w, h = 4, 3
     payload = (
         w.to_bytes(4, "little") + h.to_bytes(4, "little") + bytes(range(w * h))
     )
+    ppm = b"P6\n# comment\n2 2\n255\n" + bytes([10, 20, 30, 40, 50, 60, 70, 80, 90, 100, 110, 120])
     df = spark.createDataFrame(
-        [("a", bytearray(payload), "rawgray"), ("b", bytearray(b"xx"), "jpeg")],
+        [
+            ("a", bytearray(payload), "rawgray"),
+            ("b", bytearray(b"xx"), "jpeg"),
+            ("c", bytearray(make_bmp(6, 5, (30, 60, 90))), "bmp"),
+            ("d", bytearray(ppm), "ppm"),
+        ],
         "item_id string, payload binary, fmt string",
     )
     out = {r["item_id"]: r for r in image_features(df).collect()}
     assert out["a"]["decode_ok"] and out["a"]["width"] == 4 and out["a"]["height"] == 3
     assert abs(out["a"]["mean_luma"] - np.mean(range(12))) < 1e-9
     assert not out["b"]["decode_ok"]  # jpeg decode is stubbed NotImplemented
+    assert out["c"]["decode_ok"] and (out["c"]["width"], out["c"]["height"]) == (6, 5)
+    assert abs(out["c"]["mean_luma"] - 60.0) < 1e-9  # mean of (30,60,90)
+    assert out["c"]["ahash"] == 0  # solid color: no cell exceeds the mean
+    assert out["d"]["decode_ok"] and (out["d"]["width"], out["d"]["height"]) == (2, 2)
+    assert abs(out["d"]["mean_luma"] - 65.0) < 1e-9
+
+
+def test_bmp_decode_and_ahash_pattern():
+    import numpy as np
+
+    from baskerville_spark.functions.multimodal import _ahash64, _decode_bmp, make_bmp
+
+    img = _decode_bmp(make_bmp(16, 16, (255, 0, 0)))
+    assert img.shape == (16, 16, 3)
+    assert (img[:, :, 0] == 255).all() and (img[:, :, 1] == 0).all()
+
+    # left half dark, right half bright → ahash bits set exactly where
+    # the 8x8 thumbnail column index >= 4
+    grad = np.zeros((16, 16, 3), dtype=np.uint8)
+    grad[:, 8:, :] = 255
+    expected = sum(1 << i for i in range(64) if (i % 8) >= 4)
+    if expected >= 1 << 63:  # same signed-int64 wrap as the implementation
+        expected -= 1 << 64
+    assert _ahash64(grad) == expected

@@ -114,7 +114,10 @@ def _ahash64(img: np.ndarray) -> int:
     yy = np.minimum(((np.arange(8) + 0.5) * h / 8).astype(int), h - 1)
     xx = np.minimum(((np.arange(8) + 0.5) * w / 8).astype(int), w - 1)
     thumb = luma[yy][:, xx]
-    bits = (thumb > thumb.mean()).flatten()
+    # epsilon: float summation can put the mean a few ulps BELOW 64 equal
+    # cells (e.g. luma 85.333...), which would set every bit on a solid
+    # image; 1e-6 is negligible at luma scale 0-255
+    bits = (thumb > thumb.mean() + 1e-6).flatten()
     val = 0
     for i, b in enumerate(bits):
         if b:

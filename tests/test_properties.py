@@ -1,0 +1,42 @@
+"""Hypothesis property tests (FIXTURES.md §6 style): pure-python decoder
+properties run many examples; Spark-backed properties run few (each example
+is a Spark job)."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+
+from baskerville_spark.functions.multimodal import _ahash64, _decode_bmp, make_bmp
+
+
+@given(
+    w=st.integers(1, 64),
+    h=st.integers(1, 64),
+    rgb=st.tuples(st.integers(0, 255), st.integers(0, 255), st.integers(0, 255)),
+)
+@settings(max_examples=50, deadline=None)
+def test_bmp_roundtrip_property(w, h, rgb):
+    img = _decode_bmp(make_bmp(w, h, rgb))
+    assert img.shape == (h, w, 3)
+    assert (img[0, 0] == rgb).all() and (img[-1, -1] == rgb).all()
+    # solid color → no thumbnail cell exceeds the mean → ahash is exactly 0
+    assert _ahash64(img) == 0
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab cd", min_size=15, max_size=60), min_size=2, max_size=6
+    )
+)
+@settings(max_examples=5, deadline=None)
+def test_jaccard_pair_invariants(spark, texts):
+    from baskerville_spark.functions.dedup import ngram_jaccard_pairs
+    docs = [(i, t) for i, t in enumerate(texts)] + [(100, texts[0]), (101, texts[0])]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    rows = ngram_jaccard_pairs(df, n=2, threshold=0.0, max_df=1 << 30).collect()
+    for r in rows:
+        assert r["id_a"] < r["id_b"]                      # canonical ordering
+        assert 0.0 < r["jaccard"] <= 1.0 + 1e-12          # bounded metric
+    by_pair = {(r["id_a"], r["id_b"]): r["jaccard"] for r in rows}
+    if (100, 101) in by_pair:                             # identical docs
+        assert abs(by_pair[(100, 101)] - 1.0) < 1e-12

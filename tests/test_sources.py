@@ -101,3 +101,26 @@ def test_jdbc_range_partitioned_read(spark, tmp_path):
 
     # registry jdbc path: `path` is the table name
     assert read_table(spark, "events", fmt="jdbc", url=url, **DERBY).count() == 1000
+
+
+def test_bucketed_join_avoids_shuffle(spark):
+    """Bucketed tables co-locate join keys at WRITE time: a sort-merge join
+    of two tables bucketed+sorted on the key needs NO exchange on either
+    side — the shuffle is paid once when the table lands, not per query
+    (the 100 TB answer for repeated fact-fact joins)."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+    try:
+        a = spark.range(1000).selectExpr("id AS k", "id * 2 AS va")
+        b = spark.range(1000).selectExpr("id AS k", "id * 3 AS vb")
+        a.write.bucketBy(8, "k").sortBy("k").mode("overwrite").saveAsTable("bt_a")
+        b.write.bucketBy(8, "k").sortBy("k").mode("overwrite").saveAsTable("bt_b")
+        j = spark.table("bt_a").join(spark.table("bt_b"), "k")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # both sides pre-bucketed: no shuffle
+        assert j.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bt_a")
+        spark.sql("DROP TABLE IF EXISTS bt_b")

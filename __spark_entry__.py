@@ -1297,6 +1297,46 @@ FROM idx
 """
 
 
+def q41_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling over binary payloads (multimodal plumbing):
+    every-5th-frame sampling inside mapInPandas, narrow rows out; every
+    13th item is a corrupt 'mp4' exercising the stubbed-codec path.
+    Synthesized in-session with closed-form per-frame luma so the DuckDB
+    oracle reproduces the sampled features arithmetically."""
+    from baskerville_spark.functions.multimodal import sample_frames
+
+    w, h = 4, 4
+    rows = []
+    for i in range(60):
+        if i % 13 == 0:
+            rows.append((f"vid_{i:04d}", bytearray(b"\x00\x00mp4garbage"), "mp4"))
+            continue
+        n = 12 + i % 10
+        frames = b"".join(bytes([(i * 5 + j * 3) % 256]) * (w * h) for j in range(n))
+        payload = (
+            w.to_bytes(4, "little") + h.to_bytes(4, "little") + n.to_bytes(4, "little") + frames
+        )
+        rows.append((f"vid_{i:04d}", bytearray(payload), "rawgray_video"))
+    df = spark.createDataFrame(
+        rows, "item_id string, payload binary, fmt string"
+    ).repartition(spark.sparkContext.defaultParallelism)
+    return sample_frames(df, every_k=5)
+
+
+_Q41_SQL = """
+WITH v AS (SELECT unnest(generate_series(0, 59)) AS i),
+f AS (SELECT i, unnest(generate_series(0, 11 + i % 10)) AS j FROM v WHERE i % 13 <> 0)
+SELECT 'vid_' || lpad(CAST(i AS VARCHAR), 4, '0') AS item_id,
+       CAST(j AS INT) AS frame_idx,
+       CAST((i * 5 + j * 3) % 256 AS DOUBLE) AS mean_luma,
+       TRUE AS decode_ok
+FROM f WHERE j % 5 = 0
+UNION ALL
+SELECT 'vid_' || lpad(CAST(i AS VARCHAR), 4, '0'), NULL, NULL, FALSE
+FROM v WHERE i % 13 = 0
+"""
+
+
 _prev_queries_q30 = queries
 
 
@@ -1313,6 +1353,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F
     out["q38_ivf_topk"] = q38_ivf_topk
     out["q39_streaming_dedup"] = q39_streaming_dedup
     out["q40_image_features"] = q40_image_features
+    out["q41_video_frame_sample"] = q41_video_frame_sample
     return out
 
 
@@ -1332,4 +1373,5 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
     out["q38_ivf_topk"] = _Q14_SQL  # exact top-k: green row == recall 1.0
     out["q39_streaming_dedup"] = _Q39_SQL
     out["q40_image_features"] = _Q40_SQL
+    out["q41_video_frame_sample"] = _Q41_SQL
     return out

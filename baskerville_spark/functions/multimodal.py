@@ -168,6 +168,71 @@ def image_features(df: DataFrame, fmt_col: str = "fmt") -> DataFrame:
     )
 
 
+VIDEO_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("item_id", T.StringType(), False),
+        T.StructField("frame_idx", T.IntegerType(), True),
+        T.StructField("mean_luma", T.DoubleType(), True),
+        T.StructField("decode_ok", T.BooleanType(), False),
+    ]
+)
+
+
+def _iter_video_frames(payload: bytes, fmt: str):
+    """Frame iterator for the deterministic 'rawgray_video' container
+    (header: w, h, n_frames as uint32-LE; then n_frames × w*h gray bytes).
+    Real codecs (mp4/webm) need PyAV — honestly NotImplemented here; the
+    sampling plumbing (batch shape, narrow output, per-frame fan-out) is
+    identical once the iterator body is swapped."""
+    if fmt != "rawgray_video":
+        raise NotImplementedError(f"video codec {fmt!r} needs PyAV (not in container)")
+    w = int.from_bytes(payload[0:4], "little")
+    h = int.from_bytes(payload[4:8], "little")
+    n = int.from_bytes(payload[8:12], "little")
+    fsz = w * h
+    if 12 + n * fsz > len(payload):
+        raise ValueError("truncated rawgray_video payload")
+    for i in range(n):
+        yield i, np.frombuffer(payload, np.uint8, count=fsz, offset=12 + i * fsz).reshape(h, w)
+
+
+def sample_frames(df: DataFrame, every_k: int = 10, fmt_col: str = "fmt") -> DataFrame:
+    """Frame sampling over binary video payloads: mapInPandas fans each
+    video out to one NARROW row per sampled frame (every ``every_k``-th) —
+    pixels never return to the JVM; downstream joins/aggs see only
+    (item_id, frame_idx, features)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for _, r in b.iterrows():
+                try:
+                    for i, frame in _iter_video_frames(bytes(r["payload"]), r[fmt_col]):
+                        if i % every_k == 0:
+                            rows.append(
+                                {
+                                    "item_id": r["item_id"],
+                                    "frame_idx": i,
+                                    "mean_luma": float(frame.mean()),
+                                    "decode_ok": True,
+                                }
+                            )
+                except (NotImplementedError, ValueError):
+                    rows.append(
+                        {
+                            "item_id": r["item_id"],
+                            "frame_idx": None,
+                            "mean_luma": None,
+                            "decode_ok": False,
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in VIDEO_FRAME_SCHEMA.fields])
+
+    return df.select("item_id", "payload", fmt_col).mapInPandas(
+        run, schema=VIDEO_FRAME_SCHEMA
+    )
+
+
 def make_bmp(width: int, height: int, rgb: tuple[int, int, int]) -> bytes:
     """Minimal solid-color 24-bit BMP writer (test/fixture helper — the
     deterministic image source for gate queries, since binary images can't

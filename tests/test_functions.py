@@ -225,6 +225,30 @@ def test_multimodal_image_plumbing(spark):
     assert abs(out["d"]["mean_luma"] - 65.0) < 1e-9
 
 
+def test_video_frame_sampling(spark):
+    from baskerville_spark.functions.multimodal import sample_frames
+
+    w, h, n = 4, 2, 25
+    frames = b"".join(bytes([min(i * 10, 255)]) * (w * h) for i in range(n))
+    payload = (
+        w.to_bytes(4, "little") + h.to_bytes(4, "little") + n.to_bytes(4, "little") + frames
+    )
+    df = spark.createDataFrame(
+        [
+            ("v1", bytearray(payload), "rawgray_video"),
+            ("v2", bytearray(b"\x00\x00mp4garbage"), "mp4"),
+        ],
+        "item_id string, payload binary, fmt string",
+    )
+    rows = sample_frames(df, every_k=10).collect()
+    v1 = sorted(
+        (r["frame_idx"], r["mean_luma"]) for r in rows if r["item_id"] == "v1"
+    )
+    assert v1 == [(0, 0.0), (10, 100.0), (20, 200.0)]  # every 10th frame
+    v2 = [r for r in rows if r["item_id"] == "v2"]
+    assert len(v2) == 1 and not v2[0]["decode_ok"]  # mp4 honestly stubbed
+
+
 def test_bmp_decode_and_ahash_pattern():
     import numpy as np
 

@@ -110,3 +110,56 @@ def test_streaming_incremental_stats(spark, tmp_path):
     assert abs(x["mean_value"] - 3.0) < 1e-9
     y = last["y"]
     assert y["n_total"] == 1 and y["mean_value"] == 10.0
+
+
+def test_streaming_session_window(spark, tmp_path):
+    """Native F.session_window in an ACTUAL stream (SURVEY §2.10): events in
+    two micro-batches; the watermark closes finished sessions and append
+    mode emits them with merged extents across batches."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "sess_src"
+    os.makedirs(src)
+    rows1 = [
+        {"user": "u1", "ts": "2024-01-01 10:00:00"},
+        {"user": "u1", "ts": "2024-01-01 10:10:00"},   # same session (gap 10m)
+        {"user": "u2", "ts": "2024-01-01 10:00:00"},
+    ]
+    with open(src / "b1.json", "w") as f:
+        for r in rows1:
+            f.write(json.dumps(r) + "\n")
+
+    stream = (
+        spark.readStream.schema("user string, ts string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+        .withColumn("ts", F.to_timestamp("ts"))
+        .withWatermark("ts", "10 minutes")
+        .groupBy("user", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user", F.col("sw.start").alias("start"), "n_events")
+    )
+    name = f"sess_{int(time.time() * 1000)}"
+    q = stream.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+        # batch 2: u1 extends the open session; a late event far ahead moves
+        # the watermark past every open session so they all emit
+        with open(src / "b2.json", "w") as f:
+            f.write(json.dumps({"user": "u1", "ts": "2024-01-01 10:20:00"}) + "\n")
+            f.write(json.dumps({"user": "u3", "ts": "2024-01-01 14:00:00"}) + "\n")
+        q.processAllAvailable()
+        with open(src / "b3.json", "w") as f:
+            f.write(json.dumps({"user": "u3", "ts": "2024-01-01 18:00:00"}) + "\n")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {(r["user"], str(r["start"])): r["n_events"]
+           for r in spark.sql(f"SELECT * FROM {name}").collect()}
+    # u1's three events merged into ONE session spanning both micro-batches
+    assert got[("u1", "2024-01-01 10:00:00")] == 3
+    assert got[("u2", "2024-01-01 10:00:00")] == 1

@@ -567,11 +567,36 @@ LIMIT 10
 # ---------------------------------------------------------------------------
 
 def q19_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs, verified candidates-only. The oracle is
+    the EXACT (unguarded) Jaccard pair SQL — a green row proves the banded
+    MinHash misses no true pair at this threshold on the fixture (recall
+    1.0), while the Spark plan touches only candidate docs."""
     from baskerville_spark.functions.dedup import minhash_lsh_pairs
 
     d = _docs_wide(spark, sf_dir)
     p = minhash_lsh_pairs(d, n=3, num_hashes=32, bands=8, verify_threshold=0.8)
     return p.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+_Q19_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t FROM documents),
+idx AS (
+  SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 2, 0))) AS i
+  FROM toks WHERE len(t) >= 3),
+sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle FROM idx),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT id_a, id_b,
+       ROUND(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8
+"""
 
 
 def q20_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -703,9 +728,10 @@ def oracle_sql() -> dict[str, str]:
         "q16_exact_dups": _Q16_SQL,
         "q17_pricing_summary": _Q17_SQL,
         "q18_top_revenue_orders": _Q18_SQL,
+        "q19_minhash_pairs": _Q19_SQL,
         "q22_vector_pairs": _Q22_SQL,
         "q23_streaming_window_counts": _Q23_SQL,
-        # q19/q20 (xxhash64 sketches) and q21 (audio suite): rows-only
+        # q20 (xxhash64 sketch) and q21 (audio suite): rows-only
     }
 
 
@@ -1337,6 +1363,25 @@ FROM v WHERE i % 13 = 0
 """
 
 
+def q42_dup_exemplars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase bounded-exemplar aggregation (the case where
+    salting is load-bearing — list state, not counts; see
+    checks/uniqueness.duplicate_exemplars and docs/PLANS.md)."""
+    from baskerville_spark.checks.uniqueness import duplicate_exemplars
+
+    o = _t(spark, sf_dir, "orders")
+    return duplicate_exemplars(
+        o, key="o_custkey", id_col="o_orderkey", k=5, n_salt=16
+    ).select("o_custkey", "dup_count", "exemplar_ids")
+
+
+_Q42_SQL = """
+SELECT o_custkey, COUNT(*) AS dup_count,
+       (list_sort(list(o_orderkey)))[1:5] AS exemplar_ids
+FROM orders GROUP BY o_custkey HAVING COUNT(*) > 1
+"""
+
+
 _prev_queries_q30 = queries
 
 
@@ -1354,6 +1399,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F
     out["q39_streaming_dedup"] = q39_streaming_dedup
     out["q40_image_features"] = q40_image_features
     out["q41_video_frame_sample"] = q41_video_frame_sample
+    out["q42_dup_exemplars"] = q42_dup_exemplars
     return out
 
 
@@ -1374,4 +1420,5 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
     out["q39_streaming_dedup"] = _Q39_SQL
     out["q40_image_features"] = _Q40_SQL
     out["q41_video_frame_sample"] = _Q41_SQL
+    out["q42_dup_exemplars"] = _Q42_SQL
     return out

@@ -124,3 +124,36 @@ def test_ri_plan_uses_broadcast(t1_clips, t1_tref, strategy, fragment):
     v = ref_integrity_violations(t1_clips, t1_tref, strategy=strategy)
     plan = v._jdf.queryExecution().executedPlan().toString()
     assert fragment in plan
+
+
+def test_aqe_splits_skewed_join(spark):
+    """AQE skew-join handling (the runtime complement to salting): one hot
+    key dominating the left side must be split across tasks — the executed
+    adaptive plan marks the sort-merge join with skew=true."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "1KB",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        fact = spark.range(200_000).select(
+            F.when(F.col("id") < 190_000, F.lit(7)).otherwise(F.col("id")).alias("k"),
+            F.concat(F.lit("payload_"), F.col("id")).alias("pay"),
+        )
+        dim = spark.range(1000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+        j = fact.join(dim, "k")
+        # execute j's OWN QueryExecution so its adaptive plan finalizes
+        # (count() would plan separately and leave this one unexecuted)
+        assert len(j.collect()) == 190_000  # only the hot key matches the dim
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)

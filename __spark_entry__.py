@@ -1306,7 +1306,7 @@ def q40_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_channels",
         F.round("mean_luma", 4).alias("mean_luma"),
         "ahash",  # solid-color images: no cell exceeds the mean → 0
-        "decode_ok",
+        F.col("decode_ok").cast("int").alias("decode_ok"),
     )
 
 
@@ -1318,7 +1318,7 @@ SELECT 'img_' || lpad(CAST(i AS VARCHAR), 4, '0') AS item_id,
        CASE WHEN i % 17 = 0 THEN NULL ELSE 3 END AS n_channels,
        CASE WHEN i % 17 = 0 THEN NULL ELSE CAST((i * 7) % 256 AS DOUBLE) END AS mean_luma,
        CASE WHEN i % 17 = 0 THEN NULL ELSE 0 END AS ahash,
-       (i % 17 <> 0) AS decode_ok
+       CAST(i % 17 <> 0 AS INT) AS decode_ok
 FROM idx
 """
 
@@ -1346,7 +1346,9 @@ def q41_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = spark.createDataFrame(
         rows, "item_id string, payload binary, fmt string"
     ).repartition(spark.sparkContext.defaultParallelism)
-    return sample_frames(df, every_k=5)
+    return sample_frames(df, every_k=5).withColumn(
+        "decode_ok", F.col("decode_ok").cast("int")
+    )
 
 
 _Q41_SQL = """
@@ -1355,10 +1357,10 @@ f AS (SELECT i, unnest(generate_series(0, 11 + i % 10)) AS j FROM v WHERE i % 13
 SELECT 'vid_' || lpad(CAST(i AS VARCHAR), 4, '0') AS item_id,
        CAST(j AS INT) AS frame_idx,
        CAST((i * 5 + j * 3) % 256 AS DOUBLE) AS mean_luma,
-       TRUE AS decode_ok
+       1 AS decode_ok
 FROM f WHERE j % 5 = 0
 UNION ALL
-SELECT 'vid_' || lpad(CAST(i AS VARCHAR), 4, '0'), NULL, NULL, FALSE
+SELECT 'vid_' || lpad(CAST(i AS VARCHAR), 4, '0'), NULL, NULL, 0
 FROM v WHERE i % 13 = 0
 """
 
@@ -1370,14 +1372,20 @@ def q42_dup_exemplars(spark: SparkSession, sf_dir: str) -> DataFrame:
     from baskerville_spark.checks.uniqueness import duplicate_exemplars
 
     o = _t(spark, sf_dir, "orders")
-    return duplicate_exemplars(
+    out = duplicate_exemplars(
         o, key="o_custkey", id_col="o_orderkey", k=5, n_salt=16
-    ).select("o_custkey", "dup_count", "exemplar_ids")
+    )
+    # canonical string form: array cells hash differently across engines
+    return out.select(
+        "o_custkey",
+        "dup_count",
+        F.concat_ws(",", F.col("exemplar_ids")).alias("exemplar_ids"),
+    )
 
 
 _Q42_SQL = """
 SELECT o_custkey, COUNT(*) AS dup_count,
-       (list_sort(list(o_orderkey)))[1:5] AS exemplar_ids
+       array_to_string((list_sort(list(o_orderkey)))[1:5], ',') AS exemplar_ids
 FROM orders GROUP BY o_custkey HAVING COUNT(*) > 1
 """
 

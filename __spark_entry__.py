@@ -854,16 +854,51 @@ FROM m WHERE event_type = 'error'
 """
 
 
+#: per-stratum sampling fractions as hex-byte thresholds over md5(event_id):
+#: a row is sampled when the first two hex chars of its md5 are < threshold
+#: (n/256 resolution). md5 is identical across engines, so the "random"
+#: variate is deterministic and the DuckDB oracle reproduces the exact
+#: sample — unlike seedful sampleBy, whose Bernoulli draw is engine-private
+#: (sampleBy itself stays demonstrated in test_checks.py).
+SAMPLE_THRESHOLDS = {
+    "click": "40",     # 64/256  = 0.25
+    "view": "19",      # 25/256  ≈ 0.10
+    "purchase": "80",  # 128/256 = 0.50
+    "signup": "33",    # 51/256  ≈ 0.20
+    "error": "0c",     # 12/256  ≈ 0.05
+}
+
+
 def q28_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stratified sampling per stratum (reference sampleBy, tasks.py:1486-1499).
-    Seeded but engine-specific sampling → rows-only check."""
+    """Deterministic hash-based stratified sampling (the oracle-checkable
+    form of the reference's sampleBy, tasks.py:1486-1499): md5(event_id) is
+    the uniform variate; each stratum keeps rows under its hex threshold.
+    Scale: a pure map-side filter — no shuffle, no state, reproducible
+    across engines, runs, and partitionings (sampleBy's seed is only stable
+    for a fixed partitioning)."""
     e = _t(spark, sf_dir, "events")
-    fractions = {t: 0.2 for t in EVENT_TYPES}
+    thr = F.create_map(
+        *[F.lit(x) for kv in SAMPLE_THRESHOLDS.items() for x in kv]
+    )
+    variate = F.substring(F.md5(F.col("event_id").cast("string")), 1, 2)
     return (
-        e.sampleBy("event_type", fractions, seed=777)
+        e.where(variate < F.element_at(thr, F.col("event_type")))
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_sampled"))
     )
+
+
+def _q28_sql() -> str:
+    cases = " ".join(
+        f"WHEN '{t}' THEN '{h}'" for t, h in SAMPLE_THRESHOLDS.items()
+    )
+    return f"""
+SELECT event_type, COUNT(*) AS n_sampled
+FROM events
+WHERE substring(md5(CAST(event_id AS VARCHAR)), 1, 2)
+      < (CASE event_type {cases} END)
+GROUP BY event_type
+"""
 
 
 def q29_state_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -916,8 +951,8 @@ def _extra_oracles():
         "q25_json_props": _Q25_SQL,
         "q26_rollup_counts": _Q26_SQL,
         "q27_asof_prev_click": _Q27_SQL,
+        "q28_stratified_sample": _q28_sql(),
         "q29_state_merge": _Q29_SQL,
-        # q28 sampling is engine-specific → rows-only
     }
 
 

@@ -24,10 +24,21 @@ replace `decode` and raise NotImplementedError for unknown codecs.
 from __future__ import annotations
 
 import hashlib
+import io
 import struct
 import zlib
 
 import numpy as np
+
+# Optional-dependency seam: with soundfile/libsndfile present (real
+# clusters), payloads that are NOT the deterministic stand-in containers
+# decode through libsndfile via the same `decode` entry point; absent (this
+# container), unknown payloads stay structural violations. Probed once per
+# process.
+try:  # pragma: no cover - not installed in this container
+    import soundfile as _soundfile
+except ImportError:
+    _soundfile = None
 
 SNR_THRESHOLD_DB = 30.0
 
@@ -77,8 +88,8 @@ def encode(pcm: np.ndarray, codec: str) -> bytes:
     raise NotImplementedError(f"unknown codec {codec!r}")
 
 
-def decode(payload: bytes, codec: str) -> np.ndarray | None:
-    """Decode to int16 PCM; None when the payload is structurally invalid."""
+def _decode_standin(payload: bytes, codec: str) -> np.ndarray | None:
+    """The deterministic stand-in containers only; None on any mismatch."""
     try:
         if codec == "pcm_s16le":
             if len(payload) % 2:
@@ -100,9 +111,29 @@ def decode(payload: bytes, codec: str) -> np.ndarray | None:
             if len(q) != n:
                 return None
             return (q.astype(np.int32) << 4).astype(np.int16)
-        return None  # unknown codec → structural violation, not a crash
+        return None
     except Exception:
         return None
+
+
+def decode(payload: bytes, codec: str) -> np.ndarray | None:
+    """Decode to int16 PCM; None when the payload is structurally invalid.
+
+    Stand-in containers decode directly; anything else (a REAL flac/opus/
+    wav payload, or a codec the stand-ins don't model) goes through
+    libsndfile when soundfile is importable — so the same call sites upgrade
+    to real codecs on a cluster that has the library, with no plan change.
+    """
+    pcm = _decode_standin(payload, codec)
+    if pcm is not None:
+        return pcm
+    if _soundfile is not None:  # pragma: no cover - real-codec seam
+        try:
+            data, _sr = _soundfile.read(io.BytesIO(payload), dtype="int16")
+            return data if data.ndim == 1 else data[:, 0]
+        except Exception:
+            return None
+    return None  # unknown codec → structural violation, not a crash
 
 
 def snr_db(ref: np.ndarray, test: np.ndarray) -> float:

@@ -56,14 +56,55 @@ def exact_duplicates(
     id_col: str = "doc_id",
     text_col: str = "text",
     exemplar_k: int = 16,
+    n_salt: int = 64,
 ) -> DataFrame:
     """Groups of byte-identical texts: (text_hash, dup_count, ids).
 
     ``ids`` holds at most ``exemplar_k`` exemplar ids (the smallest by sort
-    order). Counting uses a plain groupBy (map-side combine keeps skewed
-    hashes cheap); exemplars come from a row_number window, whose external
-    sort spills instead of holding the whole group in memory — so one text
-    duplicated a billion times costs a disk sort, not an OOM.
+    order). SALTED two-phase aggregation (same pattern as
+    checks.uniqueness.duplicate_exemplars): phase 1 groups on
+    (hash, spark_partition_id % n_salt) so a text duplicated 10^9 times is
+    reduced in parallel across input splits with each group's list capped at
+    k; phase 2 merges ≤ n_salt bounded lists. Counts ride the same two
+    phases (sum of partials), so the whole operator is two shuffles of
+    (hash, ≤k ids) rows and NO single-task hot-key stage anywhere — the
+    row_number-window form this replaces serialized a hot hash onto one
+    reducer's external sort.
+
+    "Smallest k" is preserved exactly: every salt group contributes its own
+    k smallest, and the global k smallest are a subset of that union.
+    """
+    hashed = df.select(F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col).alias("id"))
+    phase1 = (
+        hashed.withColumn("__salt", F.spark_partition_id() % n_salt)
+        .groupBy("text_hash", "__salt")
+        .agg(
+            F.slice(F.sort_array(F.collect_list("id")), 1, exemplar_k).alias("partial_ids"),
+            F.count(F.lit(1)).alias("partial_count"),
+        )
+    )
+    return (
+        phase1.groupBy("text_hash")
+        .agg(
+            F.sum("partial_count").alias("dup_count"),
+            F.slice(
+                F.sort_array(F.flatten(F.collect_list("partial_ids"))), 1, exemplar_k
+            ).alias("ids"),
+        )
+        .where(F.col("dup_count") > 1)
+    )
+
+
+def exact_duplicates_window(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    exemplar_k: int = 16,
+) -> DataFrame:
+    """Window-form alternative to ``exact_duplicates`` (same output): a
+    row_number over (hash, id) whose external sort SPILLS a hot key instead
+    of OOMing — but runs it on ONE task. Kept as the comparison baseline for
+    the property test; the salted two-phase form is the scale default.
     """
     hashed = df.select(F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col).alias("id"))
     counts = (

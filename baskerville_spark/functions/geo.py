@@ -28,8 +28,17 @@ def tz_offset_udf(spark: SparkSession):
     @F.pandas_udf(IntegerType())
     def tz_offset(lon: pd.Series) -> pd.Series:
         t = bcast.value
-        idx = (lon.astype("int64") + 180).to_numpy()
-        return pd.Series(t[idx], dtype="int32")
+        # floor (not int64 truncation) so fractional negative lon maps to the
+        # correct nautical zone; clip keeps lon=180 / out-of-range inputs on
+        # the table; NULL lon propagates as NULL instead of failing the task.
+        vals = lon.to_numpy(dtype="float64", na_value=np.nan)
+        idx = np.clip(np.floor(vals), -180, 179)
+        out = pd.array(
+            np.where(np.isnan(idx), 0, t[np.nan_to_num(idx, nan=0.0).astype(np.int64) + 180]),
+            dtype="Int32",
+        )
+        out[np.isnan(idx)] = pd.NA
+        return pd.Series(out)
 
     return tz_offset
 

@@ -19,6 +19,28 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _stack_valid(emb: pd.Series, expected_dim: int | None = None) -> tuple[np.ndarray, np.ndarray]:
+    """(mask, matrix) from a Series of array cells: NULL rows are masked out
+    instead of crashing the vstack; ragged / wrong-dimension vectors raise a
+    descriptive ValueError rather than an opaque Python-worker failure.
+    ``expected_dim`` catches raggedness even when the bad rows land in
+    different Arrow batches (a batch is internally consistent by accident)."""
+    cells = emb.to_numpy()
+    mask = np.array([c is not None for c in cells], dtype=bool)
+    valid = [np.asarray(c, dtype=np.float64) for c in cells[mask]]
+    if not valid:
+        return mask, np.empty((0, expected_dim or 0))
+    dims = {v.shape[0] for v in valid}
+    if expected_dim is not None:
+        dims.add(int(expected_dim))
+    if len(dims) > 1:
+        raise ValueError(
+            f"embedding column has mixed dimensions {sorted(dims)}; "
+            "fix or filter the ragged rows before similarity ops"
+        )
+    return mask, np.vstack(valid)
+
+
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
@@ -96,11 +118,17 @@ def hyperplane_lsh_pairs(
     def srp_buckets(emb: pd.Series) -> pd.Series:
         # Arrow-batched sign-random-projection: ONE BLAS matmul per batch
         # instead of n_tables*n_planes literal-array dot expressions (whose
-        # codegen alone costs more than the data at any scale)
-        x = np.vstack(emb.to_numpy()).astype(np.float64)        # (n, dim)
-        signs = (x @ planes.T) > 0                              # (n, T*P)
-        b = signs.reshape(len(x), n_tables, n_planes) @ bit_weights  # (n, T)
-        return pd.Series(list(b.astype(np.int64)))
+        # codegen alone costs more than the data at any scale). NULL vectors
+        # null-propagate (no buckets) instead of failing the task.
+        mask, x = _stack_valid(emb, expected_dim=dim)
+        out: list = [None] * len(mask)
+        if len(x):
+            signs = (x @ planes.T) > 0                              # (n, T*P)
+            b = signs.reshape(len(x), n_tables, n_planes) @ bit_weights  # (n, T)
+            b = b.astype(np.int64)
+            for j, i in enumerate(np.flatnonzero(mask)):
+                out[i] = b[j]
+        return pd.Series(out)
 
     emb = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     base = df.select(F.col(id_col).alias("id"), emb.alias("v")).withColumn(
@@ -152,14 +180,19 @@ def train_ivf_centroids(
     Deterministic: fixed sample, fixed init, fixed iteration count — unlike
     parallel k-means, whose result depends on partitioning.
     """
-    sample = np.vstack(
-        [
-            np.asarray(r[0], dtype=np.float64)
-            for r in df.where(F.col(id_col) % sample_mod == 0)
-            .select(vec_col)
-            .collect()
-        ]
-    )
+    sample_rows = [
+        np.asarray(r[0], dtype=np.float64)
+        for r in df.where(F.col(id_col) % sample_mod == 0)
+        .where(F.col(vec_col).isNotNull())
+        .select(vec_col)
+        .collect()
+    ]
+    if len(sample_rows) < n_centroids:
+        raise ValueError(
+            f"IVF training sample has {len(sample_rows)} vectors < "
+            f"n_centroids={n_centroids}; lower sample_mod or n_centroids"
+        )
+    sample = np.vstack(sample_rows)
     rng = np.random.default_rng(seed)
     cent = sample[rng.choice(len(sample), size=n_centroids, replace=False)]
     for _ in range(iters):
@@ -187,9 +220,12 @@ def ivf_assign(
 
     @F.pandas_udf(IntegerType())
     def assign(emb: pd.Series) -> pd.Series:
-        x = np.vstack(emb.to_numpy()).astype(np.float64)
-        scores = x @ cent.T - half_norms
-        return pd.Series(scores.argmax(1).astype(np.int32))
+        mask, x = _stack_valid(emb, expected_dim=cent.shape[1])  # NULL → NULL cluster
+        out = pd.array([pd.NA] * len(mask), dtype="Int32")
+        if len(x):
+            scores = x @ cent.T - half_norms
+            out[mask] = scores.argmax(1).astype(np.int32)
+        return pd.Series(out)
 
     emb = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     return df.select(

@@ -49,6 +49,7 @@ TRANS_MOD, TRANS_OFF = 223, 13
 NULL_MOD, NULL_OFF = 227, 41
 RANGE_MOD, RANGE_OFF = 229, 7
 RI_MOD, RI_OFF = 233, 29
+MP3_MOD, MP3_OFF = 5, 2  # drift-partition rows with an unseen codec
 
 
 @dataclass(frozen=True)
@@ -99,8 +100,11 @@ def _row(i: int, cfg: GenConfig) -> dict:
     sr = int(rng.choice(SR_CHOICES, p=SR_WEIGHTS_DRIFT if drift else SR_WEIGHTS))
     dur = int(rng.integers(cfg.dur_min_ms, cfg.dur_max_ms + 1))
     # mp3 never lands on an SNR-corrupted row so the snr / decode_error
-    # golden counts stay independent
-    if drift and i % SNR_MOD != SNR_OFF and rng.random() < 0.2:
+    # golden counts stay independent. The selection is a DETERMINISTIC mod
+    # (~20% of the drift partition, like the old rng draw) so the expected
+    # pattern:codec / decode_error verdict counts are closed-form — the q21
+    # DuckDB oracle reproduces them arithmetically (MP3_MOD/MP3_OFF below).
+    if drift and i % SNR_MOD != SNR_OFF and i % MP3_MOD == MP3_OFF:
         codec = "mp3"  # unseen category → categorical PSI drift + decode violation
     else:
         codec = str(rng.choice(CODECS, p=CODEC_WEIGHTS))
@@ -185,8 +189,15 @@ def expected_violation_indices(cfg: GenConfig) -> dict[str, list[int]]:
         "null_rate": [],
         "range": [],
         "ref_integrity": [],
+        "decode_error": [],
     }
     for i in range(cfg.n_rows):
+        if (
+            is_drift_part(i, cfg)
+            and i % SNR_MOD != SNR_OFF
+            and i % MP3_MOD == MP3_OFF
+        ):
+            out["decode_error"].append(i)  # mp3 codec → pattern:codec too
         if is_clean_part(i, cfg):
             continue
         if i > 0 and i % DUP_MOD == DUP_OFF and part_of(i, cfg) == part_of(i - 1, cfg):

@@ -222,6 +222,21 @@ def run_validation(
     )
 
 
+def _delete_pending_sink_dirs(
+    spark: SparkSession, out_dir: str, sink_names: tuple, pending: list
+) -> None:
+    """Remove ``{out_dir}/{sink}/part_id={p}`` for every pending partition
+    via the Hadoop FileSystem API (portable across file/hdfs/s3a schemes)."""
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    for sink in sink_names:
+        for p in pending:
+            path = jvm.org.apache.hadoop.fs.Path(f"{out_dir}/{sink}/part_id={int(p)}")
+            fs = path.getFileSystem(hconf)
+            if fs.exists(path):
+                fs.delete(path, True)
+
+
 def run_resumable(
     spark: SparkSession,
     clips_path: str,
@@ -269,6 +284,16 @@ def run_resumable(
     # files instead of appending duplicate rows. Verdicts never round-trip
     # through the driver — at 10^6 partitions × ~14 checks a collect() in
     # the write path is a driver materialization.
+    #
+    # Dynamic overwrite only replaces partitions PRESENT in the new data; a
+    # retried partition whose re-run now yields zero rows for a sink (config
+    # change, partial file set from a mid-write crash) would otherwise keep
+    # its stale files. Deleting the pending partitions' sink subdirectories
+    # first makes retry semantics replace-always, not replace-if-nonempty.
+    # O(pending) driver-side metadata calls against the FS — no data moves.
+    _delete_pending_sink_dirs(
+        spark, out_dir, ("violations", "stats", "verdicts"), pending
+    )
     for name, df in (
         ("violations", observed),
         ("stats", res.stats),

@@ -9,6 +9,8 @@ keeping call sites cluster-portable).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -57,6 +59,7 @@ def read_jdbc_partitioned(
     partition_col: str,
     num_partitions: int = 8,
     quote: str = '"',
+    quote_table: bool = False,
     **options,
 ) -> DataFrame:
     """Range-partitioned parallel JDBC read (reference
@@ -75,15 +78,28 @@ def read_jdbc_partitioned(
             r = r.option(k, v)
         return r
 
-    # the bounds query goes to the external engine verbatim → quote the
-    # identifier (ANSI double quotes by default; Spark quotes the
-    # partitionColumn predicates itself via the JDBC dialect)
+    # The bounds query goes to the external engine verbatim — this is the one
+    # string-built SQL in the repo. `table` / `partition_col` must be trusted
+    # identifiers from config, never user-supplied strings; they are validated
+    # against an identifier grammar so a non-identifier fails loudly here
+    # instead of reaching the engine. The table name is left UNQUOTED to match
+    # how Spark's JDBC writer creates tables (unquoted → engine case-folding);
+    # pass quote_table=True for engines/tables that need exact-case quoting.
+    ident = re.compile(r"^[A-Za-z_][A-Za-z0-9_$]*(\.[A-Za-z_][A-Za-z0-9_$]*)*$")
+    for name in (table, partition_col):
+        if not ident.match(name):
+            raise ValueError(f"not a valid SQL identifier: {name!r}")
     qc = f"{quote}{partition_col}{quote}"
+    qt = (
+        ".".join(f"{quote}{part}{quote}" for part in table.split("."))
+        if quote_table
+        else table
+    )
     bounds = (
         rd()
         .option(
             "query",
-            f"SELECT MIN({qc}) AS lo, MAX({qc}) AS hi FROM {table}",
+            f"SELECT MIN({qc}) AS lo, MAX({qc}) AS hi FROM {qt}",
         )
         .load()
         .collect()[0]

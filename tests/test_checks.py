@@ -157,3 +157,26 @@ def test_aqe_splits_skewed_join(spark):
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)
+
+
+def test_sampleby_seeded_stratified(spark):
+    """Seeded sampleBy (the reference's stratified sampler, tasks.py:1486-
+    1499) kept demonstrated here; the oracle-checkable gate (q28) uses the
+    deterministic md5-threshold form instead because sampleBy's Bernoulli
+    draw is engine-private."""
+    df = spark.range(10_000).selectExpr(
+        "id", "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END AS stratum"
+    )
+    got = df.sampleBy("stratum", {"a": 0.2, "b": 0.5}, seed=7).groupBy(
+        "stratum"
+    ).count()
+    counts = {r["stratum"]: r["count"] for r in got.collect()}
+    assert abs(counts["a"] / 5_000 - 0.2) < 0.05
+    assert abs(counts["b"] / 5_000 - 0.5) < 0.05
+    # same seed + same partitioning → reproducible within an engine
+    again = {
+        r["stratum"]: r["count"]
+        for r in df.sampleBy("stratum", {"a": 0.2, "b": 0.5}, seed=7)
+        .groupBy("stratum").count().collect()
+    }
+    assert again == counts

@@ -142,6 +142,26 @@ def test_exact_duplicates_bounded_exemplars(spark):
     assert rows[0]["dup_count"] == n
     assert rows[0]["ids"] == list(range(8))
 
+    # the salted two-phase form must equal the window form exactly —
+    # including on a mixed corpus with unique + duplicated texts
+    from baskerville_spark.functions.dedup import exact_duplicates_window
+
+    mixed = spark.range(500).select(
+        F.col("id").cast("int").alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, "hot text")
+        .otherwise(F.concat(F.lit("uniq"), F.col("id").cast("string")))
+        .alias("text"),
+    )
+    salted = {
+        (r["text_hash"], r["dup_count"], tuple(r["ids"]))
+        for r in exact_duplicates(mixed, exemplar_k=4).collect()
+    }
+    window = {
+        (r["text_hash"], r["dup_count"], tuple(r["ids"]))
+        for r in exact_duplicates_window(mixed, exemplar_k=4).collect()
+    }
+    assert salted == window and len(salted) == 1
+
 
 def test_ngram_guard_bounds_ubiquitous_shingle(spark):
     """One shingle shared by every doc must not join the corpus to itself."""
@@ -266,3 +286,47 @@ def test_bmp_decode_and_ahash_pattern():
     if expected >= 1 << 63:  # same signed-int64 wrap as the implementation
         expected -= 1 << 64
     assert _ahash64(grad) == expected
+
+
+def test_geo_tz_offset_edge_inputs(spark):
+    """Library-robustness guards: lon=180 and NULL must not fail the task;
+    fractional negative lon follows the floor-based nautical formula."""
+    from baskerville_spark.functions.geo import tz_offset_udf
+
+    udf = tz_offset_udf(spark)
+    rows = [(1, 180.0), (2, None), (3, -7.9), (4, 7.4), (5, -180.0)]
+    df = spark.createDataFrame(rows, "id int, lon double")
+    out = {r["id"]: r["off"] for r in df.select("id", udf("lon").alias("off")).collect()}
+    assert out[1] == 12          # clipped onto the table's last zone (+12)
+    assert out[2] is None        # NULL propagates, task survives
+    assert out[3] == -1          # floor(-7.9) = -8 → zone -1 (not 0)
+    assert out[4] == 0
+    assert out[5] == -12
+
+
+def test_similarity_null_and_ragged_guards(spark):
+    """NULL embeddings null-propagate through SRP/IVF-assign instead of
+    crashing the Python worker; ragged dims raise a descriptive error."""
+    from baskerville_spark.functions.similarity import (
+        hyperplane_lsh_pairs, ivf_assign, train_ivf_centroids,
+    )
+
+    rows = [(0, [1.0, 0.0, 0.0, 0.0]), (1, [1.0, 0.01, 0.0, 0.0]), (2, None)]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    pairs = hyperplane_lsh_pairs(df, dim=4, n_planes=4, n_tables=2, threshold=0.9)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert got == {(0, 1)}  # null row contributed no buckets, no crash
+
+    cent = np.asarray([[1.0, 0, 0, 0], [0, 1.0, 0, 0]])
+    assigned = ivf_assign(df, cent)
+    by_id = {r["id"]: r["cluster"] for r in assigned.collect()}
+    assert by_id[0] == 0 and by_id[2] is None
+
+    with pytest.raises(Exception, match="mixed dimensions"):
+        ragged = spark.createDataFrame(
+            [(0, [1.0, 2.0]), (1, [1.0, 2.0, 3.0])], "vec_id int, embedding array<float>"
+        )
+        ivf_assign(ragged, cent).collect()
+
+    with pytest.raises(ValueError, match="n_centroids"):
+        train_ivf_centroids(df, n_centroids=8, sample_mod=1)

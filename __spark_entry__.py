@@ -611,6 +611,14 @@ def q21_clip_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Audio bytes can't live in the shared testdata, so the table is
     synthesized deterministically in-session (seeded; FIXTURES.md §1).
+
+    ORACLE-CHECKED: every injected violation is a closed-form mod of the row
+    index (generator.py DUP/SNR/TRANS/NULL/RANGE/RI/MP3 constants), so the
+    expected verdict grid — (part, check) → passed + violation count — is
+    reproduced arithmetically by ``_q21_sql()`` in DuckDB. The projection
+    drops the one non-closed-form column (range checks' metric_value is the
+    observed max, which rides the generator's rng) and keeps everything the
+    north rule grades: per-partition pass/fail + violation counts + rates.
     """
     from baskerville_spark.generator import GenConfig, generate_clips, generate_transcript_ref
     from baskerville_spark.runtime.runner import ValidationConfig, run_validation
@@ -621,15 +629,105 @@ def q21_clip_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     clips = generate_clips(spark, cfg).persist()
     tref = generate_transcript_ref(spark, cfg).persist()
     res = run_validation(spark, clips, tref, cfg=ValidationConfig())
+    verdicts = res.verdicts.select(
+        "part_id",
+        "check_name",
+        F.col("passed").cast("int").alias("passed"),
+        F.when(
+            ~F.col("check_name").startswith("range:"),
+            F.round(F.col("metric_value"), 6),
+        ).alias("metric"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("n_violations").cast("long").alias("n_violations"),
+    )
     # materialize the (tiny) verdicts while the upstream caches are alive,
     # then release everything so repeated queries() runs in one session
     # (the driver harness, bench.py) don't accumulate cached blocks
-    out = res.verdicts.persist()
+    out = verdicts.persist()
     out.count()
     res.unpersist()
     clips.unpersist()
     tref.unpersist()
     return out
+
+
+def _q21_sql() -> str:
+    """Closed-form expected verdicts for the q21 fixture (n_rows=1000,
+    n_parts=4 → 250 rows/part; partition 0 clean, partition 3 drifted).
+
+    Derivation is INDEPENDENT of the engine: each flag below restates the
+    generator's injection rule (generator.py:46-52,101-135) over a
+    generate_series index, then the 14-check × 4-partition verdict grid is
+    assembled from per-part flag counts. Notes on the two rules that
+    interact: a NULL dur_ms suppresses the range injection on the same row
+    (generator.py `elif`); transcript violations need an existing ref row,
+    so a row that is also RI-skipped does not count (transcript_ok is NULL
+    there); RI violations apply to canonical rows only (a duplicated row
+    shares its original's ref entry; in this fixture no dup row's
+    predecessor is RI-skipped, asserted by the disjoint mod classes).
+    """
+    import baskerville_spark.generator as g
+
+    return f"""
+WITH idx AS (SELECT unnest(generate_series(0, 999)) AS i),
+fl AS (
+  SELECT
+    CAST(least(3, (i*4)//1000) AS INT) AS part_id,
+    (least(3, (i*4)//1000) = 0) AS clean,
+    (i > 0 AND i % {g.DUP_MOD} = {g.DUP_OFF}
+       AND least(3, (i*4)//1000) = least(3, ((i-1)*4)//1000)) AS dup,
+    (i % {g.SNR_MOD} = {g.SNR_OFF}) AS snr_m,
+    (i % {g.TRANS_MOD} = {g.TRANS_OFF}) AS trans_m,
+    (i % {g.NULL_MOD} = {g.NULL_OFF}) AS null_m,
+    (i % {g.RANGE_MOD} = {g.RANGE_OFF}) AS range_m,
+    (i % {g.RI_MOD} = {g.RI_OFF}) AS ri_m,
+    (least(3, (i*4)//1000) = 3 AND i % {g.SNR_MOD} <> {g.SNR_OFF}
+       AND i % {g.MP3_MOD} = {g.MP3_OFF}) AS mp3
+  FROM idx),
+agg AS (
+  SELECT part_id,
+    COUNT(*) AS n_rows,
+    SUM(CASE WHEN NOT clean AND dup THEN 1 ELSE 0 END) AS n_dup,
+    SUM(CASE WHEN NOT clean AND snr_m THEN 1 ELSE 0 END) AS n_snr,
+    SUM(CASE WHEN NOT clean AND trans_m AND NOT (ri_m AND NOT dup)
+             THEN 1 ELSE 0 END) AS n_trans,
+    SUM(CASE WHEN NOT clean AND null_m THEN 1 ELSE 0 END) AS n_null,
+    SUM(CASE WHEN NOT clean AND range_m AND NOT null_m THEN 1 ELSE 0 END) AS n_range,
+    SUM(CASE WHEN NOT clean AND ri_m AND NOT dup THEN 1 ELSE 0 END) AS n_ri,
+    SUM(CASE WHEN mp3 THEN 1 ELSE 0 END) AS n_mp3
+  FROM fl GROUP BY part_id),
+checks AS (
+  SELECT * FROM (VALUES
+    ('uniqueness'), ('ref_integrity'), ('pattern:clip_id'), ('pattern:codec'),
+    ('snr'), ('decode_error'), ('transcript_eq'),
+    ('null_rate:clip_id'), ('null_rate:codec'), ('null_rate:transcript'),
+    ('null_rate:sr_hz'), ('null_rate:dur_ms'),
+    ('range:dur_ms'), ('range:sr_hz')) v(check_name)),
+grid AS (
+  SELECT part_id, n_rows, check_name,
+         CASE check_name
+           WHEN 'uniqueness' THEN n_dup
+           WHEN 'ref_integrity' THEN n_ri
+           WHEN 'pattern:codec' THEN n_mp3
+           WHEN 'snr' THEN n_snr
+           WHEN 'decode_error' THEN n_mp3
+           WHEN 'transcript_eq' THEN n_trans
+           WHEN 'null_rate:dur_ms' THEN n_null
+           ELSE 0
+         END AS nv,
+         (check_name LIKE 'range:%') AS is_range,
+         CASE check_name WHEN 'range:dur_ms' THEN n_range ELSE 0 END AS range_nv
+  FROM agg CROSS JOIN checks)
+SELECT part_id, check_name,
+       CAST(CASE WHEN is_range THEN range_nv = 0
+                 WHEN check_name LIKE 'null_rate:%' THEN nv * 1.0 / n_rows <= 0.05
+                 ELSE nv = 0 END AS INT) AS passed,
+       CASE WHEN is_range THEN NULL
+            ELSE ROUND(nv * 1.0 / n_rows, 6) END AS metric,
+       CAST(n_rows AS BIGINT) AS n_rows,
+       CASE WHEN is_range THEN NULL ELSE CAST(nv AS BIGINT) END AS n_violations
+FROM grid
+"""
 
 
 def q23_streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -729,9 +827,10 @@ def oracle_sql() -> dict[str, str]:
         "q17_pricing_summary": _Q17_SQL,
         "q18_top_revenue_orders": _Q18_SQL,
         "q19_minhash_pairs": _Q19_SQL,
+        "q21_clip_validation": _q21_sql(),
         "q22_vector_pairs": _Q22_SQL,
         "q23_streaming_window_counts": _Q23_SQL,
-        # q20 (xxhash64 sketch) and q21 (audio suite): rows-only
+        # q20 (xxhash64 sketch): rows-only
     }
 
 

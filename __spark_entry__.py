@@ -1353,25 +1353,66 @@ FROM y GROUP BY 1, 2, 3
 """
 
 
+def _clustered_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planted-cluster fixture for the IVF gate: vector i is scaled-down
+    noise (×0.05) plus the one-hot-comb center of cluster (vec_id % 8) —
+    component j gets +1.0 when j ≡ vec_id (mod 8). Centers are ~4.0 apart
+    while the noise norm is ~0.4, so the corpus has the cluster structure
+    real embedding corpora have (the structure-free raw fixture was the
+    coarse quantizer's worst case). Plain arithmetic → the DuckDB oracle
+    reproduces the corpus exactly."""
+    emb = _t(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    planted = F.transform(
+        "embedding",
+        lambda x, j: x.cast("double") * 0.05
+        + F.when(j % 8 == F.col("vec_id") % 8, F.lit(1.0)).otherwise(F.lit(0.0)),
+    )
+    return emb.select("vec_id", planted.alias("embedding"))
+
+
 def q38_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate nearest neighbors (the ANN scale path besides LSH):
     deterministic Lloyd-trained coarse quantizer → Arrow-batched cluster
-    assignment → probe-limited brute force. Oracle = the exact top-k SQL
-    (q14's), so a green row proves recall 1.0 at this nprobe on the fixture.
+    assignment → probe-limited brute force over nprobe=2 of 8 centroids
+    (≤25% of the corpus scanned; selectivity plan-asserted in
+    test_functions.test_ivf_probe_prunes_clusters). Oracle = the exact
+    top-k SQL over the same planted-cluster corpus, so a green row proves
+    recall 1.0 while the probe filter genuinely prunes — the round-2 gate
+    probed 12/16 on structure-free vectors, which proved little.
 
-    nprobe=12/16 on THIS data: the synthetic vectors are structure-free
-    (near-uniform on the sphere), the worst case for a coarse quantizer —
-    real embedding corpora cluster, and nprobe/n_centroids shrinks
-    accordingly. The plan property that matters at scale: the scan reads
-    only probed clusters (cluster IN (...) prunes on an indexed column)."""
+    At scale the assignment is a write-once index column: the ``cluster IN
+    (probe set)`` predicate partition/cluster-prunes the scan."""
     from baskerville_spark.functions.similarity import ivf_topk, train_ivf_centroids
 
-    emb = _t(spark, sf_dir, "embeddings")
-    cent = train_ivf_centroids(emb, n_centroids=16, sample_mod=5, seed=42)
+    emb = _clustered_embeddings(spark, sf_dir)
+    # sample_mod COPRIME with the 8 planted clusters: a mod sharing a factor
+    # with the cluster key would sample only half the clusters, leaving the
+    # rest unseeded (quantizer trained on a biased sample)
+    cent = train_ivf_centroids(emb, n_centroids=8, sample_mod=3, seed=42)
     qvec = [float(x) for x in emb.where("vec_id = 0").select("embedding").first()[0]]
-    wide = emb.repartition(spark.sparkContext.defaultParallelism)
-    top = ivf_topk(wide, qvec, cent, k=10, nprobe=12)
+    top = ivf_topk(emb, qvec, cent, k=10, nprobe=2)
     return top.select(F.col("id").alias("vec_id"), F.round("cosine_sim", 4).alias("cosine_sim"))
+
+
+_Q38_SQL = """
+WITH t AS (
+  SELECT vec_id,
+         list_transform(generate_series(1, len(embedding)),
+             j -> CAST(embedding[j] AS DOUBLE) * 0.05
+                  + CASE WHEN (j - 1) % 8 = vec_id % 8 THEN 1.0 ELSE 0.0 END) AS e
+  FROM embeddings),
+q AS (SELECT e AS qe FROM t WHERE vec_id = 0),
+scored AS (
+  SELECT vec_id,
+         list_sum(list_transform(generate_series(1, len(e)), j -> e[j] * qe[j]))
+         / (sqrt(list_sum(list_transform(e, x -> x * x)))
+            * sqrt(list_sum(list_transform(qe, x -> x * x)))) AS c
+  FROM t, q)
+SELECT vec_id, ROUND(c, 4) AS cosine_sim
+FROM scored ORDER BY c DESC, vec_id ASC LIMIT 10
+"""
 
 
 def q39_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1558,7 +1599,7 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
     # q35 (xxhash64 simhash): rows-only
     out["q36_session_window"] = _Q36_SQL
     out["q37_geo_localize"] = _Q37_SQL
-    out["q38_ivf_topk"] = _Q14_SQL  # exact top-k: green row == recall 1.0
+    out["q38_ivf_topk"] = _Q38_SQL  # exact top-k on the planted-cluster corpus
     out["q39_streaming_dedup"] = _Q39_SQL
     out["q40_image_features"] = _Q40_SQL
     out["q41_video_frame_sample"] = _Q41_SQL

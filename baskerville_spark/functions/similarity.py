@@ -193,8 +193,19 @@ def train_ivf_centroids(
             f"n_centroids={n_centroids}; lower sample_mod or n_centroids"
         )
     sample = np.vstack(sample_rows)
-    rng = np.random.default_rng(seed)
-    cent = sample[rng.choice(len(sample), size=n_centroids, replace=False)]
+    # Farthest-point (max-min) seeding: fully deterministic given the sample
+    # and spreads one seed per natural cluster, where a random draw routinely
+    # drops several seeds into one dense cluster and leaves others unseeded —
+    # Lloyd can't recover from that (it refines, it doesn't migrate seeds).
+    # `seed` is kept for API stability; the init no longer consumes it.
+    _ = seed
+    chosen = [0]
+    d2min = ((sample - sample[0]) ** 2).sum(1)
+    for _i in range(1, n_centroids):
+        nxt = int(d2min.argmax())
+        chosen.append(nxt)
+        d2min = np.minimum(d2min, ((sample - sample[nxt]) ** 2).sum(1))
+    cent = sample[chosen].copy()
     for _ in range(iters):
         d2 = ((sample[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
         assign = d2.argmin(1)

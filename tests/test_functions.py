@@ -330,3 +330,37 @@ def test_similarity_null_and_ragged_guards(spark):
 
     with pytest.raises(ValueError, match="n_centroids"):
         train_ivf_centroids(df, n_centroids=8, sample_mod=1)
+
+
+def test_ivf_probe_prunes_clusters(spark):
+    """The IVF probe filter must genuinely prune: on a planted-cluster
+    corpus, nprobe=2 of 8 centroids scans <= 30% of the rows while still
+    matching exact top-k (recall 1.0) - the property that makes IVF the
+    scale path (cluster IN (...) prunes the scan at 10^12 rows)."""
+    from baskerville_spark.functions.similarity import (
+        ivf_assign, ivf_topk, train_ivf_centroids,
+    )
+
+    n, dim, k_clusters = 400, 32, 8
+    rng = np.random.default_rng(3)
+    noise = rng.standard_normal((n, dim)) * 0.05
+    rows = []
+    for i in range(n):
+        v = noise[i].copy()
+        v[i % k_clusters :: k_clusters] += 1.0  # one-hot comb center
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+
+    # sample_mod coprime with k_clusters: an even mod would sample only the
+    # even combs and leave half the clusters unseeded
+    cent = train_ivf_centroids(df, n_centroids=8, sample_mod=3, seed=42)
+    q = [float(x) for x in rows[0][1]]
+    exact = [r["id"] for r in cosine_topk(df, q, k=10).collect()]
+    appr = [r["id"] for r in ivf_topk(df, q, cent, k=10, nprobe=2).collect()]
+    assert appr == exact  # recall 1.0 at low nprobe
+
+    # selectivity: the probed clusters hold <= 30% of the corpus
+    probe = np.argsort(((cent - np.asarray(q)) ** 2).sum(1))[:2].tolist()
+    assigned = ivf_assign(df, cent)
+    probed_rows = assigned.where(F.col("cluster").isin(probe)).count()
+    assert probed_rows / n <= 0.30, probed_rows

@@ -1565,6 +1565,209 @@ FROM orders GROUP BY o_custkey HAVING COUNT(*) > 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Q43-Q45 — single-shuffle first/last, PSI/KS drift gate, Kafka-shaped stream
+# ---------------------------------------------------------------------------
+
+def q43_first_last_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-shuffle variant of q33: first/last-touch via min_by/max_by
+    aggregation instead of window + distinct. The window form costs a sort
+    shuffle THEN an aggregate shuffle; this is ONE partial-aggregating
+    shuffle — the form to use when only per-key firsts are needed (window
+    when the firsts must ride alongside the detail rows). Same oracle as
+    q33. min_by/max_by skip NULL ordering keys, so the conditional ordering
+    column implements FIRST(... ) FILTER (purchase)."""
+    e = _t(spark, sf_dir, "events")
+    ordk = F.struct(F.col("ts"), F.col("event_id"))
+    pord = F.when(F.col("event_type") == "purchase", ordk)
+    return e.groupBy("user_id").agg(
+        F.min_by("event_type", ordk).alias("first_type"),
+        F.max_by("event_type", ordk).alias("last_type"),
+        F.round(F.min_by(F.col("value"), pord), 4).alias("first_purchase_value"),
+    )
+
+
+#: Drift-gate literals shared by the Spark plan and the generated oracle SQL.
+DRIFT_VALUE_EDGES = [0.0, 5.0, 25.0, 100.0, 500.0]
+DRIFT_VALUE_BASE = [0.3, 0.3, 0.2, 0.2]
+DRIFT_TYPE_CATS = ["click", "view", "purchase", "signup", "error"]
+DRIFT_TYPE_BASE = [0.2, 0.2, 0.2, 0.2, 0.2, 0.0]  # + trailing OTHER
+
+
+def q44_drift_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI + binned-KS drift verdicts against a LITERAL baseline snapshot
+    (checks/drift.py math, previously pytest-only — this gate oracle-checks
+    the numerics). Partitions are week-of-month slices of the events table;
+    the baseline is a declared reference distribution (fixed bin edges +
+    fractions), the production shape where the snapshot comes from a
+    baseline table rather than percentile sketches (whose internals are
+    engine-private and belong to capture_baseline's own tests).
+    ONE scan + ONE shuffle: all buckets of both columns are conditional
+    sums in a single groupBy(part).agg(...)."""
+    from pyspark.sql import Row
+
+    from baskerville_spark.checks.drift import drift_verdicts
+
+    e = _t(spark, sf_dir, "events").withColumn(
+        "part_id",
+        ((F.dayofmonth(F.col("ts").cast("timestamp")) - 1) / 7).cast("int"),
+    )
+    baseline = [
+        Row(column_name="value", kind="numeric", bin_edges=DRIFT_VALUE_EDGES,
+            categories=None, bin_fractions=DRIFT_VALUE_BASE, quantiles=None, n=1000),
+        Row(column_name="event_type", kind="categorical", bin_edges=None,
+            categories=DRIFT_TYPE_CATS, bin_fractions=DRIFT_TYPE_BASE,
+            quantiles=None, n=1000),
+    ]
+    v = drift_verdicts(e, baseline)
+    return v.select(
+        "part_id",
+        "check_name",
+        F.col("passed").cast("int").alias("passed"),
+        F.round("metric_value", 6).alias("metric"),
+        "threshold",
+        F.col("n_rows").cast("long").alias("n_rows"),
+    )
+
+
+def _q44_sql() -> str:
+    """The PSI/KS arithmetic restated in SQL from the same literals —
+    clamp-at-EPS PSI terms and prefix-sum binned KS, matching
+    checks/drift.py's fold-left evaluation order exactly."""
+    from baskerville_spark.checks.drift import EPS, KS_THRESHOLD, PSI_THRESHOLD
+
+    def num(expr: str) -> str:
+        return expr
+
+    # --- numeric column: value ---
+    inner = DRIFT_VALUE_EDGES[1:-1]
+    nv = len(inner) + 1
+    vbucket = " + ".join(f"(CASE WHEN value >= {repr(e)} THEN 1 ELSE 0 END)" for e in inner)
+    v_sums = ",\n    ".join(
+        f"SUM(CASE WHEN value IS NOT NULL AND ({vbucket}) = {i} THEN 1 ELSE 0 END) AS v{i}"
+        for i in range(nv)
+    )
+    # --- categorical column: event_type ---
+    cats = DRIFT_TYPE_CATS
+    nt = len(cats) + 1
+    t_sums = ",\n    ".join(
+        f"SUM(CASE WHEN event_type = '{c}' THEN 1 ELSE 0 END) AS t{i}"
+        for i, c in enumerate(cats)
+    )
+    in_list = ", ".join(f"'{c}'" for c in cats)
+    t_sums += (
+        f",\n    SUM(CASE WHEN event_type IS NOT NULL AND event_type NOT IN ({in_list})"
+        f" THEN 1 ELSE 0 END) AS t{len(cats)}"
+    )
+
+    def frac(pfx: str, i: int, n: str) -> str:
+        return f"{pfx}{i} * 1.0 / GREATEST({n}, 1)"
+
+    def psi_expr(pfx: str, n: str, base: list[float], nb: int) -> str:
+        terms = []
+        for i in range(nb):
+            p = f"GREATEST({frac(pfx, i, n)}, {repr(EPS)})"
+            q = repr(max(base[i], EPS))
+            terms.append(f"(({p}) - {q}) * LN(({p}) / {q})")
+        return " + ".join(terms)
+
+    def ks_expr(pfx: str, n: str, base: list[float], nb: int) -> str:
+        diffs = []
+        for i in range(1, nb + 1):
+            pcdf = " + ".join(frac(pfx, j, n) for j in range(i))
+            qcdf = repr(sum(base[:i]))  # same Python fold as drift_verdicts
+            diffs.append(f"ABS(({pcdf}) - {qcdf})")
+        return "GREATEST(" + ", ".join(diffs) + ")" if len(diffs) > 1 else diffs[0]
+
+    blocks = []
+    for col, pfx, n, base, nb in (
+        ("value", "v", "n_v", DRIFT_VALUE_BASE, nv),
+        ("event_type", "t", "n_t", DRIFT_TYPE_BASE, nt),
+    ):
+        for metric, expr_fn, thr in (
+            ("psi", psi_expr, PSI_THRESHOLD),
+            ("ks", ks_expr, KS_THRESHOLD),
+        ):
+            m = expr_fn(pfx, n, base, nb)
+            blocks.append(f"""
+SELECT part_id, '{metric}:{col}' AS check_name,
+       CAST(({m}) <= {repr(thr)} AS INT) AS passed,
+       ROUND(({m}), 6) AS metric,
+       CAST({repr(thr)} AS DOUBLE) AS threshold,
+       CAST({n} AS BIGINT) AS n_rows
+FROM agg""")
+    union = "\nUNION ALL\n".join(blocks)
+    return f"""
+WITH base AS (
+  SELECT CAST((day(ts) - 1) // 7 AS INT) AS part_id, value, event_type FROM events),
+agg AS (
+  SELECT part_id,
+    COUNT(value) AS n_v,
+    {v_sums},
+    COUNT(event_type) AS n_t,
+    {t_sums}
+  FROM base GROUP BY part_id)
+{union}
+"""
+
+
+def q45_streaming_kafka_shaped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kafka-source Structured Streaming cell (SURVEY §2.1, reference
+    tasks.py:304-352): a broker-free file-backed stream presenting the SAME
+    wire schema as format('kafka') — key/value binary, topic, partition,
+    offset, timestamp — decoded with from_json(value) against a declared
+    schema, micro-batched by maxFilesPerTrigger (the file analog of
+    maxOffsetsPerTrigger). On a real cluster only the source line changes.
+    Oracle = the same aggregation over the original events table."""
+    import shutil
+    import tempfile
+
+    from baskerville_spark.sources.kafka_shaped import (
+        decode_json_values, read_kafka_shaped_stream, write_kafka_shaped,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="q45_kafka_")
+    try:
+        write_kafka_shaped(
+            e, tmp, topic="events",
+            value_struct=F.struct("event_id", "user_id", "event_type", "value"),
+            key_col=F.col("user_id"), n_files=8,
+        )
+        stream = read_kafka_shaped_stream(spark, tmp, max_files_per_trigger=2)
+        decoded = decode_json_values(
+            stream, "event_id bigint, user_id bigint, event_type string, value double"
+        )
+        agg = decoded.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        name = f"q45_out_{uuid.uuid4().hex[:8]}"
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            n_batches = q.lastProgress["batchId"] + 1 if q.lastProgress else 0
+        finally:
+            q.stop()
+        assert n_batches >= 2, f"expected >=2 micro-batches, got {n_batches}"
+        out = spark.table(name).persist()
+        out.count()
+        return out
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+_Q45_SQL = """
+SELECT event_type, COUNT(*) AS n, ROUND(CAST(SUM(value) AS DOUBLE), 2) AS sum_value
+FROM events GROUP BY event_type
+"""
+
+
 _prev_queries_q30 = queries
 
 
@@ -1583,6 +1786,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F
     out["q40_image_features"] = q40_image_features
     out["q41_video_frame_sample"] = q41_video_frame_sample
     out["q42_dup_exemplars"] = q42_dup_exemplars
+    out["q43_first_last_agg"] = q43_first_last_agg
+    out["q44_drift_verdicts"] = q44_drift_verdicts
+    out["q45_streaming_kafka_shaped"] = q45_streaming_kafka_shaped
     return out
 
 
@@ -1604,4 +1810,7 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
     out["q40_image_features"] = _Q40_SQL
     out["q41_video_frame_sample"] = _Q41_SQL
     out["q42_dup_exemplars"] = _Q42_SQL
+    out["q43_first_last_agg"] = _Q33_SQL  # same semantics, single-shuffle plan
+    out["q44_drift_verdicts"] = _q44_sql()
+    out["q45_streaming_kafka_shaped"] = _Q45_SQL
     return out

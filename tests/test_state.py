@@ -163,3 +163,44 @@ def test_streaming_session_window(spark, tmp_path):
     # u1's three events merged into ONE session spanning both micro-batches
     assert got[("u1", "2024-01-01 10:00:00")] == 3
     assert got[("u2", "2024-01-01 10:00:00")] == 1
+
+
+def test_kafka_shaped_stream_microbatches(spark, tmp_path):
+    """The broker-free Kafka-shaped source must (a) present the Kafka wire
+    schema, (b) replay across >= 2 micro-batches under maxFilesPerTrigger,
+    and (c) decode from_json(value) to exactly the rows that went in."""
+    from pyspark.sql import functions as F
+
+    from baskerville_spark.sources.kafka_shaped import (
+        KAFKA_WIRE_SCHEMA, decode_json_values, read_kafka_shaped_stream,
+        write_kafka_shaped,
+    )
+
+    src = spark.range(100).selectExpr(
+        "id", "CAST(id % 7 AS INT) AS grp", "CAST(id * 1.5 AS DOUBLE) AS amount"
+    )
+    path = str(tmp_path / "wire")
+    write_kafka_shaped(
+        src, path, topic="t",
+        value_struct=F.struct("id", "grp", "amount"), key_col=F.col("grp"),
+        n_files=6,
+    )
+    wire = spark.read.parquet(path)
+    assert set(wire.columns) == {f.name for f in KAFKA_WIRE_SCHEMA.fields}
+    assert wire.count() == 100
+
+    stream = read_kafka_shaped_stream(spark, path, max_files_per_trigger=2)
+    decoded = decode_json_values(stream, "id bigint, grp int, amount double")
+    q = (
+        decoded.writeStream.outputMode("append")
+        .format("memory").queryName("kafka_shaped_t").start()
+    )
+    try:
+        q.processAllAvailable()
+        batches = q.lastProgress["batchId"] + 1
+    finally:
+        q.stop()
+    assert batches >= 2, batches
+    got = {(r["id"], r["grp"], r["amount"]) for r in spark.table("kafka_shaped_t").collect()}
+    want = {(r["id"], r["grp"], r["amount"]) for r in src.collect()}
+    assert got == want

@@ -600,10 +600,44 @@ WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8
 
 
 def q20_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document SimHash fingerprints (SURVEY §2.8 bit ops / LLM-dedup).
+
+    ORACLE-CHECKED since round 3: uses the SQL-portable md5 hasher (60-bit,
+    dedup._token_hash) so DuckDB reproduces every bit of the fingerprint —
+    token hash = ('0x' || substr(md5(tok),1,15))::BIGINT, then the same
+    60 conditional bit-sums. The xxhash64 production hasher keeps its
+    planted-pair pytest (test_functions)."""
     from baskerville_spark.functions.dedup import simhash
 
     d = _docs_wide(spark, sf_dir)
-    return simhash(d).select(F.col("id").alias("doc_id"), "simhash")
+    return simhash(d, hasher="md5").select(F.col("id").alias("doc_id"), "simhash")
+
+
+def _simhash_cte() -> str:
+    """CTEs computing the 60-bit md5 SimHash per document in DuckDB —
+    bit-exact mirror of dedup.simhash(hasher='md5')."""
+    bit_sums = ",\n         ".join(
+        f"SUM(CASE WHEN ((h >> {i}) & 1) = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(60)
+    )
+    recon = " + ".join(f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(60))
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
+  FROM documents
+), h AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+  FROM tok WHERE tok <> ''
+), bits AS (
+  SELECT doc_id, {bit_sums}
+  FROM h GROUP BY doc_id
+), sim AS (
+  SELECT doc_id, CAST({recon} AS BIGINT) AS simhash FROM bits
+)"""
+
+
+def _q20_sql() -> str:
+    return _simhash_cte() + "\nSELECT doc_id, simhash FROM sim"
 
 
 def q21_clip_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -828,9 +862,9 @@ def oracle_sql() -> dict[str, str]:
         "q18_top_revenue_orders": _Q18_SQL,
         "q19_minhash_pairs": _Q19_SQL,
         "q21_clip_validation": _q21_sql(),
+        "q20_simhash": _q20_sql(),
         "q22_vector_pairs": _Q22_SQL,
         "q23_streaming_window_counts": _Q23_SQL,
-        # q20 (xxhash64 sketch): rows-only
     }
 
 
@@ -1280,13 +1314,27 @@ FROM events GROUP BY user_id
 
 
 def q35_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash Hamming-neighbour pairs via the 16-bit chunk pigeonhole join
+    """SimHash Hamming-neighbour pairs via the 15-bit chunk pigeonhole join
     (exercises dedup.simhash_near_dups's banded equi-join — never all-pairs).
-    xxhash64-based → rows-only check; the pytest golden plants near-dups."""
+
+    ORACLE-CHECKED since round 3 via the md5 hasher (see q20): the oracle
+    recomputes every fingerprint and brute-forces all pairs in DuckDB, so a
+    hash match proves the banded equi-join finds EXACTLY the Hamming<=3 set
+    (pigeonhole losslessness demonstrated on real data, not just the planted
+    pytest pairs)."""
     from baskerville_spark.functions.dedup import simhash_near_dups
 
     d = _docs_wide(spark, sf_dir)
-    return simhash_near_dups(d, max_hamming=3)
+    return simhash_near_dups(d, max_hamming=3, hasher="md5")
+
+
+def _q35_sql() -> str:
+    return _simhash_cte() + """
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
 
 
 def q36_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1802,7 +1850,7 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
     out["q32_srp_lsh_pairs"] = _Q32_SQL
     out["q33_first_last_touch"] = _Q33_SQL
     out["q34_map_features"] = _Q34_SQL
-    # q35 (xxhash64 simhash): rows-only
+    out["q35_simhash_near_dups"] = _q35_sql()
     out["q36_session_window"] = _Q36_SQL
     out["q37_geo_localize"] = _Q37_SQL
     out["q38_ivf_topk"] = _Q38_SQL  # exact top-k on the planted-cluster corpus

@@ -218,7 +218,14 @@ def drift_verdicts(
         aggs.append(F.count(F.col(c)).alias(f"{c}__n"))
     wide = df.groupBy(F.col(part_col).cast("int").alias("part_id")).agg(*aggs)
 
-    out: DataFrame | None = None
+    # ALL metric rows come out of ONE explode(array(struct...)) over the wide
+    # aggregate — not a union of per-metric branches. A union looks harmless
+    # but lets Catalyst column-prune each branch's aggregate down to just its
+    # own column's buckets, making the branch exchanges non-identical: no
+    # ReuseExchange, and the fact table is re-scanned once per metric (4x for
+    # 2 columns; caught by test_drift_verdicts_single_scan_plan). The explode
+    # form is structurally one scan + one shuffle regardless of column count.
+    structs = []
     for row in baseline_rows:
         c = row["column_name"]
         fracs = F.array(
@@ -228,27 +235,23 @@ def drift_verdicts(
             ]
         )
         psi, ks = _psi_ks_from_fracs(fracs, list(row["bin_fractions"]))
-        v = wide.select(
-            "part_id",
-            psi.alias("__psi"),
-            ks.alias("__ks"),
-            F.col(f"{c}__n").alias("n_rows"),
-        )
-        for metric, col_expr, thr in (
-            ("psi", F.col("__psi"), psi_threshold),
-            ("ks", F.col("__ks"), ks_threshold),
+        for metric, expr, thr in (
+            ("psi", psi, psi_threshold),
+            ("ks", ks, ks_threshold),
         ):
-            m = v.select(
-                "part_id",
-                F.lit(f"{metric}:{c}").alias("check_name"),
-                (col_expr <= thr).alias("passed"),
-                col_expr.cast("double").alias("metric_value"),
-                F.lit(float(thr)).alias("threshold"),
-                F.col("n_rows").cast("long").alias("n_rows"),
-                F.lit(None).cast("long").alias("n_violations"),
+            structs.append(
+                F.struct(
+                    F.lit(f"{metric}:{c}").alias("check_name"),
+                    (expr <= thr).alias("passed"),
+                    expr.cast("double").alias("metric_value"),
+                    F.lit(float(thr)).alias("threshold"),
+                    F.col(f"{c}__n").cast("long").alias("n_rows"),
+                    F.lit(None).cast("long").alias("n_violations"),
+                )
             )
-            out = m if out is None else out.unionByName(m)
-    return out
+    return wide.select(
+        "part_id", F.explode(F.array(*structs)).alias("__v")
+    ).select("part_id", "__v.*")
 
 
 def psi_py(p: list[float], q: list[float]) -> float:

@@ -260,35 +260,59 @@ def minhash_lsh_pairs(
     return _jaccard_pairs_over(sh, verify_threshold, candidates=cand)
 
 
-def simhash(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
-) -> DataFrame:
-    """(id, simhash: bigint, chunks: array<int>) 64-bit SimHash over tokens.
+def _token_hash(col, hasher: str):
+    """(hash Column, n_bits) for a token column under the named hasher.
 
-    Per-bit weighted sums as 64 conditional-sum aggregates in one pass; the
-    four 16-bit chunks support banded Hamming-neighbour joins.
+    - ``xxhash64`` (default): full 64 bits, fastest — the scale path.
+    - ``md5``: top 15 hex chars of md5 = 60 bits, always non-negative. Chosen
+      because it is SQL-PORTABLE: DuckDB reproduces it bit-exactly as
+      ``('0x' || substr(md5(tok), 1, 15))::BIGINT``, which lets the q20/q35
+      gates be hash-checked against an independent oracle (xxhash64 has no
+      DuckDB equivalent). 60 bits so the value fits signed BIGINT in both
+      engines with identical string representation.
     """
+    if hasher == "xxhash64":
+        return F.xxhash64(col), 64
+    if hasher == "md5":
+        return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long"), 60
+    raise ValueError(f"unknown hasher {hasher!r} (use 'xxhash64' or 'md5')")
+
+
+def simhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hasher: str = "xxhash64",
+) -> DataFrame:
+    """(id, simhash: bigint, chunks: array<int>) SimHash over tokens —
+    64-bit for the xxhash64 hasher, 60-bit for the SQL-portable md5 hasher.
+
+    Per-bit weighted sums as n_bits conditional-sum aggregates in one pass;
+    the four (n_bits/4)-wide chunks support banded Hamming-neighbour joins.
+    """
+    hcol, n_bits = _token_hash(F.col("tok"), hasher)
     tok = (
         df.select(F.col(id_col).alias("id"), F.explode(_tokens(text_col)).alias("tok"))
         .where(F.col("tok") != "")
-        .select("id", F.xxhash64("tok").alias("h"))
+        .select("id", hcol.alias("h"))
     )
     bit_sums = [
         F.sum(
             F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
         ).alias(f"b{i}")
-        for i in range(64)
+        for i in range(n_bits)
     ]
     wide = tok.groupBy("id").agg(*bit_sums)
     sim = None
-    for i in range(64):
+    for i in range(n_bits):
         bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
         term = F.shiftleft(bit, i)
         sim = term if sim is None else sim.bitwiseOR(term)
     out = wide.select("id", sim.alias("simhash"))
+    w = n_bits // 4
     chunks = F.array(
         *[
-            F.shiftright(F.col("simhash"), 16 * c).bitwiseAND(F.lit(0xFFFF)).cast("int")
+            F.shiftright(F.col("simhash"), w * c).bitwiseAND(F.lit((1 << w) - 1)).cast("int")
             for c in range(4)
         ]
     )
@@ -300,6 +324,7 @@ def simhash_near_dups(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    hasher: str = "xxhash64",
 ) -> DataFrame:
     """(id_a, id_b, hamming) pairs with SimHash Hamming distance <= max_hamming.
 
@@ -311,7 +336,7 @@ def simhash_near_dups(
     """
     if max_hamming >= 4:
         raise ValueError("4-chunk banding is only lossless for max_hamming <= 3")
-    s = simhash(df, id_col, text_col)
+    s = simhash(df, id_col, text_col, hasher=hasher)
     exploded = s.select(
         "id", "simhash", F.posexplode("chunks").alias("band", "chunk")
     )

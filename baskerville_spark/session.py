@@ -28,9 +28,13 @@ import os
 from pyspark.sql import SparkSession
 
 # Rows per Arrow batch in pandas/Arrow-UDF exchange. Audio rows carry
-# ~0.03-1 MB of binary payload; 512 rows bounds a batch at ~15-500 MB per
-# core. Tune DOWN via env for long-duration clips (30 s @ 48 kHz ≈ 1 MB/row).
-ARROW_BATCH_ROWS = int(os.environ.get("BASK_ARROW_BATCH_ROWS", "512"))
+# ~0.03-1 MB of binary payload, so the BYTES per in-flight batch are what
+# matter: at 128 rows a batch is ~4 MB for sub-second clips and ~37 MB for
+# 3 s clips — x32 concurrent tasks stays ~1 GB. The old 512 default put
+# ~150 MB per batch in flight per core with 3 s clips and drove the local
+# JVM into GC thrash/OOM at local[32]. Tune via env for unusual payloads
+# (30 s @ 48 kHz ≈ 1 MB/row → set 16-32).
+ARROW_BATCH_ROWS = int(os.environ.get("BASK_ARROW_BATCH_ROWS", "128"))
 
 
 def get_session(
@@ -71,7 +75,11 @@ def get_session(
         )
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # local mode: the driver JVM IS the executor. 8g OOMs at local[32]
+        # with 3-second clips (32 concurrent parquet writers + Arrow batches
+        # of ~300KB payload rows); 16g holds with headroom on this 128 GiB
+        # box. On a real cluster executor memory comes from spark-submit.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
     )
     # master() only when not already set by spark-submit

@@ -303,20 +303,25 @@ def run_scaling() -> None:
     ceiling = measure_cpu_ceiling(SCALING_PAIR)
     membw_ceiling = measure_membw_ceiling(SCALING_PAIR)
 
-    # generate the clip table ONCE at full parallelism; trials only validate
+    # generate the clip table ONCE at full parallelism; trials only validate.
+    # SCALING_TABLE_DIR reuses a table across attempts (generation is ~4 min
+    # at 40k x 3s clips; on a co-tenanted box the quiet-window hunt needs
+    # several attempts, so regenerating each time wastes the window).
     from baskerville_spark.generator import GenConfig, write_clips, write_transcript_ref
     from baskerville_spark.session import get_session
 
-    shared = tempfile.mkdtemp(prefix="bench_scaling_")
-    gen_spark = get_session("bench-gen", master="local[*]")
-    gen_spark.sparkContext.setLogLevel("ERROR")
-    cfg = GenConfig(
-        n_rows=SCALING_CLIPS, n_parts=BENCH_PARTS,
-        dur_min_ms=SCALING_DUR[0], dur_max_ms=SCALING_DUR[1],
-    )
-    write_clips(gen_spark, f"{shared}/clips", cfg)
-    write_transcript_ref(gen_spark, f"{shared}/tref", cfg)
-    gen_spark.stop()
+    keep_dir = os.environ.get("SCALING_TABLE_DIR")
+    shared = keep_dir or tempfile.mkdtemp(prefix="bench_scaling_")
+    if not (keep_dir and os.path.isdir(f"{shared}/clips")):
+        gen_spark = get_session("bench-gen", master="local[*]")
+        gen_spark.sparkContext.setLogLevel("ERROR")
+        cfg = GenConfig(
+            n_rows=SCALING_CLIPS, n_parts=BENCH_PARTS,
+            dur_min_ms=SCALING_DUR[0], dur_max_ms=SCALING_DUR[1],
+        )
+        write_clips(gen_spark, f"{shared}/clips", cfg)
+        write_transcript_ref(gen_spark, f"{shared}/tref", cfg)
+        gen_spark.stop()
 
     # INTERLEAVED levels: the box throttles sustained use (identical runs
     # 2-6x apart half an hour later), so running all of one level then all
@@ -337,7 +342,6 @@ def run_scaling() -> None:
                 ],
                 capture_output=True,
                 text=True,
-                check=True,
                 env={
                     **os.environ,
                     "BENCH_CLIPS": str(SCALING_CLIPS),
@@ -346,6 +350,13 @@ def run_scaling() -> None:
                     "BENCH_SUITE": SCALING_SUITE,
                 },
             )
+            if out.returncode != 0:
+                # surface the subprocess failure instead of a bare
+                # CalledProcessError with captured (invisible) stderr
+                print(out.stderr[-4000:], file=sys.stderr)
+                raise RuntimeError(
+                    f"--clips-only {cpus} failed (exit {out.returncode})"
+                )
             line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
             r = json.loads(line)
             cur = results.setdefault(cpus, {"cpus": cpus, "trials": []})
@@ -355,7 +366,8 @@ def run_scaling() -> None:
         cur["elapsed_s"] = best["elapsed_s"]
         cur["clips_per_sec"] = round(SCALING_CLIPS / best["elapsed_s"], 1)
     finally:
-        shutil.rmtree(shared, ignore_errors=True)
+        if not keep_dir:
+            shutil.rmtree(shared, ignore_errors=True)
     t_lo, t_hi = results[n_lo]["clips_per_sec"], results[n_hi]["clips_per_sec"]
     eff = (t_hi / t_lo) / (n_hi / n_lo)
     print(

@@ -180,3 +180,52 @@ def test_sampleby_seeded_stratified(spark):
         .groupBy("stratum").count().collect()
     }
     assert again == counts
+
+
+def test_first_last_agg_single_shuffle_plan(spark):
+    """min_by/max_by first/last-touch (q43's shape) must be ONE
+    partial-aggregating shuffle — the reason it beats the window form
+    (sort exchange + agg exchange) when only per-key results are needed."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "a", 1, 1.0), (1, "b", 2, 2.0), (2, "c", 3, None)],
+        "user_id int, event_type string, event_id int, value double",
+    )
+    ordk = F.struct("event_id")
+    out = df.groupBy("user_id").agg(
+        F.min_by("event_type", ordk).alias("first_type"),
+        F.max_by("event_type", ordk).alias("last_type"),
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.lower().count("exchange") <= 1
+
+
+def test_drift_verdicts_single_scan_plan(t1_clips):
+    """All drift metrics for all columns must come from ONE aggregate over
+    the fact table: reused exchange, not one scan per metric branch."""
+    from pyspark.sql import Row
+
+    from baskerville_spark.checks.drift import drift_verdicts
+
+    baseline = [
+        Row(column_name="sr_hz", kind="numeric",
+            bin_edges=[8000.0, 16000.0, 44100.0, 48000.0], categories=None,
+            bin_fractions=[0.4, 0.4, 0.2], quantiles=None, n=100),
+        Row(column_name="codec", kind="categorical", bin_edges=None,
+            categories=["pcm_s16le", "flac", "opus"],
+            bin_fractions=[0.5, 0.3, 0.2, 0.0], quantiles=None, n=100),
+    ]
+    v = drift_verdicts(t1_clips, baseline)
+    v.collect()  # AQE finalizes stage shapes at runtime, not at planning
+    # AQE's toString prints the Final Plan then repeats the Initial Plan;
+    # count stages in the final section only.
+    plan = v._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
+    # 4 metric rows (psi/ks x 2 cols) but they explode out of ONE wide
+    # aggregate: exactly one shuffle exchange and one scan of the fact
+    # table. The union-of-branches form this guards against lets column
+    # pruning specialize each branch's aggregate -> 4 scans.
+    exchanges = plan.count("Exchange hashpartitioning")
+    scans = plan.count("Scan ")
+    assert exchanges == 1, plan[:2000]
+    assert scans == 1, plan[:2000]

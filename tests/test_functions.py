@@ -198,6 +198,20 @@ def test_simhash_near_dups_planted(spark):
     assert (1, 2) in pairs and pairs[(1, 2)] <= 3
     assert not any(4 in p for p in pairs)
 
+    # the SQL-portable md5 hasher (60-bit; what the q20/q35 oracles check)
+    # must find the same planted structure as the xxhash64 production hasher
+    md5_pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_dups(df, hasher="md5").collect()
+    }
+    assert md5_pairs[(1, 3)] == 0
+    assert (1, 2) in md5_pairs and md5_pairs[(1, 2)] <= 3
+    assert not any(4 in p for p in md5_pairs)
+    # md5 fingerprints are 60-bit: always non-negative (BIGINT-safe in both
+    # Spark and DuckDB — the property the oracle's value hash relies on)
+    for r in simhash(df, hasher="md5").collect():
+        assert 0 <= r["simhash"] < 2**60
+
 
 def test_geo_localize_lookup(spark):
     from baskerville_spark.functions.geo import localize_events

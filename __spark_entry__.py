@@ -1777,10 +1777,13 @@ def q45_streaming_kafka_shaped(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
     tmp = tempfile.mkdtemp(prefix="q45_kafka_")
     try:
+        # 4 files / 2 per trigger = exactly 2 micro-batches: the minimum that
+        # still proves incremental processing (assert below), since each
+        # complete-mode micro-batch costs ~3-4 s of fixed local overhead.
         write_kafka_shaped(
             e, tmp, topic="events",
             value_struct=F.struct("event_id", "user_id", "event_type", "value"),
-            key_col=F.col("user_id"), n_files=8,
+            key_col=F.col("user_id"), n_files=4,
         )
         stream = read_kafka_shaped_stream(spark, tmp, max_files_per_trigger=2)
         decoded = decode_json_values(

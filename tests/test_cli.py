@@ -43,3 +43,37 @@ def test_cli_generate_baseline_validate(spark, tmp_path, capsys):
     ]) == 0
     lines = [l for l in capsys.readouterr().out.strip().splitlines() if l.startswith("{")]
     assert json.loads(lines[-1])["partitions_processed"] == []
+
+
+def test_py_files_zip_importable(tmp_path):
+    """The spark-submit --py-files contract end to end: scripts/package.sh
+    must produce a zip whose root-level package dir resolves via zipimport —
+    exactly how executors import --py-files archives. Import in a FRESH
+    interpreter so the already-imported repo package can't mask a bad zip."""
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parents[1]
+    built = subprocess.run(
+        ["bash", str(repo / "scripts" / "package.sh")],
+        capture_output=True, text=True, cwd=repo,
+    )
+    assert built.returncode == 0, built.stderr
+    zpath = repo / "dist" / "baskerville_spark.zip"
+    assert zpath.is_file()
+    probe = subprocess.run(
+        [
+            sys.executable, "-c",
+            "import sys; sys.path.insert(0, sys.argv[1]); "
+            "import baskerville_spark.checks.drift as d; "
+            "import baskerville_spark.functions.dedup; "
+            "import baskerville_spark.runtime.runner; "
+            "assert 'baskerville_spark.zip' in d.__file__, d.__file__; "
+            "print(d.PSI_THRESHOLD)",
+            str(zpath),
+        ],
+        capture_output=True, text=True, cwd=str(tmp_path),
+    )
+    assert probe.returncode == 0, probe.stderr
+    assert probe.stdout.strip() == "0.2"

@@ -82,15 +82,26 @@ def measure_cpu_ceiling(pair: tuple[int, int]) -> float:
     """Raw multiprocessing spin throughput ratio — the hardware's ALU
     scaling ceiling between the two parallelism levels (co-tenant aware).
     Pure-register work: does NOT capture the memory-bandwidth cap."""
+    return _ceiling_ratio(_spin, pair)
+
+
+def _ceiling_ratio(worker, pair: tuple[int, int], repeats: int = 3) -> float:
+    """Per-core-normalized scaling ratio of a probe workload, best-of-
+    ``repeats`` per level with levels INTERLEAVED. A single back-to-back
+    sample per level let one co-tenant burst during the low level inflate
+    the ratio to physically-impossible values (>1 per-core — observed 4.5,
+    8.6, 29.5 in round-3 runs); best-of-interleaved matches how the engine
+    trials themselves are treated, and the result is clamped at 1.0 since a
+    per-core-normalized hardware ceiling above linear is always noise."""
     import multiprocessing as mp
 
-    spin = _spin
-    rates = {}
-    for n in pair:
-        with mp.Pool(n) as p:
-            rates[n] = sum(p.map(spin, range(n)))
+    rates: dict[int, float] = {n: 0.0 for n in pair}
+    for _ in range(repeats):
+        for n in pair:
+            with mp.Pool(n) as p:
+                rates[n] = max(rates[n], sum(p.map(worker, range(n))))
     lo, hi = pair
-    return round((rates[hi] / rates[lo]) / (hi / lo), 3)
+    return round(min((rates[hi] / rates[lo]) / (hi / lo), 1.0), 3)
 
 
 def _stream(_):
@@ -112,15 +123,7 @@ def measure_membw_ceiling(pair: tuple[int, int]) -> float:
     (plus co-tenant contention) caps sustained multi-core streaming well
     below the ALU ceiling (measured 0.47 at 2→8 while the spin test said
     ~1.0); no engine can scale a bandwidth-bound stage past this."""
-    import multiprocessing as mp
-
-    stream = _stream
-    rates = {}
-    for n in pair:
-        with mp.Pool(n) as p:
-            rates[n] = sum(p.map(stream, range(n)))
-    lo, hi = pair
-    return round((rates[hi] / rates[lo]) / (hi / lo), 3)
+    return _ceiling_ratio(_stream, pair)
 
 
 def _timed_suite(spark, clips, tref, baseline, suite: str) -> float:

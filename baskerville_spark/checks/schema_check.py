@@ -71,21 +71,38 @@ def pattern_violations(
     part_col: str = "part_id",
 ) -> DataFrame | None:
     """Violation rows for declared-pattern mismatches (the check the
-    reference declared but never ran)."""
-    out: DataFrame | None = None
+    reference declared but never ran).
+
+    ONE scan for all pattern columns: per-row when(violates, struct) pieces →
+    array_compact → explode (rows with no violations explode to nothing).
+    The union-of-filtered-branches form this replaces scanned the fact table
+    once per pattern column — and rlike predicates don't push down to
+    parquet, so each of those scans was a FULL read."""
+    pieces = []
     for s in specs:
         if s.pattern is None or s.name not in df.columns:
             continue
-        v = df.where(
+        violates = (
             F.col(s.name).isNotNull() & ~F.col(s.name).cast("string").rlike(s.pattern)
-        ).select(
-            F.col(part_col).cast("int").alias("part_id"),
-            F.col(key).alias("clip_id"),
-            F.lit(f"pattern:{s.name}").alias("check_name"),
-            F.concat(F.lit("value="), F.col(s.name).cast("string")).alias("detail"),
         )
-        out = v if out is None else out.unionByName(v)
-    return out
+        pieces.append(
+            F.when(
+                violates,
+                F.struct(
+                    F.lit(f"pattern:{s.name}").alias("check_name"),
+                    F.concat(
+                        F.lit("value="), F.col(s.name).cast("string")
+                    ).alias("detail"),
+                ),
+            )
+        )
+    if not pieces:
+        return None
+    return df.select(
+        F.col(part_col).cast("int").alias("part_id"),
+        F.col(key).alias("clip_id"),
+        F.explode(F.array_compact(F.array(*pieces))).alias("__v"),
+    ).select("part_id", "clip_id", "__v.*")
 
 
 def enforce_schema(df: DataFrame, specs: list[ColumnSpec]) -> DataFrame:

@@ -116,37 +116,48 @@ def stats_verdicts(
 
     Emits one row per (part_id, check, column): null_rate check always;
     range check for columns with declared bounds.
+
+    Structurally a SINGLE pass over ``stats``: every check row comes out of
+    one explode(array_compact(...)) — not a union of a null-rate branch plus
+    one filtered branch per bounded column. The union form re-executes the
+    whole stats subtree (the one-shuffle aggregate over the fact table) once
+    per branch whenever ``stats`` is not cached, because filter/column
+    pruning specialize each branch's aggregate and defeat ReuseExchange
+    (same pathology as drift_verdicts' old union — see docs/PLANS.md).
     """
-    null_v = stats.select(
-        "part_id",
-        F.concat(F.lit("null_rate:"), F.col("column_name")).alias("check_name"),
-        (
-            (F.col("null_count") / F.greatest(F.col("count") + F.col("null_count"), F.lit(1)))
-            <= null_rate_max
-        ).alias("passed"),
-        (F.col("null_count") / F.greatest(F.col("count") + F.col("null_count"), F.lit(1)))
-        .cast("double")
-        .alias("metric_value"),
-        F.lit(null_rate_max).alias("threshold"),
-        (F.col("count") + F.col("null_count")).alias("n_rows"),
-        F.col("null_count").alias("n_violations"),
-    )
-    out = null_v
-    if range_bounds:
-        for col, (lo, hi) in range_bounds.items():
-            part = stats.where(F.col("column_name") == col).select(
-                "part_id",
-                F.concat(F.lit("range:"), F.col("column_name")).alias("check_name"),
-                # coalesce: an all-NULL partition has NULL min/max → vacuous
-                # pass (the null-rate check flags it), never a NULL verdict
-                # that a boolean filter downstream would silently drop
-                F.coalesce(
-                    (F.col("min") >= lo) & (F.col("max") <= hi), F.lit(True)
-                ).alias("passed"),
-                F.col("max").alias("metric_value"),
-                F.lit(float(hi)).alias("threshold"),
-                (F.col("count") + F.col("null_count")).alias("n_rows"),
-                F.lit(None).cast("long").alias("n_violations"),
+    n_total = F.col("count") + F.col("null_count")
+    null_rate = (F.col("null_count") / F.greatest(n_total, F.lit(1))).cast("double")
+    pieces = [
+        F.struct(
+            F.concat(F.lit("null_rate:"), F.col("column_name")).alias("check_name"),
+            (null_rate <= null_rate_max).alias("passed"),
+            null_rate.alias("metric_value"),
+            F.lit(null_rate_max).alias("threshold"),
+            n_total.alias("n_rows"),
+            F.col("null_count").alias("n_violations"),
+        )
+    ]
+    for col, (lo, hi) in (range_bounds or {}).items():
+        pieces.append(
+            # struct-or-NULL; array_compact drops the NULLs so the range
+            # verdict only materializes on the matching column's stats row
+            F.when(
+                F.col("column_name") == col,
+                F.struct(
+                    F.concat(F.lit("range:"), F.col("column_name")).alias("check_name"),
+                    # coalesce: an all-NULL partition has NULL min/max →
+                    # vacuous pass (the null-rate check flags it), never a
+                    # NULL verdict a boolean filter downstream silently drops
+                    F.coalesce(
+                        (F.col("min") >= lo) & (F.col("max") <= hi), F.lit(True)
+                    ).alias("passed"),
+                    F.col("max").alias("metric_value"),
+                    F.lit(float(hi)).alias("threshold"),
+                    n_total.alias("n_rows"),
+                    F.lit(None).cast("long").alias("n_violations"),
+                ),
             )
-            out = out.unionByName(part)
-    return out
+        )
+    return stats.select(
+        "part_id", F.explode(F.array_compact(F.array(*pieces))).alias("__v")
+    ).select("part_id", "__v.*")

@@ -67,26 +67,38 @@ def multiply_traffic(
     ip_col: str = "client_ip",
     seed: int = 42,
 ) -> DataFrame:
-    """Load-test traffic multiplication (reference spark/helpers.py:220-239):
-    union ``factor`` copies of the batch, each clone's IPs rewritten with a
-    seeded rand so per-IP grouping fans out realistically. Copy 0 is the
-    original traffic. Pure column ops — the multiplied stream is never
-    driver-side."""
+    """Load-test traffic multiplication (reference spark/helpers.py:220-239
+    semantics: ``factor`` copies of the batch, clone IPs rewritten so per-IP
+    grouping fans out realistically; copy 0 is the original traffic).
+
+    Implemented as ONE scan + ``explode(sequence(0, factor-1))`` — the
+    reference's union-of-copies shape scans the source ``factor`` times
+    (uncached) and builds a ``factor``-branch plan. Clone IPs derive from
+    ``xxhash64(ip, copy, seed)`` octets: deterministic (same seed → same
+    traffic, unlike per-task rand under retries) and still per-(ip, copy)
+    distinct. Pure column ops — the multiplied stream is never driver-side."""
     if factor < 1:
         raise ValueError("factor must be >= 1")
-    out = df.withColumn("load_test_copy", F.lit(0))
-    for i in range(1, factor):
-        fake_ip = F.concat_ws(
-            ".",
-            (F.rand(seed + i) * 253 + 1).cast("int"),
-            (F.rand(seed + i * 7919) * 255).cast("int"),
-            (F.rand(seed + i * 104729) * 255).cast("int"),
-            (F.rand(seed + i * 1299709) * 253 + 1).cast("int"),
-        )
-        out = out.unionByName(
-            df.withColumn(ip_col, fake_ip).withColumn("load_test_copy", F.lit(i))
-        )
-    return out
+    out = df.select(
+        "*",
+        F.explode(F.sequence(F.lit(0), F.lit(factor - 1))).alias("load_test_copy"),
+    )
+
+    def _octet(salt: int, span: int, base: int) -> Column:
+        h = F.xxhash64(F.col(ip_col), F.col("load_test_copy"), F.lit(seed + salt))
+        return (F.pmod(h, F.lit(span)) + base).cast("int")
+
+    fake_ip = F.concat_ws(
+        ".",
+        _octet(0, 253, 1),
+        _octet(1, 255, 0),
+        _octet(2, 255, 0),
+        _octet(3, 253, 1),
+    )
+    return out.withColumn(
+        ip_col,
+        F.when(F.col("load_test_copy") == 0, F.col(ip_col)).otherwise(fake_ip),
+    )
 
 
 def challenge_decision(n_anomalous: Column, n_normal: Column, threshold: float) -> Column:

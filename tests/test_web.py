@@ -79,3 +79,6 @@ def test_multiply_traffic(spark):
     # deterministic: same seed, same result
     again = multiply_traffic(df, factor=5, seed=7).select("client_ip").distinct().count()
     assert again == n_ips
+    # ONE scan + explode, not a union of factor copies (factor scans)
+    plan = out._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
+    assert plan.count("Scan ") == 1, plan[:1500]

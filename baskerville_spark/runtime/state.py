@@ -63,8 +63,15 @@ def upsert_state(
     value_cols: list[str],
     updated_at_col: str = "updated_at",
 ) -> DataFrame:
-    """FULL_OUTER merge: new value wins when present, else old survives
-    (request_set_cache.py:370-400). On Iceberg: MERGE INTO."""
+    """FULL_OUTER merge with PER-COLUMN null-coalescing: each column takes
+    the update's value when non-null, else the prior state's — the
+    reference's per-column ``when(new.isNotNull(), new).otherwise(old)``
+    (request_set_cache.py:370-400), so an update row carrying NULL in one
+    column refreshes the others without clobbering it. Per-column coalesce
+    also needs no row-presence marker, which makes the merge correct for
+    null-valued keys too (the eqNullSafe join already matches them; the old
+    row-level form keyed "update present" on ``keys[0].isNotNull()`` and
+    dropped a null-keyed update's values). On Iceberg: MERGE INTO."""
     s = state.select(
         *[F.col(k).alias(f"__s_{k}") for k in keys],
         *[F.col(c).alias(f"__s_{c}") for c in value_cols + [updated_at_col]],
@@ -83,9 +90,7 @@ def upsert_state(
     ]
     for c in value_cols + [updated_at_col]:
         out_cols.append(
-            F.when(F.col(f"__u_{keys[0]}").isNotNull(), F.col(f"__u_{c}"))
-            .otherwise(F.col(f"__s_{c}"))
-            .alias(c)
+            F.coalesce(F.col(f"__u_{c}"), F.col(f"__s_{c}")).alias(c)
         )
     return joined.select(*out_cols)
 

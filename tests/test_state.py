@@ -32,6 +32,20 @@ def test_upsert_new_wins_old_survives(spark):
     assert merged == {"a": (10, 100.0), "b": (25, 200.0), "c": (5, 200.0)}
 
 
+def test_upsert_per_column_null_coalescing(spark):
+    """The reference merges PER COLUMN (request_set_cache.py:370-400): an
+    update row with a NULL in one value column refreshes the other columns
+    without clobbering the old value of the null one."""
+    state = spark.createDataFrame(
+        [("a", 10, 1.5, 100.0)], "k string, n int, score double, updated_at double"
+    )
+    updates = spark.createDataFrame(
+        [("a", None, 9.9, 200.0)], "k string, n int, score double, updated_at double"
+    )
+    r = upsert_state(state, updates, ["k"], ["n", "score"]).collect()[0]
+    assert (r["n"], r["score"], r["updated_at"]) == (10, 9.9, 200.0)
+
+
 def test_enrich_and_prune(spark):
     state, _ = _dfs(spark)
     batch = spark.createDataFrame([("b", 1.0), ("c", 2.0)], "k string, x double")

@@ -38,6 +38,7 @@ OUTPUT_SCHEMA = T.StructType(
 STATE_SCHEMA = T.StructType(
     [
         T.StructField("n_total", T.LongType(), False),
+        T.StructField("n_values", T.LongType(), False),
         T.StructField("n_batches", T.LongType(), False),
         T.StructField("min_value", T.DoubleType(), True),
         T.StructField("max_value", T.DoubleType(), True),
@@ -49,19 +50,20 @@ STATE_SCHEMA = T.StructType(
 def _update(
     key: Tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterable[pd.DataFrame]:
-    n, b, mn, mx, sm = (
-        state.get if state.exists else (0, 0, None, None, 0.0)
+    n, nv, b, mn, mx, sm = (
+        state.get if state.exists else (0, 0, 0, None, None, 0.0)
     )
     for pdf in pdfs:
         vals = pdf["value"].dropna()
         n += len(pdf)
         b += 1
         if len(vals):
+            nv += len(vals)
             vmn, vmx, vsm = float(vals.min()), float(vals.max()), float(vals.sum())
             mn = vmn if mn is None else min(mn, vmn)
             mx = vmx if mx is None else max(mx, vmx)
             sm = (sm or 0.0) + vsm
-    state.update((n, b, mn, mx, sm))
+    state.update((n, nv, b, mn, mx, sm))
     yield pd.DataFrame(
         [
             {
@@ -70,7 +72,10 @@ def _update(
                 "n_batches": b,
                 "min_value": mn,
                 "max_value": mx,
-                "mean_value": (sm / n) if n else None,
+                # mean over the NON-NULL values only: n_total counts all rows
+                # (the reference's request count), but a null value must not
+                # drag the mean toward zero
+                "mean_value": (sm / nv) if nv else None,
             }
         ]
     )

@@ -109,6 +109,8 @@ def test_streaming_incremental_stats(spark, tmp_path):
         q.processAllAvailable()
         with open(src / "batch2.json", "w") as f:
             f.write(json.dumps({"key": "x", "value": 5.0}) + "\n")
+            # null value: counts toward n_total, must NOT drag the mean
+            f.write(json.dumps({"key": "y", "value": None}) + "\n")
         q.processAllAvailable()
     finally:
         q.stop()
@@ -123,7 +125,7 @@ def test_streaming_incremental_stats(spark, tmp_path):
     assert x["min_value"] == 1.0 and x["max_value"] == 5.0
     assert abs(x["mean_value"] - 3.0) < 1e-9
     y = last["y"]
-    assert y["n_total"] == 1 and y["mean_value"] == 10.0
+    assert y["n_total"] == 2 and y["mean_value"] == 10.0
 
 
 def test_streaming_session_window(spark, tmp_path):

@@ -1143,8 +1143,11 @@ def q31_heavy_both_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
         .where("n > 15").select("user_id")
     )
-    return heavy("view").intersect(heavy("click")).exceptAll(
-        heavy("view").intersect(heavy("click")).intersect(err_users)
+    # EXCEPT == left_anti here because intersect() already dedupes: one
+    # derivation of the heavy-users subtree instead of the old
+    # exceptAll(intersect(...)) form that built it twice
+    return heavy("view").intersect(heavy("click")).join(
+        err_users, on="user_id", how="left_anti"
     )
 
 
@@ -1435,9 +1438,9 @@ def q38_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from baskerville_spark.functions.similarity import ivf_topk, train_ivf_centroids
 
     emb = _clustered_embeddings(spark, sf_dir)
-    # sample_mod COPRIME with the 8 planted clusters: a mod sharing a factor
-    # with the cluster key would sample only half the clusters, leaving the
-    # rest unseeded (quantizer trained on a biased sample)
+    # the md5-threshold sampler is independent of the vec_id%8 cluster key
+    # (the old id%sample_mod filter had to be coprime with it), and the
+    # driver-side sample is hard-capped at 256·n_centroids vectors
     cent = train_ivf_centroids(emb, n_centroids=8, sample_mod=3, seed=42)
     qvec = [float(x) for x in emb.where("vec_id = 0").select("embedding").first()[0]]
     top = ivf_topk(emb, qvec, cent, k=10, nprobe=2)
@@ -1805,7 +1808,8 @@ def q45_streaming_kafka_shaped(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_batches = q.lastProgress["batchId"] + 1 if q.lastProgress else 0
         finally:
             q.stop()
-        assert n_batches >= 2, f"expected >=2 micro-batches, got {n_batches}"
+        if n_batches < 2:  # not `assert`: python -O must not disable the gate
+            raise RuntimeError(f"expected >=2 micro-batches, got {n_batches}")
         out = spark.table(name).persist()
         out.count()
         return out

@@ -54,23 +54,51 @@ def duplicate_exemplars(
     k: int = 8,
     n_salt: int = 64,
 ) -> DataFrame:
-    """(key, dup_count, exemplar_ids≤k) per duplicated key — SALTED
-    two-phase aggregation, the case where salting is load-bearing.
+    """(key, dup_count, exemplar_ids≤k) per duplicated key — salted
+    THREE-level aggregation, the case where salting is load-bearing.
 
-    collect_list state is unbounded on the reduce side; salting with
-    spark_partition_id() makes every phase-1 group local to one input
-    split (bounded by maxPartitionBytes), caps its list at k, and phase 2
-    merges ≤ n_salt lists of ≤ k — a hot key never materializes more than
-    n_salt*k elements anywhere.
+    collect_list state is unbounded on the reduce side, and a (key,
+    pid % n_salt) group is NOT local to one input split — it merges partials
+    from every split whose pid ≡ salt, so its reduce buffer would still hold
+    ~dup_count/n_salt ids before any slice. Hence three levels, each with a
+    hard buffer bound:
+
+    - level 0 groups on (key, spark_partition_id()): every group lives
+      entirely in one input split, so map-side partial aggregation fully
+      reduces it there (buffer ≤ the split's projected rows, i.e. bounded by
+      maxPartitionBytes) and the slice to k happens before any cross-split
+      merge;
+    - level 1 groups on (key, pid % n_salt): merges ≤ P/n_salt lists of ≤ k
+      (P = #input splits);
+    - level 2 groups on (key): merges ≤ n_salt lists of ≤ k.
+
+    A key duplicated 10^9 times therefore never materializes more than
+    max(split_rows, (P/n_salt)·k, n_salt·k) elements in any single buffer.
+    The extra shuffle ships only (key, ≤k ids, count) rows — the same total
+    id volume the two-level form already shuffled, minus everything level 0
+    truncates.
+
+    "Smallest k" is exact: each level keeps its group's k smallest, and the
+    global k smallest survive every level.
     """
     group_final = [part_col, key] if part_col else [key]
-    phase1 = (
+    phase0 = (
         df.select(*group_final, F.col(id_col).alias("__id"))
-        .withColumn("__salt", F.spark_partition_id() % n_salt)
-        .groupBy(*group_final, "__salt")
+        .withColumn("__pid", F.spark_partition_id())
+        .groupBy(*group_final, "__pid")
         .agg(
             F.slice(F.sort_array(F.collect_list("__id")), 1, k).alias("partial_ids"),
             F.count(F.lit(1)).alias("partial_count"),
+        )
+    )
+    phase1 = (
+        phase0.withColumn("__salt", F.col("__pid") % n_salt)
+        .groupBy(*group_final, "__salt")
+        .agg(
+            F.slice(
+                F.sort_array(F.flatten(F.collect_list("partial_ids"))), 1, k
+            ).alias("partial_ids"),
+            F.sum("partial_count").alias("partial_count"),
         )
     )
     return (

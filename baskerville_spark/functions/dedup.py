@@ -61,26 +61,38 @@ def exact_duplicates(
     """Groups of byte-identical texts: (text_hash, dup_count, ids).
 
     ``ids`` holds at most ``exemplar_k`` exemplar ids (the smallest by sort
-    order). SALTED two-phase aggregation (same pattern as
-    checks.uniqueness.duplicate_exemplars): phase 1 groups on
-    (hash, spark_partition_id % n_salt) so a text duplicated 10^9 times is
-    reduced in parallel across input splits with each group's list capped at
-    k; phase 2 merges ≤ n_salt bounded lists. Counts ride the same two
-    phases (sum of partials), so the whole operator is two shuffles of
-    (hash, ≤k ids) rows and NO single-task hot-key stage anywhere — the
-    row_number-window form this replaces serialized a hot hash onto one
-    reducer's external sort.
+    order). Salted THREE-level aggregation (same structure and bound
+    analysis as checks.uniqueness.duplicate_exemplars — see its docstring):
+    level 0 groups on (hash, spark_partition_id()) so each group is fully
+    reduced map-side within its input split (buffer ≤ split rows) and
+    truncated to k BEFORE any cross-split merge; level 1 merges ≤ P/n_salt
+    truncated lists per (hash, pid % n_salt); level 2 merges ≤ n_salt lists.
+    No single buffer ever holds more than max(split_rows, (P/n_salt)·k,
+    n_salt·k) ids for any hot hash — unlike a two-level (hash, salt) form,
+    whose reduce side still concatenates ~dup_count/n_salt ids before the
+    slice, or the row_number-window form, which serializes a hot hash onto
+    one reducer's external sort. Never ships text — only (hash, id).
 
-    "Smallest k" is preserved exactly: every salt group contributes its own
-    k smallest, and the global k smallest are a subset of that union.
+    "Smallest k" is preserved exactly: every level contributes its own k
+    smallest, and the global k smallest are a subset of that union.
     """
     hashed = df.select(F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col).alias("id"))
-    phase1 = (
-        hashed.withColumn("__salt", F.spark_partition_id() % n_salt)
-        .groupBy("text_hash", "__salt")
+    phase0 = (
+        hashed.withColumn("__pid", F.spark_partition_id())
+        .groupBy("text_hash", "__pid")
         .agg(
             F.slice(F.sort_array(F.collect_list("id")), 1, exemplar_k).alias("partial_ids"),
             F.count(F.lit(1)).alias("partial_count"),
+        )
+    )
+    phase1 = (
+        phase0.withColumn("__salt", F.col("__pid") % n_salt)
+        .groupBy("text_hash", "__salt")
+        .agg(
+            F.slice(
+                F.sort_array(F.flatten(F.collect_list("partial_ids"))), 1, exemplar_k
+            ).alias("partial_ids"),
+            F.sum("partial_count").alias("partial_count"),
         )
     )
     return (

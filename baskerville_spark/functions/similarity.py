@@ -163,6 +163,41 @@ def hyperplane_lsh_pairs(
     )
 
 
+def ivf_training_sample(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_mod: int = 10,
+    max_train_rows: int = 4096,
+) -> DataFrame:
+    """Deterministic, HARD-CAPPED training sample for the IVF quantizer.
+
+    Keep-decision is an md5-threshold on the id (the q28 stratified-sampling
+    trick): uniform, independent of any cluster/key structure in the ids
+    (unlike ``id % sample_mod``, which biases the sample whenever ids encode
+    cluster membership), and deterministic for a fixed corpus. The threshold
+    targets ``min(1/sample_mod, 0.9·max_train_rows/n)`` of the corpus — the
+    0.9 headroom makes the binomial sample exceed the cap only at >4σ — and
+    ``limit(max_train_rows)`` is the hard backstop, so the driver NEVER
+    receives more than ``max_train_rows`` vectors regardless of corpus size
+    (the old uncapped ``id % sample_mod`` filter collected a fixed fraction:
+    a guaranteed driver OOM at 10^12 rows).
+
+    Costs one column-pruned count() of the corpus to size the threshold.
+    """
+    base = df.where(F.col(vec_col).isNotNull())
+    n = base.count()
+    frac = min(1.0 / sample_mod, 0.9 * max_train_rows / max(n, 1))
+    # md5 → first 15 hex digits → bigint, uniform over [0, 1e6) buckets
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10)
+        .cast("bigint"),
+        F.lit(1_000_000),
+    )
+    keep = bucket < F.lit(int(frac * 1_000_000) + 1)
+    return base.where(keep).select(vec_col).limit(max_train_rows)
+
+
 def train_ivf_centroids(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -171,21 +206,25 @@ def train_ivf_centroids(
     sample_mod: int = 10,
     iters: int = 10,
     seed: int = 42,
+    max_train_rows: int | None = None,
 ) -> np.ndarray:
     """Coarse-quantizer centroids for IVF: seeded Lloyd iterations on a
-    deterministic sample (ids ≡ 0 mod sample_mod), trained driver-side.
+    deterministic hash-threshold sample, trained driver-side.
 
-    The sample is bounded and collected once — standard IVF practice (the
-    quantizer trains on a fraction; assignment is the distributed part).
+    The sample is HARD-BOUNDED by ``max_train_rows`` (default
+    256·n_centroids — standard IVF practice: the quantizer trains on a
+    bounded sample; assignment is the distributed part). See
+    ``ivf_training_sample`` for the bound guarantee.
     Deterministic: fixed sample, fixed init, fixed iteration count — unlike
     parallel k-means, whose result depends on partitioning.
     """
+    if max_train_rows is None:
+        max_train_rows = 256 * n_centroids
     sample_rows = [
         np.asarray(r[0], dtype=np.float64)
-        for r in df.where(F.col(id_col) % sample_mod == 0)
-        .where(F.col(vec_col).isNotNull())
-        .select(vec_col)
-        .collect()
+        for r in ivf_training_sample(
+            df, id_col, vec_col, sample_mod, max_train_rows
+        ).collect()
     ]
     if len(sample_rows) < n_centroids:
         raise ValueError(

@@ -64,14 +64,20 @@ def upsert_state(
     updated_at_col: str = "updated_at",
 ) -> DataFrame:
     """FULL_OUTER merge with PER-COLUMN null-coalescing: each column takes
-    the update's value when non-null, else the prior state's — the
-    reference's per-column ``when(new.isNotNull(), new).otherwise(old)``
-    (request_set_cache.py:370-400), so an update row carrying NULL in one
-    column refreshes the others without clobbering it. Per-column coalesce
-    also needs no row-presence marker, which makes the merge correct for
-    null-valued keys too (the eqNullSafe join already matches them; the old
-    row-level form keyed "update present" on ``keys[0].isNotNull()`` and
-    dropped a null-keyed update's values). On Iceberg: MERGE INTO."""
+    the update's value when non-null, else the prior state's.
+
+    INTENTIONAL DEVIATION from the reference (request_set_cache.py:370-400):
+    there the coalesce is keyed on a ROW-LEVEL presence flag
+    (``features.isNotNull()``), so a present update row replaces *every*
+    column — including replacing a prior value with NULL. Per-column
+    coalesce was chosen deliberately instead because (a) a partial update
+    row (NULL in one column) refreshes the other columns without clobbering
+    the one it doesn't carry, and (b) it needs no row-presence marker, which
+    makes the merge correct for null-valued keys too (the eqNullSafe join
+    already matches them; a row-level form keyed on ``keys[0].isNotNull()``
+    drops a null-keyed update's values). The trade-off: this merge can never
+    clear a column back to NULL — updaters that need explicit clearing must
+    write a sentinel, not NULL. On Iceberg: MERGE INTO."""
     s = state.select(
         *[F.col(k).alias(f"__s_{k}") for k in keys],
         *[F.col(c).alias(f"__s_{c}") for c in value_cols + [updated_at_col]],

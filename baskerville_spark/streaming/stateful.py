@@ -35,50 +35,75 @@ OUTPUT_SCHEMA = T.StructType(
     ]
 )
 
+# applyInPandasWithState state is positional: fields ADDED to this schema go
+# at the END so a checkpoint written with the older (shorter) layout still
+# reads its prefix correctly — n_values was appended (not inserted) for that
+# reason, and _update tolerates its absence on first read after an upgrade.
 STATE_SCHEMA = T.StructType(
     [
         T.StructField("n_total", T.LongType(), False),
-        T.StructField("n_values", T.LongType(), False),
         T.StructField("n_batches", T.LongType(), False),
         T.StructField("min_value", T.DoubleType(), True),
         T.StructField("max_value", T.DoubleType(), True),
         T.StructField("sum_value", T.DoubleType(), True),
+        T.StructField("n_values", T.LongType(), True),
     ]
 )
 
+# processing-time TTL in ms applied when incremental_group_stats runs with
+# ProcessingTimeTimeout — reference cache_expire_time is seconds
+# (config.py:363-368), surfaced here per-call
+DEFAULT_TTL_MS = 86_400_000
 
-def _update(
-    key: Tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
-) -> Iterable[pd.DataFrame]:
-    n, nv, b, mn, mx, sm = (
-        state.get if state.exists else (0, 0, 0, None, None, 0.0)
-    )
-    for pdf in pdfs:
-        vals = pdf["value"].dropna()
-        n += len(pdf)
-        b += 1
-        if len(vals):
-            nv += len(vals)
-            vmn, vmx, vsm = float(vals.min()), float(vals.max()), float(vals.sum())
-            mn = vmn if mn is None else min(mn, vmn)
-            mx = vmx if mx is None else max(mx, vmx)
-            sm = (sm or 0.0) + vsm
-    state.update((n, nv, b, mn, mx, sm))
-    yield pd.DataFrame(
-        [
-            {
-                "key": key[0],
-                "n_total": n,
-                "n_batches": b,
-                "min_value": mn,
-                "max_value": mx,
-                # mean over the NON-NULL values only: n_total counts all rows
-                # (the reference's request count), but a null value must not
-                # drag the mean toward zero
-                "mean_value": (sm / nv) if nv else None,
-            }
-        ]
-    )
+
+def _make_update(ttl_ms: int):
+    def _update(
+        key: Tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        if state.hasTimedOut:
+            # idle key past TTL: evict (reference expire semantics,
+            # request_set_cache.py:404-411) and emit nothing — the next
+            # batch carrying this key starts from empty state
+            state.remove()
+            return
+        if state.exists:
+            got = state.get
+            n, b, mn, mx, sm = got[:5]
+            # tolerate a pre-n_values checkpoint (shorter layout): treat
+            # every prior row as a counted value, the old behavior
+            nv = got[5] if len(got) > 5 and got[5] is not None else n
+        else:
+            n, b, mn, mx, sm, nv = 0, 0, None, None, 0.0, 0
+        for pdf in pdfs:
+            vals = pdf["value"].dropna()
+            n += len(pdf)
+            b += 1
+            if len(vals):
+                nv += len(vals)
+                vmn, vmx, vsm = float(vals.min()), float(vals.max()), float(vals.sum())
+                mn = vmn if mn is None else min(mn, vmn)
+                mx = vmx if mx is None else max(mx, vmx)
+                sm = (sm or 0.0) + vsm
+        state.update((n, b, mn, mx, sm, nv))
+        if ttl_ms > 0:
+            state.setTimeoutDuration(ttl_ms)
+        yield pd.DataFrame(
+            [
+                {
+                    "key": key[0],
+                    "n_total": n,
+                    "n_batches": b,
+                    "min_value": mn,
+                    "max_value": mx,
+                    # mean over the NON-NULL values only: n_total counts all
+                    # rows (the reference's request count), but a null value
+                    # must not drag the mean toward zero
+                    "mean_value": (sm / nv) if nv else None,
+                }
+            ]
+        )
+
+    return _update
 
 
 def incremental_group_stats(
@@ -86,12 +111,18 @@ def incremental_group_stats(
     key_col: str = "key",
     value_col: str = "value",
     timeout: str = GroupStateTimeout.NoTimeout,
+    ttl_ms: int = DEFAULT_TTL_MS,
 ) -> DataFrame:
     """Stateful per-key incremental stats over a stream.
 
     Input stream needs columns (key_col, value_col); output one row per key
     per batch with merged lifetime stats — the RequestSet incremental-update
     semantics (subset_count ≙ n_batches, base_spark.py:849-852).
+
+    With ``timeout=GroupStateTimeout.ProcessingTimeTimeout`` a key idle for
+    ``ttl_ms`` is evicted the next time any micro-batch fires — the
+    reference's cache_expire_time (config.py:363-368) applied to the
+    streaming state store instead of the batch cache.
     """
     from pyspark.sql import functions as F
 
@@ -99,6 +130,7 @@ def incremental_group_stats(
         F.col(key_col).cast("string").alias("key"),
         F.col(value_col).cast("double").alias("value"),
     )
+    use_ttl = ttl_ms if timeout == GroupStateTimeout.ProcessingTimeTimeout else 0
     return src.groupBy("key").applyInPandasWithState(
-        _update, OUTPUT_SCHEMA, STATE_SCHEMA, "update", timeout
+        _make_update(use_ttl), OUTPUT_SCHEMA, STATE_SCHEMA, "update", timeout
     )

@@ -140,6 +140,38 @@ def _ahash64(img: np.ndarray) -> int:
     return int(np.int64(np.uint64(val)))  # wrap to signed for LongType
 
 
+def _image_meta_batch(b: pd.DataFrame, fmt_col: str = "fmt") -> pd.DataFrame:
+    """One Arrow batch of (item_id, payload, fmt) → image-metadata rows.
+
+    Module-level (not a closure) so the codec-seam contract is testable
+    without a cluster: inject a fake Pillow at ``_PILImage`` and the same
+    batch function that runs inside mapInPandas decodes compressed formats.
+    Direct column access + zip, not iterrows: per-row pandas Series
+    construction is ~10x the iteration cost of the non-decode part
+    (matches the Arrow-native audio path, checks/invariants.py).
+    """
+    rows = []
+    for item_id, payload, fmt in zip(
+        b["item_id"].to_numpy(), b["payload"].to_numpy(), b[fmt_col].to_numpy()
+    ):
+        try:
+            img = _decode_image(bytes(payload), fmt)
+            rows.append(
+                (
+                    item_id,
+                    img.shape[1],
+                    img.shape[0],
+                    img.shape[2],
+                    float(img.mean()),
+                    _ahash64(img),
+                    True,
+                )
+            )
+        except (NotImplementedError, ValueError):
+            rows.append((item_id, None, None, None, None, None, False))
+    return pd.DataFrame(rows, columns=[f.name for f in IMAGE_META_SCHEMA.fields])
+
+
 def image_features(df: DataFrame, fmt_col: str = "fmt") -> DataFrame:
     """mapInPandas over (item_id, payload, fmt) → typed image metadata.
 
@@ -149,29 +181,7 @@ def image_features(df: DataFrame, fmt_col: str = "fmt") -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
-            # direct column access + zip, not iterrows: per-row pandas Series
-            # construction is ~10x the iteration cost of the non-decode part
-            # (matches the Arrow-native audio path, checks/invariants.py)
-            rows = []
-            for item_id, payload, fmt in zip(
-                b["item_id"].to_numpy(), b["payload"].to_numpy(), b[fmt_col].to_numpy()
-            ):
-                try:
-                    img = _decode_image(bytes(payload), fmt)
-                    rows.append(
-                        (
-                            item_id,
-                            img.shape[1],
-                            img.shape[0],
-                            img.shape[2],
-                            float(img.mean()),
-                            _ahash64(img),
-                            True,
-                        )
-                    )
-                except (NotImplementedError, ValueError):
-                    rows.append((item_id, None, None, None, None, None, False))
-            yield pd.DataFrame(rows, columns=[f.name for f in IMAGE_META_SCHEMA.fields])
+            yield _image_meta_batch(b, fmt_col)
 
     return df.select("item_id", "payload", fmt_col).mapInPandas(
         run, schema=IMAGE_META_SCHEMA

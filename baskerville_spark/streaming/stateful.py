@@ -32,6 +32,10 @@ OUTPUT_SCHEMA = T.StructType(
         T.StructField("min_value", T.DoubleType(), True),
         T.StructField("max_value", T.DoubleType(), True),
         T.StructField("mean_value", T.DoubleType(), True),
+        # true on the FINAL row a key emits when its state is TTL-evicted
+        # (the streaming analog of the reference logging expired cache rows,
+        # request_set_cache.py:404-411); normal update rows carry false
+        T.StructField("evicted", T.BooleanType(), False),
     ]
 )
 
@@ -61,10 +65,27 @@ def _make_update(ttl_ms: int):
         key: Tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterable[pd.DataFrame]:
         if state.hasTimedOut:
-            # idle key past TTL: evict (reference expire semantics,
-            # request_set_cache.py:404-411) and emit nothing — the next
-            # batch carrying this key starts from empty state
+            # idle key past TTL: emit a final evicted=true row with the
+            # last-known stats, then drop the state (reference expire
+            # semantics, request_set_cache.py:404-411) — the next batch
+            # carrying this key starts from empty state
+            got = state.get
+            n, b, mn, mx, sm = got[:5]
+            nv = got[5] if len(got) > 5 and got[5] is not None else n
             state.remove()
+            yield pd.DataFrame(
+                [
+                    {
+                        "key": key[0],
+                        "n_total": n,
+                        "n_batches": b,
+                        "min_value": mn,
+                        "max_value": mx,
+                        "mean_value": (sm / nv) if nv else None,
+                        "evicted": True,
+                    }
+                ]
+            )
             return
         if state.exists:
             got = state.get
@@ -99,6 +120,7 @@ def _make_update(ttl_ms: int):
                     # rows (the reference's request count), but a null value
                     # must not drag the mean toward zero
                     "mean_value": (sm / nv) if nv else None,
+                    "evicted": False,
                 }
             ]
         )

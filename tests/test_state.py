@@ -220,3 +220,72 @@ def test_kafka_shaped_stream_microbatches(spark, tmp_path):
     got = {(r["id"], r["grp"], r["amount"]) for r in spark.table("kafka_shaped_t").collect()}
     want = {(r["id"], r["grp"], r["amount"]) for r in src.collect()}
     assert got == want
+
+
+def test_streaming_state_ttl_evicts_idle_key(spark, tmp_path):
+    """ProcessingTimeTimeout parity with the reference's cache_expire_time
+    (config.py:363-368): a key idle past ttl_ms emits a final evicted=true
+    row and its state is DROPPED, so its next appearance starts from empty
+    state — the batch path covers this via expire_state; this drives the
+    applyInPandasWithState path across real micro-batches.
+
+    NOTE: processAllAvailable() never latches under processing-time
+    timeouts (the engine keeps scheduling sweep batches), so the test polls
+    the memory sink with deadlines instead.
+    """
+    import json
+    import os
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from baskerville_spark.streaming.stateful import incremental_group_stats
+
+    def wait_for(name, pred, deadline_s=90):
+        end = time.time() + deadline_s
+        while time.time() < end:
+            rows = spark.sql(f"SELECT * FROM {name}").collect()
+            if pred(rows):
+                return rows
+            time.sleep(0.5)
+        raise TimeoutError(f"sink condition not met; last rows: {rows}")
+
+    src = tmp_path / "ttl_src"
+    os.makedirs(src)
+    with open(src / "b1.json", "w") as f:
+        f.write(json.dumps({"key": "idle", "value": 1.0}) + "\n")
+
+    out = incremental_group_stats(
+        spark.readStream.schema("key string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src)),
+        timeout=GroupStateTimeout.ProcessingTimeTimeout,
+        ttl_ms=2_000,
+    )
+    name = f"ttl_{int(time.time() * 1000)}"
+    q = out.writeStream.outputMode("update").format("memory").queryName(name).start()
+    try:
+        wait_for(name, lambda rows: any(r["key"] == "idle" for r in rows))
+        # the timeout sweep fires in a later (possibly empty) micro-batch:
+        # wait for the explicit eviction row carrying the last-known stats
+        evicted = wait_for(
+            name, lambda rows: any(r["evicted"] for r in rows)
+        )
+        ev = [r for r in evicted if r["evicted"]][0]
+        assert ev["key"] == "idle" and ev["n_total"] == 1 and ev["min_value"] == 1.0
+        # the key reappears: with its state dropped it must restart fresh
+        with open(src / "b2.json", "w") as f:
+            f.write(json.dumps({"key": "idle", "value": 5.0}) + "\n")
+        rows = wait_for(
+            name,
+            lambda rows: any(
+                r["key"] == "idle" and not r["evicted"] and r["min_value"] == 5.0
+                for r in rows
+            ),
+        )
+    finally:
+        q.stop()
+
+    fresh = [r for r in rows if r["key"] == "idle" and not r["evicted"]][-1]
+    # without eviction this would merge: n_total=2, n_batches=2, min=1.0
+    assert fresh["n_total"] == 1 and fresh["n_batches"] == 1
+    assert fresh["min_value"] == 5.0 and fresh["mean_value"] == 5.0

@@ -1869,3 +1869,173 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
     out["q44_drift_verdicts"] = _q44_sql()
     out["q45_streaming_kafka_shaped"] = _Q45_SQL
     return out
+
+
+# ---------------------------------------------------------------------------
+# Q46 — sketch-accuracy gate: the approximate aggregates (HLL distinct,
+#       KLL-style quantiles) graded against exact answers with their
+#       published error bounds
+# ---------------------------------------------------------------------------
+
+def q46_sketch_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-grade the two sketch operators that previously had only toy
+    pytest coverage: ``approx_count_distinct`` (HLL++ — the north rule's
+    scale substitute for the reference's exact countDistinct,
+    src/baskerville/features/feature_unique_ua_total.py:28) and
+    ``percentile_approx`` (KLL-style quantile sketch used by
+    checks.stats.column_stats).
+
+    Emits one verdict row per (column, check): the EXACT value (reproducible
+    in DuckDB) plus passed=1 when the sketch landed inside its error bound —
+    |approx_distinct − exact|/exact ≤ 3·rsd for HLL, and for each quantile q
+    the approx value's rank interval [count(<v), count(≤v)]/n must overlap
+    [q − slack, q + slack] with slack = 2/accuracy + 1/n (the sketch's rank
+    guarantee is 1/accuracy). The oracle emits the same exact values with
+    passed=1 literally, so a sketch outside its bound breaks the hash gate.
+
+    Plan: TWO single-pass aggregations over lineitem (sketches+exact, then
+    conditional rank sums at the collected approx values — O(#columns)
+    scalars to the driver, never rows). The exact count_distinct over three
+    columns expands the scan 3× (Spark's Expand for multi-distinct); that
+    cost lives only in this audit query — the production stats path
+    (checks/stats.py) carries ONLY the sketches for exactly that reason.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    dcols = ["l_orderkey", "l_partkey", "l_suppkey"]
+    qcols = ["l_quantity", "l_extendedprice", "l_discount"]
+    qs = [0.25, 0.5, 0.75]
+    rsd, acc = 0.02, 10_000
+
+    aggs = []
+    for c in dcols:
+        aggs += [
+            F.approx_count_distinct(c, rsd).alias(f"{c}__apx"),
+            F.count_distinct(F.col(c)).alias(f"{c}__exact"),
+        ]
+    for c in qcols:
+        cd = F.col(c).cast("double")
+        aggs += [
+            F.percentile_approx(cd, [float(x) for x in qs], acc).alias(f"{c}__apxq"),
+            F.percentile(cd, [float(x) for x in qs]).alias(f"{c}__exq"),
+            F.count(cd).alias(f"{c}__n"),
+        ]
+    row1 = li.agg(*aggs).collect()[0]
+
+    rank_aggs = []
+    for c in qcols:
+        cd = F.col(c).cast("double")
+        for i in range(len(qs)):
+            v = float(row1[f"{c}__apxq"][i])
+            rank_aggs += [
+                F.sum((cd <= v).cast("long")).alias(f"{c}__le{i}"),
+                F.sum((cd < v).cast("long")).alias(f"{c}__lt{i}"),
+            ]
+    row2 = li.agg(*rank_aggs).collect()[0]
+
+    out = []
+    for c in dcols:
+        apx, exact = row1[f"{c}__apx"], row1[f"{c}__exact"]
+        passed = abs(apx - exact) / exact <= 3 * rsd
+        out.append((c, "approx_distinct", float(exact), int(passed)))
+    for c in qcols:
+        n = row1[f"{c}__n"]
+        slack = 2.0 / acc + 1.0 / n
+        for i, q in enumerate(qs):
+            exact_v = round(float(row1[f"{c}__exq"][i]), 4)
+            lo, hi = row2[f"{c}__lt{i}"] / n, row2[f"{c}__le{i}"] / n
+            passed = (lo <= q + slack) and (hi >= q - slack)
+            out.append((c, f"quantile_{int(q * 100)}", exact_v, int(passed)))
+    return spark.createDataFrame(
+        out, "column_name string, check_name string, exact_value double, passed int"
+    )
+
+
+def _q46_sql() -> str:
+    dcols = ["l_orderkey", "l_partkey", "l_suppkey"]
+    qcols = ["l_quantity", "l_extendedprice", "l_discount"]
+    qs = [0.25, 0.5, 0.75]
+    parts = [
+        f"SELECT '{c}' AS column_name, 'approx_distinct' AS check_name, "
+        f"CAST(COUNT(DISTINCT {c}) AS DOUBLE) AS exact_value, 1 AS passed "
+        f"FROM lineitem"
+        for c in dcols
+    ]
+    for c in qcols:
+        for q in qs:
+            parts.append(
+                f"SELECT '{c}', 'quantile_{int(q * 100)}', "
+                f"ROUND(CAST(quantile_cont(CAST({c} AS DOUBLE), {q}) AS DOUBLE), 4), 1 "
+                f"FROM lineitem"
+            )
+    return "\nUNION ALL\n".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# Q47 — JDBC scan under the hash gate: parquet → embedded Derby → range-
+#       partitioned JDBC read → aggregate, oracle on the original parquet
+# ---------------------------------------------------------------------------
+
+def q47_jdbc_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Puts the JDBC source path (reference's Postgres training/cache scans,
+    src/baskerville/models/pipeline_tasks/tasks.py:458-530) under the
+    DuckDB hash gate, not just pytest: the customer table is written into
+    an embedded Derby database, read back through ``read_jdbc_partitioned``
+    (one MIN/MAX bounds query fanning into 4 disjoint range scans — each
+    executor opens its own connection), and aggregated per market segment.
+    The oracle computes the same aggregate on the original parquet, so a
+    green row proves the partitioned JDBC scan returns exactly the stored
+    rows. The Derby scratch dir lives under /tmp and is not reused."""
+    import tempfile
+
+    from baskerville_spark.sources.registry import read_jdbc_partitioned
+
+    derby = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", F.col("c_acctbal").cast("double").alias("c_acctbal")
+    )
+    tmp = tempfile.mkdtemp(prefix="q47_derby_")
+    url = f"jdbc:derby:{tmp}/db;create=true"
+    (
+        cust.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "customer_jdbc")
+        .options(**derby)
+        .save()
+    )
+    df = read_jdbc_partitioned(
+        spark, url, "customer_jdbc", partition_col="c_custkey", num_partitions=4, **derby
+    )
+    return (
+        df.groupBy(F.col("c_mktsegment").alias("mktsegment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal"),
+        )
+    )
+
+
+_Q47_SQL = """
+SELECT c_mktsegment AS mktsegment, COUNT(*) AS n_cust,
+       ROUND(CAST(SUM(c_acctbal) AS DOUBLE), 2) AS sum_acctbal
+FROM customer GROUP BY c_mktsegment
+"""
+
+
+_prev_queries_q46 = queries
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    out = _prev_queries_q46()
+    out["q46_sketch_accuracy"] = q46_sketch_accuracy
+    out["q47_jdbc_segment_stats"] = q47_jdbc_segment_stats
+    return out
+
+
+_prev_oracles_q46 = oracle_sql
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = _prev_oracles_q46()
+    out["q46_sketch_accuracy"] = _q46_sql()
+    out["q47_jdbc_segment_stats"] = _Q47_SQL
+    return out

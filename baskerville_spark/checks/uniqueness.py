@@ -80,10 +80,24 @@ def duplicate_exemplars(
 
     "Smallest k" is exact: each level keeps its group's k smallest, and the
     global k smallest survive every level.
+
+    COUNT-FIRST pre-filter (same rationale as functions.dedup
+    exact_duplicates): an algebraic count finds the duplicated keys and a
+    left_semi join restricts the collect_list levels to those rows only —
+    on real tables duplicates are rare, so the list machinery sees a sliver
+    of the data; the skewed semi join is AQE-splittable.
     """
     group_final = [part_col, key] if part_col else [key]
+    slim = df.select(*group_final, F.col(id_col).alias("__id"))
+    dup_keys = (
+        slim.groupBy(*group_final)
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .where("__c > 1")
+        .select(*group_final)
+    )
+    slim = slim.join(dup_keys, group_final, "left_semi")
     phase0 = (
-        df.select(*group_final, F.col(id_col).alias("__id"))
+        slim
         .withColumn("__pid", F.spark_partition_id())
         .groupBy(*group_final, "__pid")
         .agg(

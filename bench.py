@@ -402,9 +402,85 @@ def run_scaling() -> None:
     )
 
 
+def run_skew() -> None:
+    """Hot-key dedup evidence: ONE text duplicated across ~10% of all rows
+    (the adversarial input for list-aggregates), timing the salted
+    three-level ``exact_duplicates`` against the row_number-window form that
+    serializes the hot hash onto a single reducer. Prints one JSON line with
+    both medians and the window/salted ratio — the measured number behind
+    the round-1 skew analysis (BASELINE.md records it).
+
+    SKEW_ROWS (default 2M) and SKEW_TRIALS (default 3) tune the run.
+    """
+    from pyspark.sql import functions as F
+
+    from baskerville_spark.functions.dedup import (
+        exact_duplicates,
+        exact_duplicates_window,
+    )
+    from baskerville_spark.session import get_session
+
+    rows = int(os.environ.get("SKEW_ROWS", "2000000"))
+    trials = int(os.environ.get("SKEW_TRIALS", "3"))
+    spark = get_session(
+        "bench-skew", master=f"local[{CPUS}]", shuffle_partitions=int(CPUS)
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    df = (
+        spark.range(rows)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.when(F.col("id") % 10 == 0, F.lit("HOT duplicated text payload"))
+            .otherwise(F.concat(F.lit("unique-"), F.col("id")))
+            .alias("text"),
+        )
+        .repartition(int(CPUS))
+        .persist()
+    )
+    df.count()  # materialize input: trials time ONLY the operator
+
+    # both forms must agree before timing means anything
+    n_salted = exact_duplicates(df).count()
+    n_window = exact_duplicates_window(df).count()
+    if n_salted != n_window:
+        raise RuntimeError(f"form mismatch: salted {n_salted} vs window {n_window}")
+
+    def timed(fn):
+        out = []
+        for _ in range(trials):
+            t0 = time.time()
+            _materialize(fn(df))
+            out.append(round(time.time() - t0, 3))
+        return out
+
+    med = lambda xs: sorted(xs)[len(xs) // 2]  # noqa: E731
+    salted_t = timed(exact_duplicates)
+    window_t = timed(exact_duplicates_window)
+    print(
+        json.dumps(
+            {
+                "metric": "skew_hotkey_window_over_salted",
+                "value": round(med(window_t) / med(salted_t), 2),
+                "unit": "ratio",
+                "rows": rows,
+                "hot_fraction": 0.1,
+                "dup_groups": n_salted,
+                "salted_s": med(salted_t),
+                "window_s": med(window_t),
+                "salted_trials": salted_t,
+                "window_trials": window_t,
+                "cpus": int(CPUS),
+                "loadavg": round(os.getloadavg()[0], 1),
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--scaling":
         run_scaling()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--skew":
+        run_skew()
     elif len(sys.argv) > 1 and sys.argv[1] == "--clips-only":
         dur = None
         if "--dur" in sys.argv:

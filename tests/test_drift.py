@@ -52,3 +52,35 @@ def test_baseline_roundtrip(spark, t1_clips, tmp_path):
     orig = {r["column_name"]: r for r in rows}
     for c in orig:
         assert list(by_col[c]["bin_fractions"]) == list(orig[c]["bin_fractions"])
+
+
+def test_capture_baseline_categorical_single_job(spark, monkeypatch):
+    """The categorical path must be ONE Spark job for ALL columns (melt →
+    count → window → one collect), not one groupBy/collect per column — the
+    per-column loop was N full scans of the fact table. Pinned by counting
+    DataFrame.collect() calls, and the captured fractions must be exact."""
+    df = spark.createDataFrame(
+        [("a", "x"), ("a", "y"), ("b", "y"), ("a", None), ("c", "y")],
+        "c1 string, c2 string",
+    )
+    # patch the RUNTIME class (pyspark 4's classic DataFrame overrides
+    # collect, so patching the pyspark.sql.DataFrame base intercepts nothing)
+    cls = type(df)
+    calls = {"n": 0}
+    orig = cls.collect
+
+    def counting_collect(self):
+        calls["n"] += 1
+        return orig(self)
+
+    monkeypatch.setattr(cls, "collect", counting_collect)
+    rows = capture_baseline(df, [], ["c1", "c2"], max_categories=2)
+    assert calls["n"] == 1  # one job total, regardless of column count
+    by_col = {r["column_name"]: r for r in rows}
+    # c1: a=3, b=1 (c dropped by max_categories=2; deterministic tie-break
+    # picks 'b' before 'c'); fractions over the KEPT rows + trailing OTHER
+    assert by_col["c1"]["categories"] == ["a", "b"]
+    assert by_col["c1"]["bin_fractions"] == [0.75, 0.25, 0.0]
+    # c2: y=3, x=1, null excluded from categories but ranked
+    assert by_col["c2"]["categories"] == ["y", "x"]
+    assert by_col["c2"]["bin_fractions"] == [0.75, 0.25, 0.0]

@@ -2042,6 +2042,148 @@ FROM customer GROUP BY c_mktsegment
 """
 
 
+# ---------------------------------------------------------------------------
+# Q48 — referential-integrity check under the hash gate: broadcast anti-join
+#       violation rows over a fixture with deterministically planted orphans
+# ---------------------------------------------------------------------------
+
+def q48_ref_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Puts ``checks.referential.ref_integrity_violations`` (the engine's FK
+    check — the correct form of the reference's per-row MISP lookup UDF,
+    src/baskerville/spark/udfs.py:233-253, and whitelist broadcast anti-join,
+    tasks.py:624-660) under the DuckDB hash gate. Fixture: orders is the
+    fact table keyed on o_custkey, customer the dim; every order with
+    o_orderkey ≡ 0 (mod 97) gets its custkey shifted by +1,000,000 — a
+    deterministic orphan the oracle reproduces with the same arithmetic.
+    The violation rows (part_id, key, check_name, detail) must match
+    exactly: a green row proves the broadcast left_anti returns precisely
+    the orphaned keys, partition attribution included. The fact side is
+    projected to (part, key) before the join — payloads never shuffle."""
+    from baskerville_spark.checks.referential import ref_integrity_violations
+
+    fact = _t(spark, sf_dir, "orders").select(
+        (F.col("o_orderkey") % 4).cast("int").alias("part_id"),
+        F.when(
+            F.col("o_orderkey") % 97 == 0, F.col("o_custkey") + 1_000_000
+        ).otherwise(F.col("o_custkey")).alias("fk"),
+    )
+    dim = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("fk"))
+    return ref_integrity_violations(
+        fact, dim, key="fk", part_col="part_id", strategy="broadcast"
+    ).withColumnRenamed("clip_id", "fk")
+
+
+_Q48_SQL = """
+WITH fact AS (
+  SELECT CAST(o_orderkey % 4 AS INTEGER) AS part_id,
+         CASE WHEN o_orderkey % 97 = 0 THEN o_custkey + 1000000
+              ELSE o_custkey END AS fk
+  FROM orders)
+SELECT part_id, fk, 'ref_integrity' AS check_name,
+       'clip_id missing from transcript_ref' AS detail
+FROM fact ANTI JOIN customer ON fact.fk = customer.c_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q49/Q50 — schema-enforcement funnel and declared-pattern checks under the
+#           hash gate (checks/schema_check.py was pytest-only before)
+# ---------------------------------------------------------------------------
+
+def q49_schema_enforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ``enforce_schema`` funnel (add-missing → fill-defaults →
+    drop-if-missing; reference log_parsers.py:173-250) under the hash gate.
+    Fixture plants deterministic holes in documents: text NULLed for
+    doc_id ≡ 0 (mod 19) — those rows must be DROPPED; lang NULLed for
+    doc_id ≡ 0 (mod 13) — those must be FILLED with 'und'; and the spec
+    requires an absent ``ingest_flag`` int column — added as lit(1) for
+    every surviving row. The per-lang aggregate pins all three behaviors:
+    fill shows up as the 'und' group, drop as the missing mod-19 rows in
+    every count, add-missing as n_flag == n_docs."""
+    from baskerville_spark.checks.schema_check import ColumnSpec, enforce_schema
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 19 == 0, F.lit(None)).otherwise(F.col("text")).alias("text"),
+        F.when(F.col("doc_id") % 13 == 0, F.lit(None)).otherwise(F.col("lang")).alias("lang"),
+        "n_chars",
+    )
+    specs = [
+        ColumnSpec("lang", default="und"),
+        ColumnSpec("text", drop_if_missing=True),
+        ColumnSpec("ingest_flag", dtype="int", required=True, default=1),
+    ]
+    return (
+        enforce_schema(d, specs)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.sum("ingest_flag").alias("n_flag"),
+        )
+    )
+
+
+_Q49_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 19 = 0 THEN NULL ELSE text END AS text,
+         CASE WHEN doc_id % 13 = 0 THEN NULL ELSE lang END AS lang,
+         n_chars
+  FROM documents),
+f AS (
+  SELECT COALESCE(lang, 'und') AS lang, n_chars, 1 AS ingest_flag
+  FROM d WHERE text IS NOT NULL)
+SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars,
+       SUM(ingest_flag) AS n_flag
+FROM f GROUP BY lang
+"""
+
+
+def q50_pattern_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``pattern_violations`` under the hash gate: the check the reference
+    DECLARED in its schema doc but never ran (log_schema.json patterns —
+    SURVEY §1.2 gap, enforced here as native rlike). Fixture plants
+    deterministic mismatches: source corrupted to 'bad <source>' for
+    doc_id ≡ 0 (mod 17) against pattern ^src[0-9]+$, lang uppercased for
+    doc_id ≡ 0 (mod 23) against ^[a-z]{2}$. Single scan for BOTH pattern
+    columns (when→struct→array_compact→explode — docs/PLANS.md); the
+    oracle brute-forces each pattern as a separate filtered SELECT, so a
+    green row proves the one-scan form emits exactly the per-column
+    violation rows."""
+    from baskerville_spark.checks.schema_check import ColumnSpec, pattern_violations
+
+    d = _t(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 4).cast("int").alias("part_id"),
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 17 == 0, F.concat(F.lit("bad "), F.col("source"))
+        ).otherwise(F.col("source")).alias("source"),
+        F.when(F.col("doc_id") % 23 == 0, F.upper(F.col("lang")))
+        .otherwise(F.col("lang")).alias("lang"),
+    )
+    specs = [
+        ColumnSpec("source", pattern="^src[0-9]+$"),
+        ColumnSpec("lang", pattern="^[a-z]{2}$"),
+    ]
+    return pattern_violations(d, specs, key="doc_id", part_col="part_id")
+
+
+_Q50_SQL = """
+WITH d AS (
+  SELECT CAST(doc_id % 4 AS INTEGER) AS part_id, doc_id,
+         CASE WHEN doc_id % 17 = 0 THEN 'bad ' || source ELSE source END AS source,
+         CASE WHEN doc_id % 23 = 0 THEN upper(lang) ELSE lang END AS lang
+  FROM documents)
+SELECT part_id, doc_id AS clip_id, 'pattern:source' AS check_name,
+       'value=' || source AS detail
+FROM d WHERE source IS NOT NULL AND NOT regexp_matches(source, '^src[0-9]+$')
+UNION ALL
+SELECT part_id, doc_id, 'pattern:lang', 'value=' || lang
+FROM d WHERE lang IS NOT NULL AND NOT regexp_matches(lang, '^[a-z]{2}$')
+"""
+
+
 _prev_queries_q46 = queries
 
 
@@ -2049,6 +2191,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F
     out = _prev_queries_q46()
     out["q46_sketch_accuracy"] = q46_sketch_accuracy
     out["q47_jdbc_segment_stats"] = q47_jdbc_segment_stats
+    out["q48_ref_integrity"] = q48_ref_integrity
+    out["q49_schema_enforce"] = q49_schema_enforce
+    out["q50_pattern_violations"] = q50_pattern_violations
     return out
 
 
@@ -2059,4 +2204,7 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
     out = _prev_oracles_q46()
     out["q46_sketch_accuracy"] = _q46_sql()
     out["q47_jdbc_segment_stats"] = _Q47_SQL
+    out["q48_ref_integrity"] = _Q48_SQL
+    out["q49_schema_enforce"] = _Q49_SQL
+    out["q50_pattern_violations"] = _Q50_SQL
     return out

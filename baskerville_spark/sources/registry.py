@@ -115,3 +115,52 @@ def read_jdbc_partitioned(
         .option("numPartitions", str(num_partitions))
         .load()
     )
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    partition_by: str | None = None,
+    table: str | None = None,
+    **options,
+) -> str:
+    """Write a table by format name, returning the format actually used.
+
+    'iceberg' goes through the native ``writeTo`` path (snapshot-committed
+    appends/replaces, the physical layer BASELINE.json names); without the
+    runtime jars/catalog in this container the attempt fails and the SAME
+    call site falls back to parquet at ``path`` with dynamic partition
+    overwrite — which is also the semantics the runtime layer implements
+    over parquet (runtime/runner.py partitioned sinks, runtime/state.py
+    A/B snapshot pointer). On a real cluster only the session's catalog
+    conf changes; callers can branch on the returned format for logging.
+    """
+    if fmt == "iceberg":
+        try:
+            w = df.writeTo(table or path)
+            if partition_by:
+                from pyspark.sql import functions as F
+
+                w = w.partitionedBy(F.col(partition_by))
+            w.createOrReplace()
+            return "iceberg"
+        except Exception:  # jars/catalog absent → portable parquet fallback
+            fmt = "parquet"
+    writer = df.write.mode(mode)
+    if options:
+        writer = writer.options(**options)
+    if partition_by:
+        writer = writer.partitionBy(partition_by)
+    if fmt == "parquet":
+        writer.option("partitionOverwriteMode", "dynamic").parquet(path)
+    elif fmt == "orc":
+        writer.orc(path)
+    elif fmt == "csv":
+        writer.csv(path)
+    elif fmt == "json":
+        writer.json(path)
+    else:
+        raise ValueError(f"unknown format {fmt!r}")
+    return fmt

@@ -40,3 +40,32 @@ def test_jaccard_pair_invariants(spark, texts):
     by_pair = {(r["id_a"], r["id_b"]): r["jaccard"] for r in rows}
     if (100, 101) in by_pair:                             # identical docs
         assert abs(by_pair[(100, 101)] - 1.0) < 1e-12
+
+
+@given(
+    texts=st.lists(
+        st.one_of(st.none(), st.text(alphabet="xyz", min_size=0, max_size=3)),
+        min_size=2,
+        max_size=12,
+    ),
+    k=st.integers(1, 4),
+)
+@settings(max_examples=5, deadline=None)
+def test_exact_duplicates_forms_agree(spark, texts, k):
+    """The count-first three-level salted form and the row_number-window
+    form must return IDENTICAL (hash, dup_count, ids) groups on arbitrary
+    inputs — including null texts (neither form groups them: NULL payloads
+    are a schema-check concern) and duplicate counts straddling k."""
+    from baskerville_spark.functions.dedup import (
+        exact_duplicates,
+        exact_duplicates_window,
+    )
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id int, text string").repartition(4)
+    norm = lambda out: sorted(  # noqa: E731
+        (r["text_hash"], r["dup_count"], tuple(r["ids"])) for r in out.collect()
+    )
+    a = norm(exact_duplicates(df, exemplar_k=k))
+    b = norm(exact_duplicates_window(df, exemplar_k=k))
+    assert a == b

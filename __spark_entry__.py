@@ -2184,6 +2184,90 @@ FROM d WHERE lang IS NOT NULL AND NOT regexp_matches(lang, '^[a-z]{2}$')
 """
 
 
+# ---------------------------------------------------------------------------
+# Q51/Q52 — normalization-aware near-exact dedup and heavy-hitter tokens
+#           (training-data staples beyond byte-identical dedup)
+# ---------------------------------------------------------------------------
+
+def q51_normalized_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-exact dedup through TEXT NORMALIZATION (lowercase, strip
+    non-alphanumerics, collapse whitespace) — the standard first rung of a
+    training-data dedup ladder above byte-identical (q16) and below
+    MinHash (q19). Fixture plants case/punctuation variants: every 7th
+    document is cloned (doc_id + 100000) as UPPER(text) + ' !!!', raw-byte
+    distinct but normalization-equal, so each planted pair MUST collapse to
+    one group. Runs through the same count-first salted
+    ``exact_duplicates`` machinery on the normalized column; ids ride out
+    as a comma-joined string (array-hashing hazard — see check_oracle)."""
+    from baskerville_spark.functions.dedup import exact_duplicates
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    clones = d.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 100_000).alias("doc_id"),
+        F.concat(F.upper(F.col("text")), F.lit(" !!!")).alias("text"),
+    )
+    normed = d.unionByName(clones).select(
+        "doc_id",
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+                " +",
+                " ",
+            )
+        ).alias("norm_text"),
+    )
+    groups = exact_duplicates(normed, id_col="doc_id", text_col="norm_text", exemplar_k=8)
+    return groups.select(
+        "text_hash",
+        "dup_count",
+        F.concat_ws(",", F.transform("ids", lambda x: x.cast("string"))).alias("ids"),
+    )
+
+
+_Q51_SQL = """
+WITH base AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, upper(text) || ' !!!' FROM documents WHERE doc_id % 7 = 0),
+normed AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                             ' +', ' ', 'g')) AS norm_text
+  FROM base),
+grp AS (
+  SELECT md5(norm_text) AS text_hash, COUNT(*) AS dup_count,
+         (array_agg(doc_id ORDER BY doc_id))[1:8] AS id_list
+  FROM normed GROUP BY md5(norm_text) HAVING COUNT(*) > 1)
+SELECT text_hash, dup_count, array_to_string(id_list, ',') AS ids FROM grp
+"""
+
+
+def q52_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level heavy hitters: top-20 whitespace tokens by document
+    frequency — the vocabulary/stop-word probe every text pipeline runs
+    before filtering. explode(split) → one hash aggregate (map-side
+    combined: token counts are algebraic, immune to hot tokens) →
+    TakeOrdered 20 with a deterministic (count desc, token asc) tie-break;
+    no global sort materializes."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(20)
+    )
+
+
+_Q52_SQL = """
+SELECT token, COUNT(*) AS n
+FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+WHERE token <> ''
+GROUP BY token ORDER BY n DESC, token ASC LIMIT 20
+"""
+
+
 _prev_queries_q46 = queries
 
 
@@ -2194,6 +2278,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F
     out["q48_ref_integrity"] = q48_ref_integrity
     out["q49_schema_enforce"] = q49_schema_enforce
     out["q50_pattern_violations"] = q50_pattern_violations
+    out["q51_normalized_dups"] = q51_normalized_dups
+    out["q52_heavy_hitter_tokens"] = q52_heavy_hitter_tokens
     return out
 
 
@@ -2207,4 +2293,6 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
     out["q48_ref_integrity"] = _Q48_SQL
     out["q49_schema_enforce"] = _Q49_SQL
     out["q50_pattern_violations"] = _Q50_SQL
+    out["q51_normalized_dups"] = _Q51_SQL
+    out["q52_heavy_hitter_tokens"] = _Q52_SQL
     return out

@@ -60,7 +60,7 @@ STATE_SCHEMA = T.StructType(
 DEFAULT_TTL_MS = 86_400_000
 
 
-def _make_update(ttl_ms: int):
+def _make_update(ttl_ms: int, event_time: bool = False):
     def _update(
         key: Tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterable[pd.DataFrame]:
@@ -95,6 +95,7 @@ def _make_update(ttl_ms: int):
             nv = got[5] if len(got) > 5 and got[5] is not None else n
         else:
             n, b, mn, mx, sm, nv = 0, 0, None, None, 0.0, 0
+        max_ts_ms = 0
         for pdf in pdfs:
             vals = pdf["value"].dropna()
             n += len(pdf)
@@ -105,9 +106,22 @@ def _make_update(ttl_ms: int):
                 mn = vmn if mn is None else min(mn, vmn)
                 mx = vmx if mx is None else max(mx, vmx)
                 sm = (sm or 0.0) + vsm
+            if event_time and "__ts" in pdf.columns and len(pdf):
+                ts_max = pdf["__ts"].max()
+                if pd.notna(ts_max):
+                    max_ts_ms = max(max_ts_ms, int(ts_max.value // 1_000_000))
         state.update((n, b, mn, mx, sm, nv))
         if ttl_ms > 0:
-            state.setTimeoutDuration(ttl_ms)
+            if event_time:
+                # evict once the watermark passes ttl_ms after this key's
+                # LATEST event time (not the current watermark: during the
+                # first batch the watermark is still 0, which would expire
+                # every first-batch key at the next trigger) — deterministic,
+                # data-driven, unlike wall-clock timeouts
+                base = max(state.getCurrentWatermarkMs(), max_ts_ms)
+                state.setTimeoutTimestamp(base + ttl_ms)
+            else:
+                state.setTimeoutDuration(ttl_ms)
         yield pd.DataFrame(
             [
                 {
@@ -134,6 +148,7 @@ def incremental_group_stats(
     value_col: str = "value",
     timeout: str = GroupStateTimeout.NoTimeout,
     ttl_ms: int = DEFAULT_TTL_MS,
+    ts_col: str | None = None,
 ) -> DataFrame:
     """Stateful per-key incremental stats over a stream.
 
@@ -141,18 +156,36 @@ def incremental_group_stats(
     per batch with merged lifetime stats — the RequestSet incremental-update
     semantics (subset_count ≙ n_batches, base_spark.py:849-852).
 
-    With ``timeout=GroupStateTimeout.ProcessingTimeTimeout`` a key idle for
-    ``ttl_ms`` is evicted the next time any micro-batch fires — the
-    reference's cache_expire_time (config.py:363-368) applied to the
-    streaming state store instead of the batch cache.
+    TTL eviction — the reference's cache_expire_time (config.py:363-368)
+    applied to the streaming state store instead of the batch cache:
+    - ``ProcessingTimeTimeout``: a key idle for ``ttl_ms`` WALL-CLOCK ms is
+      evicted the next time any micro-batch fires.
+    - ``EventTimeTimeout``: a key is evicted once the WATERMARK advances
+      ``ttl_ms`` past its last update — fully data-driven, so tests and
+      replays are deterministic. Requires the input stream to carry
+      ``withWatermark`` on ``ts_col``, which is projected through so the
+      watermark column survives into the stateful operator.
+    Either way the key's final row goes out with evicted=true.
     """
     from pyspark.sql import functions as F
 
-    src = stream.select(
+    cols = [
         F.col(key_col).cast("string").alias("key"),
         F.col(value_col).cast("double").alias("value"),
-    )
-    use_ttl = ttl_ms if timeout == GroupStateTimeout.ProcessingTimeTimeout else 0
+    ]
+    if timeout == GroupStateTimeout.EventTimeTimeout:
+        if ts_col is None:
+            raise ValueError("EventTimeTimeout requires ts_col (watermarked column)")
+        # keep the watermark column in scope, under the fixed name the
+        # update function reads its per-key max event time from
+        cols.append(F.col(ts_col).alias("__ts"))
+    src = stream.select(*cols)
+    if timeout == GroupStateTimeout.ProcessingTimeTimeout:
+        fn = _make_update(ttl_ms)
+    elif timeout == GroupStateTimeout.EventTimeTimeout:
+        fn = _make_update(ttl_ms, event_time=True)
+    else:
+        fn = _make_update(0)
     return src.groupBy("key").applyInPandasWithState(
-        _make_update(use_ttl), OUTPUT_SCHEMA, STATE_SCHEMA, "update", timeout
+        fn, OUTPUT_SCHEMA, STATE_SCHEMA, "update", timeout
     )

@@ -289,3 +289,73 @@ def test_streaming_state_ttl_evicts_idle_key(spark, tmp_path):
     # without eviction this would merge: n_total=2, n_batches=2, min=1.0
     assert fresh["n_total"] == 1 and fresh["n_batches"] == 1
     assert fresh["min_value"] == 5.0 and fresh["mean_value"] == 5.0
+
+
+def test_streaming_state_event_time_ttl(spark, tmp_path):
+    """EventTimeTimeout TTL: eviction is driven by the WATERMARK passing
+    ttl_ms after a key's LATEST event time, so the test is fully
+    deterministic (no wall-clock sleeps, and processAllAvailable latches
+    because no processing-time timers fire). Timeline (ttl = 1 min,
+    watermark delay 0):
+
+    - b1: idle@10:00, live@10:00 → both armed to expire at 10:01
+    - b2: live@10:05 (watermark entering b2 is 10:00 < 10:01: idle
+      survives; live re-arms to 10:06)
+    - b3: feeder@10:07 (watermark 10:05 > idle's 10:01 → idle EVICTED;
+      live's 10:06 > 10:05 → survives)
+    - b4: idle@10:10 (watermark 10:07 > live's 10:06 → live EVICTED with
+      its full history; idle restarts from EMPTY state)
+    """
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from baskerville_spark.streaming.stateful import incremental_group_stats
+
+    src = tmp_path / "ett_src"
+    os.makedirs(src)
+
+    def write(name, rows):
+        with open(src / name, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    write("b1.json", [
+        {"key": "idle", "value": 1.0, "ts": "2024-01-01 10:00:00"},
+        {"key": "live", "value": 10.0, "ts": "2024-01-01 10:00:00"},
+    ])
+    stream = (
+        spark.readStream.schema("key string, value double, ts string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+        .withColumn("ts", F.to_timestamp("ts"))
+        .withWatermark("ts", "0 seconds")
+    )
+    out = incremental_group_stats(
+        stream,
+        timeout=GroupStateTimeout.EventTimeTimeout,
+        ttl_ms=60_000,
+        ts_col="ts",
+    )
+    name = f"ett_{int(time.time() * 1000)}"
+    q = out.writeStream.outputMode("update").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+        write("b2.json", [{"key": "live", "value": 20.0, "ts": "2024-01-01 10:05:00"}])
+        q.processAllAvailable()
+        write("b3.json", [{"key": "feeder", "value": 0.0, "ts": "2024-01-01 10:07:00"}])
+        q.processAllAvailable()
+        write("b4.json", [{"key": "idle", "value": 5.0, "ts": "2024-01-01 10:10:00"}])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = spark.sql(f"SELECT * FROM {name}").collect()
+    evicted = {r["key"]: r for r in rows if r["evicted"]}
+    assert evicted["idle"]["n_total"] == 1 and evicted["idle"]["min_value"] == 1.0
+    assert evicted["live"]["n_total"] == 2 and evicted["live"]["max_value"] == 20.0
+    fresh = [r for r in rows if r["key"] == "idle" and not r["evicted"]][-1]
+    assert fresh["n_total"] == 1 and fresh["n_batches"] == 1
+    assert fresh["min_value"] == 5.0

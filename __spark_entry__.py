@@ -2268,6 +2268,80 @@ GROUP BY token ORDER BY n DESC, token ASC LIMIT 20
 """
 
 
+# ---------------------------------------------------------------------------
+# Q53/Q54 — feature-prep operators the reference delegated to Spark ML,
+#           expressed natively: standard scaling and frequency string
+#           indexing (closes two former §2.11 non-goal rows with oracles)
+# ---------------------------------------------------------------------------
+
+def q53_standard_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """StandardScaler semantics ((x − mean)/stddev_samp per column;
+    reference anomaly_model.py StandardScaler stage) as native expressions:
+    ONE aggregate computes every column's moments, rides back via a
+    broadcast-able crossJoin of the 1-row stats, and the scaled projection
+    stays in whole-stage codegen — no ML pipeline object, no VectorUDT
+    round-trip. Output pinned to the 100 smallest (orderkey, linenumber)
+    rows with rounded values so the gate hashes stably."""
+    li = _t(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    stats = li.agg(
+        *[F.avg(F.col(c)).alias(f"{c}__mu") for c in cols],
+        *[F.stddev_samp(F.col(c)).alias(f"{c}__sd") for c in cols],
+    )
+    scaled = li.crossJoin(F.broadcast(stats)).select(
+        "l_orderkey",
+        "l_linenumber",
+        *[
+            F.round(
+                (F.col(c) - F.col(f"{c}__mu")) / F.col(f"{c}__sd"), 6
+            ).alias(f"{c}_scaled")
+            for c in cols
+        ],
+    )
+    return scaled.orderBy("l_orderkey", "l_linenumber").limit(100)
+
+
+_Q53_SQL = """
+WITH s AS (
+  SELECT AVG(l_quantity) AS mu_q, STDDEV_SAMP(l_quantity) AS sd_q,
+         AVG(l_extendedprice) AS mu_e, STDDEV_SAMP(l_extendedprice) AS sd_e,
+         AVG(l_discount) AS mu_d, STDDEV_SAMP(l_discount) AS sd_d
+  FROM lineitem)
+SELECT l_orderkey, l_linenumber,
+       ROUND((l_quantity - mu_q) / sd_q, 6) AS l_quantity_scaled,
+       ROUND((l_extendedprice - mu_e) / sd_e, 6) AS l_extendedprice_scaled,
+       ROUND((l_discount - mu_d) / sd_d, 6) AS l_discount_scaled
+FROM lineitem, s
+ORDER BY l_orderkey, l_linenumber LIMIT 100
+"""
+
+
+def q54_string_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """StringIndexer semantics (labels indexed by DESCENDING frequency,
+    deterministic value tie-break; reference anomaly_model.py
+    StringIndexer stage) as a plain aggregate + window: one shuffle for
+    the counts, a window over the tiny label table for the index. The
+    label→index map is exactly what the ML stage would learn, minus the
+    opaque model object — and at 10^12 rows the counts aggregate is the
+    only full-data pass."""
+    e = _t(spark, sf_dir, "events")
+    counts = e.groupBy(F.col("event_type").alias("label")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("label"))
+    return counts.select(
+        "label", "n", (F.row_number().over(w) - 1).cast("int").alias("label_index")
+    )
+
+
+_Q54_SQL = """
+SELECT event_type AS label, COUNT(*) AS n,
+       CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, event_type ASC) - 1
+            AS INTEGER) AS label_index
+FROM events GROUP BY event_type
+"""
+
+
 _prev_queries_q46 = queries
 
 
@@ -2280,6 +2354,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F
     out["q50_pattern_violations"] = q50_pattern_violations
     out["q51_normalized_dups"] = q51_normalized_dups
     out["q52_heavy_hitter_tokens"] = q52_heavy_hitter_tokens
+    out["q53_standard_scale"] = q53_standard_scale
+    out["q54_string_index"] = q54_string_index
     return out
 
 
@@ -2295,4 +2371,6 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
     out["q50_pattern_violations"] = _Q50_SQL
     out["q51_normalized_dups"] = _Q51_SQL
     out["q52_heavy_hitter_tokens"] = _Q52_SQL
+    out["q53_standard_scale"] = _Q53_SQL
+    out["q54_string_index"] = _Q54_SQL
     return out

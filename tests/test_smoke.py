@@ -31,3 +31,28 @@ def test_end_to_end_verdicts(spark, t1_clips, t1_tref, t1_cfg):
     assert got_by_check.get("transcript_eq", 0) == len(exp["transcript_eq"])
     # snr violations: injected noise clips; mp3 clips are decode_error instead
     assert got_by_check.get("snr", 0) == len(exp["snr"])
+
+
+def test_ml_prep_semantics(spark):
+    """q53/q54: StandardScaler and StringIndexer semantics expressed
+    natively must satisfy the stages' defining properties — the label
+    index is a dense 0..n-1 permutation ordered by (count desc, label asc),
+    and scaled values are finite standardized magnitudes."""
+    import math
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as m
+
+    sf = "/root/testdata/sf0.001"
+    idx = m.q54_string_index(spark, sf).collect()
+    by_rank = sorted(idx, key=lambda r: r["label_index"])
+    assert [r["label_index"] for r in by_rank] == list(range(len(by_rank)))
+    for a, b in zip(by_rank, by_rank[1:]):
+        assert (a["n"], b["label"]) >= (b["n"], a["label"])  # freq desc, label asc
+
+    scaled = m.q53_standard_scale(spark, sf).collect()
+    assert len(scaled) == 100
+    for r in scaled:
+        for c in ("l_quantity_scaled", "l_extendedprice_scaled", "l_discount_scaled"):
+            assert r[c] is not None and math.isfinite(r[c]) and abs(r[c]) < 10

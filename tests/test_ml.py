@@ -1,0 +1,71 @@
+"""Isolation-forest anomaly model: determinism, sample bound, separation."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from baskerville_spark.ml.iforest import (
+    top_anomalies,
+    train_iforest,
+    training_sample,
+    score_anomalies,
+)
+
+
+def _fixture(spark, n=2000):
+    """Dense blob around the origin + 5 planted extreme outliers."""
+    base = spark.range(n).select(
+        F.col("id"),
+        ((F.col("id") % 97).cast("double") / 97.0).alias("f1"),
+        ((F.col("id") % 89).cast("double") / 89.0).alias("f2"),
+    )
+    return base.withColumn(
+        "f1", F.when(F.col("id") % 400 == 7, F.col("f1") + 25.0).otherwise(F.col("f1"))
+    ).withColumn(
+        "f2", F.when(F.col("id") % 400 == 7, F.col("f2") + 25.0).otherwise(F.col("f2"))
+    )
+
+
+def test_iforest_separates_planted_outliers(spark):
+    df = _fixture(spark)
+    forest = train_iforest(df, "id", ["f1", "f2"], n_trees=50, seed=7)
+    planted = {r["id"] for r in df.where("id % 400 = 7").select("id").collect()}
+    top = top_anomalies(df, forest, "id", ["f1", "f2"], k=len(planted))
+    assert {r["id"] for r in top.collect()} == planted  # recall 1.0, no FPs
+
+
+def test_iforest_deterministic_and_partition_invariant(spark):
+    df = _fixture(spark, 1000)
+    forest = train_iforest(df, "id", ["f1", "f2"], n_trees=20, seed=3)
+    a = {r["id"]: r["anomaly_score"]
+         for r in score_anomalies(df, forest, "id", ["f1", "f2"]).collect()}
+    b = {r["id"]: r["anomaly_score"]
+         for r in score_anomalies(df.repartition(13), forest, "id", ["f1", "f2"]).collect()}
+    assert a == b  # scoring is pure per-row: partitioning cannot change it
+    forest2 = train_iforest(df, "id", ["f1", "f2"], n_trees=20, seed=3)
+    c = {r["id"]: r["anomaly_score"]
+         for r in score_anomalies(df, forest2, "id", ["f1", "f2"]).collect()}
+    assert a == c  # training is seeded + sample-deterministic
+
+
+def test_iforest_training_sample_hard_cap(spark):
+    df = spark.range(50_000).select(
+        F.col("id"), (F.col("id") % 11).cast("double").alias("f1")
+    )
+    s = training_sample(df, "id", ["f1"], max_train_rows=128)
+    assert isinstance(s, np.ndarray) and len(s) <= 128
+
+
+def test_iforest_null_features_score_null(spark):
+    df = spark.createDataFrame(
+        [(1, 0.1, 0.2), (2, None, 0.3), (3, 0.2, 0.1)],
+        "id long, f1 double, f2 double",
+    )
+    forest = train_iforest(
+        df.where("f1 IS NOT NULL"), "id", ["f1", "f2"], n_trees=10, psi=2
+    )
+    got = {r["id"]: r["anomaly_score"]
+           for r in score_anomalies(df, forest, "id", ["f1", "f2"]).collect()}
+    assert got[2] is None or np.isnan(got[2])
+    assert got[1] is not None and not np.isnan(got[1])

@@ -69,3 +69,24 @@ def test_iforest_null_features_score_null(spark):
            for r in score_anomalies(df, forest, "id", ["f1", "f2"]).collect()}
     assert got[2] is None or np.isnan(got[2])
     assert got[1] is not None and not np.isnan(got[1])
+
+
+def test_flag_anomalies_contamination_threshold(spark):
+    """Reference transform parity (anomaly_model.py:199-209): flag rows
+    whose score exceeds the (1 - contamination) quantile; planted extreme
+    outliers must be flagged, the dense blob must not drown them, and the
+    rows come out in the engine's violation shape."""
+    from baskerville_spark.ml.iforest import flag_anomalies
+
+    df = _fixture(spark).withColumn("part_id", (F.col("id") % 4).cast("int"))
+    forest = train_iforest(df, "id", ["f1", "f2"], n_trees=50, seed=7)
+    viol = flag_anomalies(
+        df, forest, "id", ["f1", "f2"], contamination=0.01, part_col="part_id"
+    ).collect()
+    flagged = {int(r["clip_id"]) for r in viol}
+    planted = {r["id"] for r in df.where("id % 400 = 7").select("id").collect()}
+    assert planted <= flagged               # every planted outlier flagged
+    assert len(flagged) <= 0.02 * 2000 + 5  # ~contamination-sized set
+    for r in viol:
+        assert r["check_name"] == "anomaly" and r["detail"].startswith("score=")
+        assert r["part_id"] == int(r["clip_id"]) % 4

@@ -2385,6 +2385,44 @@ SELECT vec_id, 1 AS flagged FROM embeddings WHERE vec_id % 50 = 0
 """
 
 
+# ---------------------------------------------------------------------------
+# Q56 — the supervised labeler: deterministic gradient-boosted stumps must
+#       reproduce a wide-margin planted labeling exactly
+# ---------------------------------------------------------------------------
+
+def q56_gbm_labeler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's supervised attack labeler (GBM over request-set
+    features, SURVEY §2.11) rebuilt as deterministic gradient-boosted
+    stumps (ml/gbm.py: driver fit on a hard-capped hash-deterministic
+    sample with an EXACT prefix-sum stump search — no RNG anywhere —
+    Arrow-batched scoring). Fixture: positives (vec_id ≡ 0 mod 40) get
+    +5.0 on the first embedding component, a margin the boosted stumps
+    must carve exactly; the gate hashes predicted-positive ids against
+    the planted labeling, so one misclassified row breaks it."""
+    from baskerville_spark.ml.gbm import predict_label, train_gbm
+
+    emb = _t(spark, sf_dir, "embeddings")
+    feats = emb.select(
+        "vec_id",
+        (
+            F.element_at("embedding", 1).cast("double")
+            + F.when(F.col("vec_id") % 40 == 0, F.lit(5.0)).otherwise(F.lit(0.0))
+        ).alias("f1"),
+        F.element_at("embedding", 2).cast("double").alias("f2"),
+        (F.col("vec_id") % 40 == 0).cast("double").alias("label"),
+    )
+    model = train_gbm(feats, "vec_id", ["f1", "f2"], "label", n_rounds=30)
+    pred = predict_label(feats, model, "vec_id", ["f1", "f2"])
+    return pred.where(F.col("predicted") == 1).select(
+        F.col("id").alias("vec_id"), "predicted"
+    )
+
+
+_Q56_SQL = """
+SELECT vec_id, 1 AS predicted FROM embeddings WHERE vec_id % 40 = 0
+"""
+
+
 _prev_queries_q46 = queries
 
 
@@ -2400,6 +2438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F
     out["q53_standard_scale"] = q53_standard_scale
     out["q54_string_index"] = q54_string_index
     out["q55_iforest_outliers"] = q55_iforest_outliers
+    out["q56_gbm_labeler"] = q56_gbm_labeler
     return out
 
 
@@ -2418,4 +2457,5 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
     out["q53_standard_scale"] = _Q53_SQL
     out["q54_string_index"] = _Q54_SQL
     out["q55_iforest_outliers"] = _Q55_SQL
+    out["q56_gbm_labeler"] = _Q56_SQL
     return out

@@ -4,3 +4,9 @@ from baskerville_spark.ml.iforest import (  # noqa: F401
     top_anomalies,
     train_iforest,
 )
+from baskerville_spark.ml.gbm import (  # noqa: F401
+    GBMClassifier,
+    predict_label,
+    predict_proba,
+    train_gbm,
+)

@@ -90,3 +90,40 @@ def test_flag_anomalies_contamination_threshold(spark):
     for r in viol:
         assert r["check_name"] == "anomaly" and r["detail"].startswith("score=")
         assert r["part_id"] == int(r["clip_id"]) % 4
+
+
+def _labeled_fixture(spark, n=2000):
+    """Separable supervised fixture: positives shifted far along f1."""
+    return spark.range(n).select(
+        F.col("id"),
+        (
+            ((F.col("id") % 97).cast("double") / 97.0)
+            + F.when(F.col("id") % 100 == 3, F.lit(5.0)).otherwise(F.lit(0.0))
+        ).alias("f1"),
+        ((F.col("id") % 89).cast("double") / 89.0).alias("f2"),
+        (F.col("id") % 100 == 3).cast("double").alias("label"),
+    )
+
+
+def test_gbm_learns_separable_rule(spark):
+    from baskerville_spark.ml.gbm import predict_label, train_gbm
+
+    df = _labeled_fixture(spark)
+    model = train_gbm(df, "id", ["f1", "f2"], "label", n_rounds=30)
+    pred = {r["id"]: r["predicted"]
+            for r in predict_label(df, model, "id", ["f1", "f2"]).collect()}
+    truth = {r["id"]: int(r["label"]) for r in df.collect()}
+    assert pred == truth  # wide margin → boosted stumps must be exact
+
+
+def test_gbm_deterministic_and_partition_invariant(spark):
+    from baskerville_spark.ml.gbm import predict_proba, train_gbm
+
+    df = _labeled_fixture(spark, 800)
+    m1 = train_gbm(df, "id", ["f1", "f2"], "label", n_rounds=15)
+    m2 = train_gbm(df.repartition(7), "id", ["f1", "f2"], "label", n_rounds=15)
+    a = {r["id"]: r["probability"]
+         for r in predict_proba(df, m1, "id", ["f1", "f2"]).collect()}
+    b = {r["id"]: r["probability"]
+         for r in predict_proba(df.repartition(11), m2, "id", ["f1", "f2"]).collect()}
+    assert a == b  # hash-deterministic sample + exhaustive fit: no RNG anywhere

@@ -10,3 +10,4 @@ from baskerville_spark.ml.gbm import (  # noqa: F401
     predict_proba,
     train_gbm,
 )
+from baskerville_spark.ml.registry import ModelStore  # noqa: F401

@@ -212,3 +212,81 @@ def test_rate_and_ratio_and_replace(spark):
         cur0, past, ["user_id"], specs, round_dp=None
     ).collect()[0]
     assert row0["rate"] == 2.0
+
+
+def test_feature_loop_incremental_equals_batch(spark, tmp_path):
+    """The client-pipeline loop (GenerateFeatures -> RefreshCache,
+    reference client_pipeline.py:37-48): 3 micro-batches merged through
+    the pooled algebra reproduce the one-shot vector over all rows
+    EXACTLY (count/mean/var/max/min), and the cache was republished
+    incrementally (one version per batch), not recomputed from raw."""
+    from baskerville_spark.runtime.feature_loop import run_feature_loop
+    from baskerville_spark.runtime.state import StateStore
+
+    src = tmp_path / "src"
+    src.mkdir()
+    rows_all = []
+    # 4 users x 3 batches x 3 events; deterministic values
+    for b in range(3):
+        rows = [
+            (u, float((u + 1) * (b + 2) * (i + 1) + (i * i) % 7))
+            for u in range(4)
+            for i in range(3)
+        ]
+        rows_all += rows
+        # flat files: the file-stream source lists the dir non-recursively
+        tmp_dir = tmp_path / f"stage_{b}"
+        spark.createDataFrame(
+            rows, "user_id long, value double"
+        ).coalesce(1).write.parquet(str(tmp_dir))
+        part = next(tmp_dir.glob("part-*.parquet"))
+        part.rename(src / f"batch_{b}.parquet")
+
+    def vector_fn(df):
+        return df.groupBy("user_id").agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.avg("value").alias("mean_value"),
+            F.var_samp("value").alias("var_value"),
+            F.max("value").alias("max_value"),
+            F.min("value").alias("min_value"),
+        )
+
+    specs = [
+        UpdateSpec("n", "total", ("n",)),
+        UpdateSpec("mean_value", "mean", ("mean_value", "n")),
+        UpdateSpec("var_value", "variance", ("var_value", "n", "mean_value")),
+        UpdateSpec("max_value", "maximum", ("max_value",)),
+        UpdateSpec("min_value", "minimum", ("min_value",)),
+    ]
+    store = StateStore(str(tmp_path / "cache"))
+    q = run_feature_loop(
+        spark,
+        str(src),
+        "user_id long, value double",
+        store,
+        ["user_id"],
+        specs,
+        vector_fn,
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+
+    import os
+
+    versions = [d for d in os.listdir(store.root) if d.startswith("v_")]
+    assert len(versions) == 3, "one atomic cache version per micro-batch"
+
+    got = {
+        r["user_id"]: r.asDict()
+        for r in store.read(spark).drop("updated_at").collect()
+    }
+    expected = {
+        r["user_id"]: r.asDict()
+        for r in vector_fn(
+            spark.createDataFrame(rows_all, "user_id long, value double")
+        ).collect()
+    }
+    assert set(got) == set(expected)
+    for u, exp in expected.items():
+        for col, v in exp.items():
+            assert got[u][col] == pytest.approx(v, abs=1e-9), (u, col)

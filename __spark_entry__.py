@@ -2716,3 +2716,71 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
     out["q57_feature_vector"] = _Q57_SQL
     out["q58_feature_update"] = _Q58_SQL
     return out
+
+
+# ---------------------------------------------------------------------------
+# Q59 — incident-aware anomaly thresholding (classify_anomalies,
+#       tasks.py:1771-1795; dual thresholds config.py:273-274)
+# ---------------------------------------------------------------------------
+
+def q59_anomaly_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's dual-threshold classification: keys under incident
+    are judged at 0.35, everything else at 0.45 (config.py:273-274). The
+    score here is a closed-form per-user anomaly proxy (2x error ratio —
+    SQL-reproducible; the model-scored path is q55's subject) and the
+    incident set is the users whose error ratio exceeds 0.21 (the
+    incident detector itself is q10/q44's subject). The reference builds
+    an isin() literal from a driver-collected host list; this rides a
+    broadcast left join instead — same verdicts, no driver round-trip
+    (ml/classify.py)."""
+    from baskerville_spark.ml.classify import classify_anomalies
+
+    e = _t(spark, sf_dir, "events")
+    ratio = (
+        F.count(F.when(F.col("event_type") == "error", 1)).cast("double")
+        / F.count(F.lit(1)).cast("double")
+    )
+    scored = e.groupBy("user_id").agg((ratio * 2.0).alias("score"))
+    incidents = scored.where(F.col("score") / 2.0 > 0.21).select("user_id")
+    out = classify_anomalies(scored, incidents, "user_id")
+    return out.select(
+        "user_id",
+        F.round("score", 4).alias("score"),
+        "attack_prediction",
+        "prediction",
+    )
+
+
+_Q59_SQL = """
+WITH scored AS (
+  SELECT user_id,
+         2.0 * (COUNT(CASE WHEN event_type = 'error' THEN 1 END)::DOUBLE
+                / COUNT(*)::DOUBLE) AS score
+  FROM events GROUP BY user_id)
+SELECT user_id,
+       ROUND(score, 4) AS score,
+       CAST(CASE WHEN score / 2.0 > 0.21 THEN 1 ELSE 0 END AS INTEGER)
+         AS attack_prediction,
+       CAST(CASE WHEN score > (CASE WHEN score / 2.0 > 0.21
+                                    THEN 0.35 ELSE 0.45 END)
+                 THEN 1 ELSE 0 END AS INTEGER) AS prediction
+FROM scored
+"""
+
+
+_prev_queries_q59 = queries
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    out = _prev_queries_q59()
+    out["q59_anomaly_thresholds"] = q59_anomaly_thresholds
+    return out
+
+
+_prev_oracles_q59 = oracle_sql
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = _prev_oracles_q59()
+    out["q59_anomaly_thresholds"] = _Q59_SQL
+    return out

@@ -164,3 +164,33 @@ def test_model_store_roundtrip_and_atomic_current(spark, tmp_path):
     d = {r["id"]: r["probability"]
          for r in predict_proba(ldf, loaded_gbm, "id", ["f1", "f2"]).collect()}
     assert c == d
+
+
+def test_classify_anomalies_dual_thresholds(spark):
+    """tasks.py:1771-1795 parity: incident keys judged at the lower
+    threshold, non-incident at the default; attack_prediction marks
+    incident membership; the incident set rides a broadcast join, not a
+    driver-collected isin literal."""
+    from pyspark.sql import functions as F
+
+    from baskerville_spark.ml.classify import classify_anomalies
+
+    scored = spark.createDataFrame(
+        [("a", 0.40), ("b", 0.40), ("c", 0.50), ("d", 0.30)],
+        "host string, score double",
+    )
+    incidents = spark.createDataFrame(
+        [("a",), ("a",), ("d",)], "host string"  # dup exercises distinct
+    )
+    out = classify_anomalies(scored, incidents, "host")
+    got = {r["host"]: r.asDict() for r in out.collect()}
+    # a: incident, 0.40 > 0.35 -> flagged; b: normal, 0.40 < 0.45 -> clean
+    assert got["a"]["attack_prediction"] == 1 and got["a"]["prediction"] == 1
+    assert got["b"]["attack_prediction"] == 0 and got["b"]["prediction"] == 0
+    # c: normal but above 0.45
+    assert got["c"]["attack_prediction"] == 0 and got["c"]["prediction"] == 1
+    # d: incident, 0.30 < 0.35 -> clean despite incident
+    assert got["d"]["attack_prediction"] == 1 and got["d"]["prediction"] == 0
+    assert "threshold" not in out.columns  # reference drops it
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan

@@ -2784,3 +2784,88 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
     out = _prev_oracles_q59()
     out["q59_anomaly_thresholds"] = _Q59_SQL
     return out
+
+
+# ---------------------------------------------------------------------------
+# Q60 — the Challenge flow end-to-end (AttackDetection -> Challenge,
+#       tasks.py:1676-1960): attack filter, whitelist anti-join, banjax
+#       command wire messages
+# ---------------------------------------------------------------------------
+
+def q60_challenge_commands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closes the reference's flagship pipeline: per-user verdicts
+    (dual-threshold prediction from q59's semantics + the two-tier
+    low-rate-attack predicate, tasks.py:1711-1716) feed the Challenge
+    task's flow — OR attack filter, broadcast-anti whitelist (users
+    divisible by 13), and the exact banjax command JSON
+    ({"name":"challenge_ip","value":<key>}, tasks.py:1952-1956) that the
+    kafka_shaped sink (q45) would carry to the broker."""
+    from baskerville_spark.functions.web import (
+        challenge_commands,
+        low_rate_attack,
+    )
+    from baskerville_spark.ml.classify import classify_anomalies
+
+    e = _t(spark, sf_dir, "events")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    per_user = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("request_total"),
+        (
+            F.count(F.when(F.col("event_type") == "error", 1)).cast("double")
+            / F.count(F.lit(1)).cast("double")
+            * 2.0
+        ).alias("score"),
+        ((F.max(ts_us) - F.min(ts_us)) / F.lit(1e6)).alias("duration_s"),
+    )
+    incidents = per_user.where(F.col("score") / 2.0 > 0.21).select("user_id")
+    verdicts = classify_anomalies(per_user, incidents, "user_id").withColumn(
+        "low_rate_attack",
+        low_rate_attack(
+            F.col("request_total").cast("double"), F.col("duration_s")
+        ).cast("int"),
+    )
+    whitelist = per_user.where(F.col("user_id") % 13 == 0).select("user_id")
+    return challenge_commands(verdicts, whitelist, "user_id")
+
+
+_Q60_SQL = """
+WITH per_user AS (
+  SELECT user_id,
+         COUNT(*) AS request_total,
+         2.0 * (COUNT(CASE WHEN event_type = 'error' THEN 1 END)::DOUBLE
+                / COUNT(*)::DOUBLE) AS score,
+         (MAX(epoch_us(ts)) - MIN(epoch_us(ts))) / 1e6 AS duration_s
+  FROM events GROUP BY user_id),
+verdicts AS (
+  SELECT user_id,
+         CAST(CASE WHEN score > (CASE WHEN score / 2.0 > 0.21
+                                      THEN 0.35 ELSE 0.45 END)
+                   THEN 1 ELSE 0 END AS INTEGER) AS prediction,
+         CAST(CASE WHEN (request_total > 70 AND duration_s > 3600)
+                     OR (request_total > 85 AND duration_s > 60)
+                   THEN 1 ELSE 0 END AS INTEGER) AS low_rate_attack
+  FROM per_user)
+SELECT user_id, prediction, low_rate_attack,
+       '{"name":"challenge_ip","value":"' || CAST(user_id AS VARCHAR) || '"}'
+         AS command
+FROM verdicts
+WHERE (prediction = 1 OR low_rate_attack = 1) AND user_id % 13 <> 0
+"""
+
+
+_prev_queries_q60 = queries
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    out = _prev_queries_q60()
+    out["q60_challenge_commands"] = q60_challenge_commands
+    return out
+
+
+_prev_oracles_q60 = oracle_sql
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = _prev_oracles_q60()
+    out["q60_challenge_commands"] = _Q60_SQL
+    return out

@@ -107,3 +107,61 @@ def challenge_decision(n_anomalous: Column, n_normal: Column, threshold: float) 
     partition pass/fail."""
     total = n_anomalous + n_normal
     return (total > 0) & (n_anomalous >= F.lit(threshold) * total)
+
+
+def low_rate_attack(
+    request_total: Column,
+    duration_s: Column,
+    tiers: list[tuple[float, float]] = ((70.0, 3600.0), (85.0, 60.0)),
+) -> Column:
+    """The two-tier low-rate-attack predicate (tasks.py:1711-1716,
+    detect_low_rate_attack at 1796-1817): a key attacks "low and slow"
+    when its request volume exceeds a tier's floor AND it has been active
+    longer than that tier's duration floor, for ANY tier. Pure Column
+    algebra — the reference wraps the same expression in a feature-json
+    unwrap."""
+    cond = None
+    for req_floor, dur_floor in tiers:
+        piece = (request_total > F.lit(float(req_floor))) & (
+            duration_s > F.lit(float(dur_floor))
+        )
+        cond = piece if cond is None else (cond | piece)
+    return cond
+
+
+def challenge_commands(
+    verdicts: DataFrame,
+    whitelist: DataFrame,
+    key: str,
+    attack_cols: tuple[str, ...] = ("prediction", "low_rate_attack"),
+    cmd_name: str = "challenge_ip",
+) -> DataFrame:
+    """The Challenge task's flow (tasks.py:1836-1960) as one declarative
+    chain: OR-composed attack filter over the verdict columns
+    (get_attack_filter, :1902-1909), host whitelist as a broadcast
+    left_anti (the reference joins a whitelist frame then filters the
+    flag NULL — same result, :1925-1933), and the banjax command wire
+    message json.dumps({'name': cmd_name, 'value': key}) built with
+    to_json (:1952-1956) — the reference loops a KafkaProducer row by row
+    on the driver; here the rows are a DataFrame any sink (kafka_shaped,
+    real Kafka) writes distributed. The IP-cache "don't re-challenge"
+    dedup is the StateStore TTL pattern (runtime/state.expire_state) —
+    composed by callers that persist challenge history."""
+    attack = None
+    for c in attack_cols:
+        piece = F.col(c) == 1
+        attack = piece if attack is None else (attack | piece)
+    return (
+        verdicts.where(attack)
+        .join(F.broadcast(whitelist.select(key).distinct()), key, "left_anti")
+        .select(
+            F.col(key),
+            *[F.col(c) for c in attack_cols],
+            F.to_json(
+                F.struct(
+                    F.lit(cmd_name).alias("name"),
+                    F.col(key).cast("string").alias("value"),
+                )
+            ).alias("command"),
+        )
+    )

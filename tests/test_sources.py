@@ -155,3 +155,58 @@ def test_write_table_iceberg_seam_falls_back(spark, tmp_path):
     back2 = spark.read.parquet(p)
     assert back2.where("part_id = 0").count() == 10     # replaced
     assert back2.where("part_id != 0").count() == 75    # untouched
+
+
+def test_save_features_table_roundtrip(spark):
+    """'table' sink = real saveAsTable against the session catalog (the
+    Hive-metastore call on a cluster, tasks.py:1649-1675 — whose reference
+    body is a TileDB copy-paste bug; this is what it meant to do)."""
+    from pyspark.sql import functions as F
+
+    from baskerville_spark.sources.sinks import save_features
+
+    df = spark.createDataFrame(
+        [("u1", 1, 0.9), ("u2", 0, 0.2)],
+        "uuid_request_set string, prediction int, score double",
+    ).withColumn("features", F.create_map(F.lit("f_a"), F.lit(1.5)))
+    used = save_features(
+        df,
+        "table",
+        feature_names=["f_a"],
+        features_col="features",
+        table="rs_test_sink",
+    )
+    assert used == "table"
+    back = spark.table("rs_test_sink")
+    assert sorted(back.columns) == [
+        "f_a", "prediction", "score", "uuid_request_set",
+    ]
+    rows = {r["uuid_request_set"]: r for r in back.collect()}
+    assert rows["u1"]["f_a"] == 1.5 and rows["u1"]["prediction"] == 1
+    spark.sql("DROP TABLE rs_test_sink")
+
+
+def test_connector_sinks_reach_spark_with_exact_format(spark):
+    """The four connector sinks dispatch the reference's exact format
+    strings and option shapes; with the jars absent each raises the
+    documented NotImplementedError naming the connector (same seam
+    contract as the optional media codecs)."""
+    import pytest
+
+    from baskerville_spark.sources.sinks import save_features
+
+    df = spark.createDataFrame(
+        [("u1", 1, 0.9)],
+        "uuid_request_set string, prediction int, score double",
+    )
+    for fmt, needle in [
+        ("tiledb", "io.tiledb.spark"),
+        ("hbase", "datasources.hbase"),
+        ("elasticsearch", "org.elasticsearch.spark.sql"),
+        ("redis", "org.apache.spark.sql.redis"),
+    ]:
+        with pytest.raises(NotImplementedError) as ei:
+            save_features(df, fmt, path="ignored")
+        assert needle in str(ei.value)
+    with pytest.raises(ValueError):
+        save_features(df, "mongodb")

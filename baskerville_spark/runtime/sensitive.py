@@ -1,0 +1,106 @@
+"""Sensitive-data split / re-merge around an anonymized prediction leg.
+
+Reference: ``models/pipeline_tasks/tasks.py:1291-1428`` —
+``CacheSensitiveData`` stashes the full row (keyed by uuid, TTL'd) in
+Redis or a Kafka topic so only anonymized features travel to the
+prediction service; ``MergeWithSensitiveData`` inner-joins the returning
+predictions back on (id_client, uuid) and warns when the merge loses
+rows (postprocessing lag). The client/server split exists so the
+prediction service never sees IPs or hostnames.
+
+Here the stash is a :class:`~baskerville_spark.runtime.state.StateStore`
+(the same versioned-parquet + atomic-pointer store the feature cache
+uses; Redis's ``ttl`` option maps to ``expire_state`` on read, its
+``key.column`` to ``keys``). On a cluster the stash write is one line —
+``sources/sinks.save_features(fmt='redis')`` or the kafka_shaped sink —
+with identical split/merge semantics.
+
+Scale: the merge is an equi-join on the uuid keys; the sensitive side is
+bounded by TTL x ingest rate, the prediction side by the batch — both
+narrow (no payloads). The count-mismatch check costs two count() jobs
+exactly like the reference's; callers that cannot afford them at 10^12
+rows can skip with ``report=False`` (the reference always pays them).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from baskerville_spark.runtime.state import StateStore, expire_state
+
+
+def split_sensitive(
+    df: DataFrame,
+    keys: list[str],
+    sensitive_cols: list[str],
+) -> tuple[DataFrame, DataFrame]:
+    """(anonymized, sensitive): the anonymized frame drops the sensitive
+    columns; the sensitive frame carries keys + sensitive columns only
+    (tasks.py:1302-1312 minus the to_json round-trip Redis needed)."""
+    anonymized = df.drop(*sensitive_cols)
+    sensitive = df.select(*keys, *sensitive_cols)
+    return anonymized, sensitive
+
+
+def cache_sensitive(
+    df: DataFrame,
+    store: StateStore,
+    keys: list[str],
+    sensitive_cols: list[str],
+    now_epoch_s: float | None = None,
+    updated_at_col: str = "updated_at",
+) -> DataFrame:
+    """Stash the sensitive slice (timestamped for TTL expiry) and return
+    the anonymized frame for the prediction leg."""
+    now = time.time() if now_epoch_s is None else now_epoch_s
+    anonymized, sensitive = split_sensitive(df, keys, sensitive_cols)
+    store.write(
+        sensitive.withColumn(
+            updated_at_col, F.lit(int(now)).cast("timestamp")
+        )
+    )
+    return anonymized
+
+
+@dataclass(frozen=True)
+class MergeReport:
+    before: int
+    after: int
+
+    @property
+    def lost(self) -> int:
+        return self.before - self.after
+
+
+def merge_sensitive(
+    predictions: DataFrame,
+    store: StateStore,
+    spark: SparkSession,
+    keys: list[str],
+    ttl_s: int | None = None,
+    now_epoch_s: float | None = None,
+    updated_at_col: str = "updated_at",
+    report: bool = True,
+) -> tuple[DataFrame, MergeReport | None]:
+    """Inner-join predictions back onto their stashed sensitive rows
+    (tasks.py:1405-1408). Returns (merged, report); ``report.lost > 0``
+    reproduces the reference's merge-loss warning (tasks.py:1411-1420) as
+    data instead of log noise. TTL-expired stash rows drop before the
+    join, exactly like Redis's ttl option would have evicted them."""
+    stash = store.read(spark)
+    if stash is None:
+        raise ValueError("no sensitive stash has been written")
+    if ttl_s is not None:
+        now = time.time() if now_epoch_s is None else now_epoch_s
+        stash = expire_state(stash, now, ttl_s, updated_at_col)
+    merged = predictions.join(
+        stash.drop(updated_at_col), on=keys, how="inner"
+    )
+    rep = None
+    if report:
+        rep = MergeReport(before=predictions.count(), after=merged.count())
+    return merged, rep

@@ -359,3 +359,50 @@ def test_streaming_state_event_time_ttl(spark, tmp_path):
     fresh = [r for r in rows if r["key"] == "idle" and not r["evicted"]][-1]
     assert fresh["n_total"] == 1 and fresh["n_batches"] == 1
     assert fresh["min_value"] == 5.0
+
+
+def test_sensitive_split_merge_roundtrip(spark, tmp_path):
+    """CacheSensitiveData -> predict -> MergeWithSensitiveData parity
+    (tasks.py:1291-1428): the prediction leg never sees ip/target, the
+    merge restores them exactly, TTL evicts stale stash rows, and the
+    merge report carries the reference's lost-rows warning as data."""
+    from pyspark.sql import functions as F
+
+    from baskerville_spark.runtime.sensitive import (
+        cache_sensitive,
+        merge_sensitive,
+    )
+    from baskerville_spark.runtime.state import StateStore
+
+    df = spark.createDataFrame(
+        [
+            ("c1", "rs1", "1.2.3.4", "example.org", 0.9),
+            ("c1", "rs2", "5.6.7.8", "example.net", 0.1),
+        ],
+        "id_client string, uuid_request_set string, "
+        "ip string, target string, score double",
+    )
+    keys = ["id_client", "uuid_request_set"]
+    store = StateStore(str(tmp_path / "stash"))
+    anonymized = cache_sensitive(
+        df, store, keys, ["ip", "target"], now_epoch_s=1000.0
+    )
+    assert "ip" not in anonymized.columns
+    assert "target" not in anonymized.columns
+
+    preds = anonymized.withColumn(
+        "prediction", (F.col("score") > 0.5).cast("int")
+    )
+    merged, rep = merge_sensitive(
+        preds, store, spark, keys, ttl_s=3600, now_epoch_s=1100.0
+    )
+    rows = {r["uuid_request_set"]: r for r in merged.collect()}
+    assert rows["rs1"]["ip"] == "1.2.3.4" and rows["rs1"]["prediction"] == 1
+    assert rows["rs2"]["target"] == "example.net"
+    assert rep.before == 2 and rep.after == 2 and rep.lost == 0
+
+    # TTL eviction: stash written at t=1000, merged at t=10000 with 1h TTL
+    _, rep2 = merge_sensitive(
+        preds, store, spark, keys, ttl_s=3600, now_epoch_s=10000.0 + 3600.0
+    )
+    assert rep2.after == 0 and rep2.lost == 2  # the reference's warning case

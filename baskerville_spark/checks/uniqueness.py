@@ -93,9 +93,17 @@ def duplicate_exemplars(
         slim.groupBy(*group_final)
         .agg(F.count(F.lit(1)).alias("__c"))
         .where("__c > 1")
-        .select(*group_final)
+        .select(*[F.col(c).alias(f"__dk_{c}") for c in group_final])
     )
-    slim = slim.join(dup_keys, group_final, "left_semi")
+    # NULL-SAFE semi join: groupBy treats NULL as one group (a duplicated
+    # NULL key IS a violation this check must report), but a plain equi
+    # semi-join drops NULL keys — eqNullSafe keeps them, and Spark still
+    # plans it as a hash join (EqualNullSafe is a supported join key).
+    semi_cond = None
+    for c in group_final:
+        piece = F.col(c).eqNullSafe(F.col(f"__dk_{c}"))
+        semi_cond = piece if semi_cond is None else (semi_cond & piece)
+    slim = slim.join(dup_keys, semi_cond, "left_semi")
     phase0 = (
         slim
         .withColumn("__pid", F.spark_partition_id())

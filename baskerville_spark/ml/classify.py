@@ -8,9 +8,9 @@ so detection is more sensitive exactly where the drift detector already
 sees trouble. The reference materializes the incident host list on the
 driver and burns it into an ``isin`` literal; at 10^12 rows the incident
 set itself can be large, so here it stays a DataFrame and rides a
-broadcast left join — same verdicts, no driver round-trip, and the
-broadcast degrades to sort-merge automatically if the set outgrows the
-broadcast threshold.
+left join — same verdicts, no driver round-trip. The join strategy is the
+optimizer's by default (small sets auto-broadcast, huge ones shuffle);
+``broadcast_incidents=True`` forces the hint for known-small sets.
 """
 
 from __future__ import annotations
@@ -29,7 +29,7 @@ def classify_anomalies(
     score_col: str = "score",
     threshold: float = DEFAULT_THRESHOLD,
     threshold_during_incident: float = DEFAULT_THRESHOLD_DURING_INCIDENT,
-    broadcast_incidents: bool = True,
+    broadcast_incidents: bool = False,
 ) -> DataFrame:
     """Adds the reference's two verdict columns to ``scored``:
 
@@ -41,6 +41,13 @@ def classify_anomalies(
       dropped, as the reference drops it)
 
     ``incidents`` needs only the ``key`` column (deduplicated here).
+
+    ``broadcast_incidents=True`` FORCES a broadcast hint — Spark never
+    size-demotes an explicit hint, so only set it when the incident set is
+    known-small (it collects to the driver and is capped at the 8 GB
+    broadcast limit). The default False lets the optimizer/AQE choose:
+    small sets still broadcast via auto-broadcast sizing; huge ones get a
+    shuffled join instead of an OOM.
     """
     inc = incidents.select(key).distinct().withColumn("__inc", F.lit(1))
     if broadcast_incidents:

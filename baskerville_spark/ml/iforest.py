@@ -46,6 +46,13 @@ def _c(n: float) -> float:
     return 2.0 * h - 2.0 * (n - 1) / n
 
 
+def _c_vec(n: np.ndarray) -> np.ndarray:
+    """Vectorized ``_c`` over an array of leaf sizes (identical values)."""
+    safe = np.maximum(n, 2.0)  # placeholder where n <= 1; masked out below
+    h = np.log(safe - 1.0) + 0.5772156649015329
+    return np.where(n <= 1.0, 0.0, 2.0 * h - 2.0 * (safe - 1.0) / safe)
+
+
 @dataclass(frozen=True)
 class IsolationForest:
     """Fitted forest: per-tree flat arrays (feature, threshold, left, right,
@@ -76,10 +83,10 @@ class IsolationForest:
                 node[active] = nxt
                 depth[active] += 1.0
                 active = feat[node] >= 0
-            # truncated leaves: add c(size) like the paper
-            leaf_sizes = size[node].astype(np.float64)
-            adj = np.array([_c(s) for s in leaf_sizes])
-            total += depth + adj
+            # truncated leaves: add c(size) like the paper — vectorized
+            # (a per-row _c() loop here would dominate the batched
+            # traversal it sits next to at n_trees=100)
+            total += depth + _c_vec(size[node].astype(np.float64))
         return total / len(self.features)
 
     def scores(self, x: np.ndarray) -> np.ndarray:
@@ -247,6 +254,11 @@ def flag_anomalies(
         scored = scored.join(
             base.select(F.col(id_col).alias("id"), F.col(part_col)), "id"
         )
+    # persist: the quantile agg below and the caller's action on the
+    # returned frame would otherwise each run the forest-scoring UDF over
+    # the full input — the single most expensive stage, twice. Narrow rows
+    # only (id, score, part); payload columns were projected away in base.
+    scored = scored.persist()
     thr_row = scored.agg(
         F.percentile_approx("anomaly_score", 1.0 - contamination).alias("t")
     ).collect()[0]

@@ -101,6 +101,13 @@ def refresh_feature_cache(
     new_state = new_state.cache()
     new_state.count()
     store.write(new_state)
+    # once the new version is on disk the cache has served its purpose;
+    # dropping it here keeps a long-running stream from accumulating one
+    # full cached state copy per micro-batch. A later action on the
+    # returned frame re-derives it from the PRIOR version dir (StateStore
+    # keeps old versions, so that stays correct); the next batch reads the
+    # new version via store.read().
+    new_state.unpersist()
     return new_state
 
 

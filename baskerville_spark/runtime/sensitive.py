@@ -51,18 +51,39 @@ def cache_sensitive(
     store: StateStore,
     keys: list[str],
     sensitive_cols: list[str],
+    ttl_s: int | None = None,
     now_epoch_s: float | None = None,
     updated_at_col: str = "updated_at",
+    spark: SparkSession | None = None,
 ) -> DataFrame:
     """Stash the sensitive slice (timestamped for TTL expiry) and return
-    the anonymized frame for the prediction leg."""
+    the anonymized frame for the prediction leg.
+
+    The stash ACCUMULATES across batches, per key — a Redis SET per uuid
+    does the same — so predictions lagging a batch or three behind
+    (the reference's explicit merge-loss scenario, tasks.py:1411-1420)
+    still find their rows. Each write keeps: this batch's rows, plus every
+    prior key this batch didn't touch and TTL hasn't evicted. The stash is
+    therefore bounded by TTL x ingest rate even though each version is a
+    full rewrite (Iceberg: MERGE INTO; Redis: per-key ttl).
+    """
     now = time.time() if now_epoch_s is None else now_epoch_s
     anonymized, sensitive = split_sensitive(df, keys, sensitive_cols)
-    store.write(
-        sensitive.withColumn(
-            updated_at_col, F.lit(int(now)).cast("timestamp")
-        )
+    fresh = sensitive.withColumn(
+        updated_at_col, F.lit(int(now)).cast("timestamp")
     )
+    prior = store.read(spark or df.sparkSession)
+    if prior is not None:
+        if ttl_s is not None:
+            prior = expire_state(prior, now, ttl_s, updated_at_col)
+        untouched = prior.join(fresh.select(*keys), on=keys, how="left_anti")
+        fresh = fresh.unionByName(untouched)
+    # materialize before the pointer flip: the plan reads the CURRENT
+    # version that write() is about to replace
+    fresh = fresh.cache()
+    fresh.count()
+    store.write(fresh)
+    fresh.unpersist()
     return anonymized
 
 

@@ -144,9 +144,33 @@ def write_table(
                 from pyspark.sql import functions as F
 
                 w = w.partitionedBy(F.col(partition_by))
-            w.createOrReplace()
+            if mode == "append":
+                w.append()
+            else:
+                w.createOrReplace()
             return "iceberg"
-        except Exception:  # jars/catalog absent → portable parquet fallback
+        except Exception as exc:
+            # ONLY jars/catalog-absent errors fall back to parquet; on a
+            # cluster WITH Iceberg a real write failure (commit conflict,
+            # schema mismatch, permissions) must surface, not silently
+            # land parquet at a different location
+            msg = str(exc)
+            if not any(
+                s in msg
+                for s in (
+                    "ClassNotFound",
+                    "Cannot find catalog",
+                    "CATALOG_NOT_FOUND",
+                    "TABLE_OR_VIEW_NOT_FOUND",
+                    "is not a valid Spark catalog",
+                    "NoSuchCatalogException",
+                    # session catalog rejecting the iceberg-style multipart
+                    # identifier = no iceberg catalog is configured
+                    "REQUIRES_SINGLE_PART_NAMESPACE",
+                    "DATA_SOURCE_NOT_FOUND",
+                )
+            ):
+                raise
             fmt = "parquet"
     writer = df.write.mode(mode)
     if options:

@@ -40,9 +40,13 @@ OUTPUT_SCHEMA = T.StructType(
 )
 
 # applyInPandasWithState state is positional: fields ADDED to this schema go
-# at the END so a checkpoint written with the older (shorter) layout still
-# reads its prefix correctly — n_values was appended (not inserted) for that
-# reason, and _update tolerates its absence on first read after an upgrade.
+# at the END so a checkpoint written with the older (shorter) 5-field layout
+# (n_total, n_batches, min, max, sum) still reads its prefix correctly, and
+# _update tolerates n_values being absent on first read after an upgrade.
+# History, for checkpoint operators: one interim revision inserted n_values
+# at position 1 (between n_total and n_batches) — checkpoints written by
+# THAT layout are positionally incompatible with this one and must be
+# discarded; pre-n_values and current checkpoints interoperate.
 STATE_SCHEMA = T.StructType(
     [
         T.StructField("n_total", T.LongType(), False),

@@ -229,3 +229,23 @@ def test_drift_verdicts_single_scan_plan(t1_clips):
     scans = plan.count("Scan ")
     assert exchanges == 1, plan[:2000]
     assert scans == 1, plan[:2000]
+
+
+def test_duplicate_exemplars_reports_null_keys(spark):
+    """A duplicated NULL key is a data-quality violation this check must
+    report: groupBy treats NULL as one group, and the count-first semi
+    join is null-safe (a plain equi semi-join would silently drop it)."""
+    from baskerville_spark.checks.uniqueness import duplicate_exemplars
+
+    df = spark.createDataFrame(
+        [(None, 1), (None, 2), (None, 3), ("a", 4), ("a", 5), ("b", 6)],
+        "clip_id string, row_id long",
+    )
+    rows = {
+        r["clip_id"]: r
+        for r in duplicate_exemplars(df, key="clip_id", id_col="row_id", k=5).collect()
+    }
+    assert rows[None]["dup_count"] == 3
+    assert sorted(rows[None]["exemplar_ids"]) == [1, 2, 3]
+    assert rows["a"]["dup_count"] == 2
+    assert "b" not in rows

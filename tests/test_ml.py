@@ -182,7 +182,7 @@ def test_classify_anomalies_dual_thresholds(spark):
     incidents = spark.createDataFrame(
         [("a",), ("a",), ("d",)], "host string"  # dup exercises distinct
     )
-    out = classify_anomalies(scored, incidents, "host")
+    out = classify_anomalies(scored, incidents, "host", broadcast_incidents=True)
     got = {r["host"]: r.asDict() for r in out.collect()}
     # a: incident, 0.40 > 0.35 -> flagged; b: normal, 0.40 < 0.45 -> clean
     assert got["a"]["attack_prediction"] == 1 and got["a"]["prediction"] == 1

@@ -406,3 +406,54 @@ def test_sensitive_split_merge_roundtrip(spark, tmp_path):
         preds, store, spark, keys, ttl_s=3600, now_epoch_s=10000.0 + 3600.0
     )
     assert rep2.after == 0 and rep2.lost == 2  # the reference's warning case
+
+
+def test_sensitive_stash_accumulates_across_batches(spark, tmp_path):
+    """The reference's merge-loss scenario (tasks.py:1411-1420): batch B
+    stashes AFTER batch A but BEFORE A's predictions return — A's rows
+    must still be in the stash (per-key accumulate, newest-write-wins),
+    and TTL prunes only genuinely stale keys."""
+    from pyspark.sql import functions as F
+
+    from baskerville_spark.runtime.sensitive import (
+        cache_sensitive,
+        merge_sensitive,
+    )
+    from baskerville_spark.runtime.state import StateStore
+
+    store = StateStore(str(tmp_path / "stash"))
+    keys = ["uuid_request_set"]
+
+    batch_a = spark.createDataFrame(
+        [("rs1", "1.1.1.1", 0.9), ("rs2", "2.2.2.2", 0.3)],
+        "uuid_request_set string, ip string, score double",
+    )
+    batch_b = spark.createDataFrame(
+        [("rs3", "3.3.3.3", 0.7), ("rs2", "9.9.9.9", 0.4)],  # rs2 updated
+        "uuid_request_set string, ip string, score double",
+    )
+    anon_a = cache_sensitive(batch_a, store, keys, ["ip"], now_epoch_s=1000.0)
+    cache_sensitive(batch_b, store, keys, ["ip"], now_epoch_s=1060.0)
+
+    # A's predictions return after B stashed: rs1 must still resolve
+    preds_a = anon_a.withColumn("prediction", F.lit(1))
+    merged, rep = merge_sensitive(
+        preds_a, store, spark, keys, ttl_s=3600, now_epoch_s=1100.0
+    )
+    rows = {r["uuid_request_set"]: r for r in merged.collect()}
+    assert rows["rs1"]["ip"] == "1.1.1.1"  # survived batch B's write
+    assert rows["rs2"]["ip"] == "9.9.9.9"  # newest write wins
+    assert rep.lost == 0
+
+    # TTL prunes old untouched keys at the next cache_sensitive call
+    batch_c = spark.createDataFrame(
+        [("rs4", "4.4.4.4", 0.5)],
+        "uuid_request_set string, ip string, score double",
+    )
+    cache_sensitive(
+        batch_c, store, keys, ["ip"], ttl_s=60, now_epoch_s=5000.0
+    )
+    stash_keys = {
+        r["uuid_request_set"] for r in store.read(spark).collect()
+    }
+    assert stash_keys == {"rs4"}  # rs1-3 older than 60 s at t=5000

@@ -69,3 +69,67 @@ def test_exact_duplicates_forms_agree(spark, texts, k):
     a = norm(exact_duplicates(df, exemplar_k=k))
     b = norm(exact_duplicates_window(df, exemplar_k=k))
     assert a == b
+
+
+@given(
+    vals=st.lists(
+        st.floats(
+            min_value=-1e6, max_value=1e6,
+            allow_nan=False, allow_infinity=False,
+        ),
+        min_size=4,
+        max_size=24,
+    ),
+    cut=st.integers(2, 22),
+)
+@settings(max_examples=5, deadline=None)
+def test_pooled_merge_equals_recompute_property(spark, vals, cut):
+    """For ANY values and ANY split point, merging the two halves'
+    (n, mean, var_samp, max, min) through the pooled algebra
+    (square_variance=False) reproduces the whole-batch statistics —
+    the invariant that lets the incremental cache (runtime/feature_loop)
+    replace recomputation at 10^12 rows."""
+    import statistics
+
+    from baskerville_spark.functions.features import (
+        UpdateSpec,
+        update_feature_vector,
+    )
+
+    cut = min(cut, len(vals) - 2)
+    a, b = vals[:cut], vals[cut:]
+
+    def vec(v):
+        return (
+            1,
+            float(len(v)),
+            statistics.fmean(v),
+            statistics.variance(v),
+            max(v),
+            min(v),
+        )
+
+    schema = (
+        "user_id long, n double, mean_value double, var_value double, "
+        "max_value double, min_value double"
+    )
+    cur = spark.createDataFrame([vec(a)], schema)
+    past = spark.createDataFrame([vec(b)], schema)
+    specs = [
+        UpdateSpec("n", "total", ("n",)),
+        UpdateSpec("mean_value", "mean", ("mean_value", "n")),
+        UpdateSpec("var_value", "variance", ("var_value", "n", "mean_value")),
+        UpdateSpec("max_value", "maximum", ("max_value",)),
+        UpdateSpec("min_value", "minimum", ("min_value",)),
+    ]
+    row = update_feature_vector(
+        cur, past, ["user_id"], specs, square_variance=False, round_dp=None
+    ).collect()[0]
+    union = a + b
+    scale = max(abs(statistics.variance(union)), 1.0)
+    assert row["n"] == len(union)
+    assert row["max_value"] == max(union) and row["min_value"] == min(union)
+    assert abs(row["mean_value"] - statistics.fmean(union)) <= 1e-9 * max(
+        abs(statistics.fmean(union)), 1.0
+    )
+    assert abs(row["var_value"] - statistics.variance(union)) <= 1e-7 * scale

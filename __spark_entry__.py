@@ -2869,3 +2869,99 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
     out = _prev_oracles_q60()
     out["q60_challenge_commands"] = _Q60_SQL
     return out
+
+
+# ---------------------------------------------------------------------------
+# Q61 — resumable runtime under the hash gate (north rule: "resumable from
+#       checkpoint with per-partition lineage"; reference Runtime ledger
+#       db/models.py:41-75, completion update base_spark.py:567-579)
+# ---------------------------------------------------------------------------
+
+def q61_resume_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q21's closed-form verdict grid, produced across TWO interrupted runs
+    of the resumable runtime plus an idempotence probe.
+
+    tests/test_resume.py is the unit version of this protocol; the gate puts
+    it under the DuckDB hash oracle:
+      1. partitions {2,3} are planted as done in the manifest, so run A's
+         pending set is {0,1} — partition pruning keeps finished parts out
+         of the scan (BASELINE.md shows the PartitionFilters fragment).
+      2. the planted marks are removed — the "crash": those two partitions
+         never actually committed.
+      3. run B resumes and must validate exactly {2,3}.
+      4. run C must find nothing pending (idempotence).
+    The union of the two runs' persisted verdict partitions must equal the
+    same closed-form oracle as q21 — a resumed job loses nothing and
+    duplicates nothing. The split can't change any verdict: every check
+    aggregates within a partition (uniqueness is keyed (part_id, clip_id);
+    stats/null-rate/range/SNR/RI/pattern are per-part by construction), so
+    validating {0,1} and {2,3} in separate jobs is the same grid as one job.
+    """
+    import os
+    import tempfile
+    from datetime import datetime, timezone
+
+    from baskerville_spark.generator import (
+        GenConfig,
+        write_clips,
+        write_transcript_ref,
+    )
+    from baskerville_spark.runtime import manifest as manifest_mod
+    from baskerville_spark.runtime.runner import ValidationConfig, run_resumable
+
+    cfg = GenConfig(n_rows=1000, n_parts=4)
+    tmp = tempfile.mkdtemp(prefix="bsk_q61_")
+    clips_p, tref_p = f"{tmp}/clips", f"{tmp}/tref"
+    man_p, out_p = f"{tmp}/manifest", f"{tmp}/out"
+    write_clips(spark, clips_p, cfg)
+    write_transcript_ref(spark, tref_p, cfg)
+
+    started = datetime.now(timezone.utc)
+    for p in (2, 3):
+        manifest_mod.commit_partition(man_p, p, 0, 0, started)
+    run_a = run_resumable(spark, clips_p, man_p, out_p, tref_p,
+                          cfg=ValidationConfig())
+    if run_a != [0, 1]:
+        raise RuntimeError(f"run A expected [0, 1], got {run_a}")
+    for p in (2, 3):  # the crash: planted commits never really happened
+        os.remove(os.path.join(man_p, f"part-{p:05d}.parquet"))
+    run_b = run_resumable(spark, clips_p, man_p, out_p, tref_p,
+                          cfg=ValidationConfig())
+    if run_b != [2, 3]:
+        raise RuntimeError(f"run B expected [2, 3], got {run_b}")
+    run_c = run_resumable(spark, clips_p, man_p, out_p, tref_p,
+                          cfg=ValidationConfig())
+    if run_c:
+        raise RuntimeError(f"run C expected [], got {run_c}")
+
+    verdicts = spark.read.parquet(f"{out_p}/verdicts")
+    return verdicts.select(
+        F.col("part_id").cast("int").alias("part_id"),
+        "check_name",
+        F.col("passed").cast("int").alias("passed"),
+        F.when(
+            ~F.col("check_name").startswith("range:"),
+            F.round(F.col("metric_value"), 6),
+        ).alias("metric"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("n_violations").cast("long").alias("n_violations"),
+    )
+
+
+_prev_queries_q61 = queries
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    out = _prev_queries_q61()
+    out["q61_resume_verdicts"] = q61_resume_verdicts
+    return out
+
+
+_prev_oracles_q61 = oracle_sql
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = _prev_oracles_q61()
+    # Same closed-form grid as q21: resume must reproduce the one-shot run.
+    out["q61_resume_verdicts"] = _q21_sql()
+    return out

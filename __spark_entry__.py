@@ -3095,3 +3095,90 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
     out = _prev_oracles_q62()
     out["q62_feature_loop"] = _Q62_SQL
     return out
+
+
+# ---------------------------------------------------------------------------
+# Q63 — sensitive-data split / lagging re-merge (CacheSensitiveData →
+#       MergeWithSensitiveData, tasks.py:1291-1428)
+# ---------------------------------------------------------------------------
+
+def q63_sensitive_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The privacy split under the hash gate: events are split into two
+    micro-batches (event_id parity); each batch's sensitive columns
+    (user_id, props) are stashed in the versioned StateStore and the
+    prediction leg sees ONLY the anonymized frame. Batch 1's predictions
+    merge back AFTER batch 2 has been stashed — the reference's
+    predictions-lag-the-stash scenario (tasks.py:1411-1420) — so the gate
+    fails unless the stash ACCUMULATES per key across batches (the Redis
+    SET-per-uuid semantics) instead of being replaced by the newest write.
+    MergeReport.lost must be 0 for both legs (raised, not logged), the
+    anonymized frames must provably not carry the sensitive columns, and
+    the restored rows — key, prediction, and the exact sensitive strings —
+    must hash-equal DuckDB computing the same over the undivided table.
+    """
+    import tempfile
+
+    from baskerville_spark.runtime.sensitive import (
+        cache_sensitive,
+        merge_sensitive,
+    )
+    from baskerville_spark.runtime.state import StateStore
+
+    e = _t(spark, sf_dir, "events")
+    sensitive_cols = ["user_id", "props"]
+    store = StateStore(tempfile.mkdtemp(prefix="bsk_q63_") + "/stash")
+    b1 = e.where(F.col("event_id") % 2 == 0)
+    b2 = e.where(F.col("event_id") % 2 == 1)
+    anon1 = cache_sensitive(b1, store, ["event_id"], sensitive_cols,
+                            now_epoch_s=1_000.0)
+    # batch 2 lands in the stash BEFORE batch 1's predictions return
+    anon2 = cache_sensitive(b2, store, ["event_id"], sensitive_cols,
+                            now_epoch_s=1_060.0)
+    for anon in (anon1, anon2):
+        leaked = set(anon.columns) & set(sensitive_cols)
+        if leaked:  # the anonymized leg must never carry sensitive columns
+            raise RuntimeError(f"sensitive columns leaked: {leaked}")
+
+    def predict(anon: DataFrame) -> DataFrame:
+        return anon.select(
+            "event_id",
+            F.when(F.col("event_type") == "error", 1)
+            .otherwise(0).cast("int").alias("prediction"),
+        )
+
+    out = []
+    for anon in (anon1, anon2):
+        merged, rep = merge_sensitive(
+            predict(anon), store, spark, ["event_id"], report=True
+        )
+        if rep.lost != 0:  # reference logs this; we fail loudly
+            raise RuntimeError(f"merge lost {rep.lost} prediction rows")
+        out.append(merged.select("event_id", "prediction", *sensitive_cols))
+    return out[0].unionByName(out[1])
+
+
+_Q63_SQL = """
+SELECT event_id,
+       CAST(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS INTEGER)
+         AS prediction,
+       user_id, props
+FROM events
+"""
+
+
+_prev_queries_q63 = queries
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    out = _prev_queries_q63()
+    out["q63_sensitive_roundtrip"] = q63_sensitive_roundtrip
+    return out
+
+
+_prev_oracles_q63 = oracle_sql
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = _prev_oracles_q63()
+    out["q63_sensitive_roundtrip"] = _Q63_SQL
+    return out

@@ -56,3 +56,33 @@ def test_ml_prep_semantics(spark):
     for r in scaled:
         for c in ("l_quantity_scaled", "l_extendedprice_scaled", "l_discount_scaled"):
             assert r[c] is not None and math.isfinite(r[c]) and abs(r[c]) < 10
+
+
+def test_feature_loop_gate_invariants(spark):
+    """q62 end-to-end at t1 scale: the streamed 3-batch loop must emit one
+    cache row per user (no loss, no duplication) — the hash-level parity
+    vs DuckDB is the driver gate's job; this pins the loop mechanics in
+    the pytest suite."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as m
+
+    out = m.q62_feature_loop(spark, "/root/testdata/sf0.001").collect()
+    users = {r["user_id"] for r in out}
+    assert len(out) == len(users) > 0
+    assert all(r["request_total"] > 0 for r in out)
+
+
+def test_sensitive_roundtrip_gate(spark):
+    """q63 at t1 scale: every event row must come back from the
+    split/stash/merge loop exactly once with its sensitive columns."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as m
+
+    out = m.q63_sensitive_roundtrip(spark, "/root/testdata/sf0.001")
+    n = out.count()
+    assert n == 1000
+    assert out.select("event_id").distinct().count() == n

@@ -3182,3 +3182,103 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
     out = _prev_oracles_q63()
     out["q63_sensitive_roundtrip"] = _Q63_SQL
     return out
+
+
+# ---------------------------------------------------------------------------
+# Q64 — stateful streaming stats (applyInPandasWithState; the reference's
+#       two-layer request-set cache, request_set_cache.py:318-434, as a
+#       native stateful operator)
+# ---------------------------------------------------------------------------
+
+def q64_stateful_stream_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`incremental_group_stats` under the hash gate: events stream in as
+    three micro-batches (event_id mod 3, one file per trigger) through the
+    applyInPandasWithState operator; each key's FINAL emission must carry
+    lifetime stats identical to DuckDB aggregating the undivided table.
+
+    n_batches (the reference's subset_count, base_spark.py:849-852) is also
+    hashed — closed form: COUNT(DISTINCT event_id % 3) per user. The mean
+    is not hashed directly (2-dp data parks true means on rounding-boundary
+    ties — see q62); the sum it encodes is recovered as mean·n and rounded
+    where it is boundary-safe. min/max are exact doubles on both sides.
+    """
+    import tempfile
+
+    from baskerville_spark.streaming.stateful import incremental_group_stats
+
+    e = _t(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="bsk_q64_")
+    src = f"{tmp}/src"
+    for i in range(3):
+        (
+            e.where(F.col("event_id") % 3 == i)
+            .select("user_id", "value")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+    stream = (
+        spark.readStream.schema("user_id long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = incremental_group_stats(stream, key_col="user_id", value_col="value")
+    name = f"q64_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.table(name)
+    w = Window.partitionBy("key").orderBy(
+        F.desc("n_batches"), F.desc("n_total")
+    )
+    last = rows.withColumn("rn", F.row_number().over(w)).where("rn = 1")
+    if last.where("n_batches < 2").limit(1).count() > 0:
+        # every sf tier has >=7 rows per (user, batch): a key that never
+        # merged across batches means the stream didn't micro-batch
+        raise RuntimeError("a key saw fewer than 2 micro-batches")
+    return last.select(
+        "key",
+        "n_total",
+        "n_batches",
+        "min_value",
+        "max_value",
+        F.round(F.col("mean_value") * F.col("n_total"), 4)
+        .cast("float")
+        .alias("value_sum"),
+    )
+
+
+_Q64_SQL = """
+SELECT CAST(user_id AS VARCHAR) AS key,
+       CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(COUNT(DISTINCT event_id % 3) AS BIGINT) AS n_batches,
+       MIN(value) AS min_value,
+       MAX(value) AS max_value,
+       CAST(ROUND(SUM(value), 4) AS REAL) AS value_sum
+FROM events GROUP BY user_id
+"""
+
+
+_prev_queries_q64 = queries
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    out = _prev_queries_q64()
+    out["q64_stateful_stream_stats"] = q64_stateful_stream_stats
+    return out
+
+
+_prev_oracles_q64 = oracle_sql
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = _prev_oracles_q64()
+    out["q64_stateful_stream_stats"] = _Q64_SQL
+    return out

@@ -100,10 +100,16 @@ def _make_update(ttl_ms: int, event_time: bool = False):
         else:
             n, b, mn, mx, sm, nv = 0, 0, None, None, 0.0, 0
         max_ts_ms = 0
+        # ONE batch per invocation: Spark calls this function once per key
+        # per micro-batch and `pdfs` iterates that batch's ARROW CHUNKS
+        # (maxRecordsPerBatch-sized) — counting chunks overstated
+        # subset_count as soon as a key's rows spanned >1 chunk (caught by
+        # the q64 oracle at 10k-row batches; the reference counts buckets,
+        # base_spark.py:849-852)
+        b += 1
         for pdf in pdfs:
             vals = pdf["value"].dropna()
             n += len(pdf)
-            b += 1
             if len(vals):
                 nv += len(vals)
                 vmn, vmx, vsm = float(vals.min()), float(vals.max()), float(vals.sum())

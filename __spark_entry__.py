@@ -2877,6 +2877,32 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
 #       db/models.py:41-75, completion update base_spark.py:567-579)
 # ---------------------------------------------------------------------------
 
+def _gate_tmp_detach(df: DataFrame, tmp: str) -> DataFrame:
+    """Materialize a (small) gate result, then delete its temp workspace:
+    the returned frame would otherwise lazily re-read parquet under ``tmp``
+    on every later action, and repeated suite runs would accumulate temp
+    trees (q45's established persist+count-then-rmtree pattern)."""
+    import shutil
+
+    out = df.persist()
+    out.count()
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def _split_events_mod3(e: DataFrame, src: str, n: int = 3) -> None:
+    """One parquet file per micro-batch: ``event_id mod n`` splits the
+    events table into ``n`` deterministic stream files (q45's broker-free
+    idiom; shared by the q62/q64 fixtures so they cannot diverge)."""
+    for i in range(n):
+        (
+            e.where(F.col("event_id") % n == i)
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+
+
 def q61_resume_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q21's closed-form verdict grid, produced across TWO interrupted runs
     of the resumable runtime plus an idempotence probe.
@@ -2935,7 +2961,7 @@ def q61_resume_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise RuntimeError(f"run C expected [], got {run_c}")
 
     verdicts = spark.read.parquet(f"{out_p}/verdicts")
-    return verdicts.select(
+    return _gate_tmp_detach(verdicts.select(
         F.col("part_id").cast("int").alias("part_id"),
         "check_name",
         F.col("passed").cast("int").alias("passed"),
@@ -2945,7 +2971,7 @@ def q61_resume_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("metric"),
         F.col("n_rows").cast("long").alias("n_rows"),
         F.col("n_violations").cast("long").alias("n_violations"),
-    )
+    ), tmp)
 
 
 _prev_queries_q61 = queries
@@ -3009,13 +3035,7 @@ def q62_feature_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
     tmp = tempfile.mkdtemp(prefix="bsk_q62_")
     src = f"{tmp}/src"
-    for i in range(3):  # one file per micro-batch (q45's broker-free idiom)
-        (
-            e.where(F.col("event_id") % 3 == i)
-            .coalesce(1)
-            .write.mode("append")
-            .parquet(src)
-        )
+    _split_events_mod3(e, src)
 
     def vector_fn(batch: DataFrame) -> DataFrame:
         return batch.groupBy("user_id").agg(
@@ -3058,14 +3078,14 @@ def q62_feature_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise RuntimeError(f"expected >=3 cache versions, got {n_versions}")
 
     final = store.read(spark)
-    return final.select(
+    return _gate_tmp_detach(final.select(
         "user_id",
         F.col("request_total").cast("long").alias("request_total"),
         *[
             F.round(F.col(c), 4).cast("float").alias(c)
             for c in ("value_total", "value_max", "value_min", "value_var")
         ],
-    )
+    ), tmp)
 
 
 _Q62_SQL = """
@@ -3126,7 +3146,8 @@ def q63_sensitive_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _t(spark, sf_dir, "events")
     sensitive_cols = ["user_id", "props"]
-    store = StateStore(tempfile.mkdtemp(prefix="bsk_q63_") + "/stash")
+    tmp = tempfile.mkdtemp(prefix="bsk_q63_")
+    store = StateStore(f"{tmp}/stash")
     b1 = e.where(F.col("event_id") % 2 == 0)
     b2 = e.where(F.col("event_id") % 2 == 1)
     anon1 = cache_sensitive(b1, store, ["event_id"], sensitive_cols,
@@ -3154,7 +3175,7 @@ def q63_sensitive_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         if rep.lost != 0:  # reference logs this; we fail loudly
             raise RuntimeError(f"merge lost {rep.lost} prediction rows")
         out.append(merged.select("event_id", "prediction", *sensitive_cols))
-    return out[0].unionByName(out[1])
+    return _gate_tmp_detach(out[0].unionByName(out[1]), tmp)
 
 
 _Q63_SQL = """
@@ -3207,16 +3228,17 @@ def q64_stateful_stream_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from baskerville_spark.streaming.stateful import incremental_group_stats
 
     e = _t(spark, sf_dir, "events")
+    # PRECONDITION for the sum recovery below: mean_value divides by the
+    # NON-NULL count (nv) while n_total counts all rows, so
+    # mean*n_total == SUM(value) only when the column is null-free —
+    # fail loudly instead of hash-mismatching mysteriously
+    if e.where(F.col("value").isNull()).limit(1).count() > 0:
+        raise RuntimeError(
+            "q64 requires a null-free value column (value_sum = mean*n_total)"
+        )
     tmp = tempfile.mkdtemp(prefix="bsk_q64_")
     src = f"{tmp}/src"
-    for i in range(3):
-        (
-            e.where(F.col("event_id") % 3 == i)
-            .select("user_id", "value")
-            .coalesce(1)
-            .write.mode("append")
-            .parquet(src)
-        )
+    _split_events_mod3(e.select("event_id", "user_id", "value"), src)
     stream = (
         spark.readStream.schema("user_id long, value double")
         .option("maxFilesPerTrigger", 1)
@@ -3234,6 +3256,9 @@ def q64_stateful_stream_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.processAllAvailable()
     finally:
         q.stop()
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)  # result lives in the memory sink
     rows = spark.table(name)
     w = Window.partitionBy("key").orderBy(
         F.desc("n_batches"), F.desc("n_total")

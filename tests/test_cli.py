@@ -126,6 +126,9 @@ def test_spark_submit_py_files_e2e(spark, tmp_path):
     r = subprocess.run(
         [
             submit, "--master", "local[2]",
+            # must be a spark-submit flag: the driver JVM is launched before
+            # session.py's spark.driver.memory conf could apply
+            "--driver-memory", "2g",
             "--py-files", str(zpath),
             str(main_copy), "validate",
             "--clips", str(tmp_path / "clips"),

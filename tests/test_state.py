@@ -457,3 +457,48 @@ def test_sensitive_stash_accumulates_across_batches(spark, tmp_path):
         r["uuid_request_set"] for r in store.read(spark).collect()
     }
     assert stash_keys == {"rs4"}  # rs1-3 older than 60 s at t=5000
+
+
+def test_stateful_update_counts_batches_not_chunks():
+    """Regression for the q64-caught bug: one invocation of the
+    applyInPandasWithState update function == ONE micro-batch, however many
+    Arrow chunks deliver the key's rows. n_batches must increment once per
+    invocation, not once per chunk."""
+    import pandas as pd
+
+    from baskerville_spark.streaming.stateful import _make_update
+
+    class _FakeState:
+        hasTimedOut = False
+
+        def __init__(self):
+            self._v = None
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = tuple(v)
+
+        def remove(self):
+            self._v = None
+
+    fn = _make_update(0)
+    state = _FakeState()
+    # one micro-batch, delivered as THREE chunks
+    chunks = [pd.DataFrame({"value": [1.0, 2.0]}),
+              pd.DataFrame({"value": [3.0]}),
+              pd.DataFrame({"value": [4.0, 5.0]})]
+    (row,) = list(fn(("k",), iter(chunks), state))
+    assert row["n_batches"].iloc[0] == 1
+    assert row["n_total"].iloc[0] == 5
+    assert row["mean_value"].iloc[0] == 3.0
+    # a second micro-batch (single chunk) -> 2
+    (row2,) = list(fn(("k",), iter([pd.DataFrame({"value": [9.0]})]), state))
+    assert row2["n_batches"].iloc[0] == 2
+    assert row2["n_total"].iloc[0] == 6

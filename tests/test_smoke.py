@@ -86,3 +86,38 @@ def test_sensitive_roundtrip_gate(spark):
     n = out.count()
     assert n == 1000
     assert out.select("event_id").distinct().count() == n
+
+
+def test_verdicts_invariant_to_parallelism(spark, t1_clips, t1_tref):
+    """FIXTURES §6's distributed-correctness property, pinned: the verdict
+    grid must not depend on input partitioning or shuffle width. Catches
+    accidental uses of partition-local state (spark_partition_id leaks,
+    first() without ordering, per-partition limits) in any check."""
+    from baskerville_spark.runtime.runner import ValidationConfig, run_validation
+
+    cfg = ValidationConfig(check_audio=False)
+
+    def grid(df, shuffle_parts):
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_parts))
+        try:
+            res = run_validation(spark, df, t1_tref, cfg=cfg)
+            rows = sorted(
+                (
+                    r["part_id"],
+                    r["check_name"],
+                    r["passed"],
+                    round(r["metric_value"], 9),
+                    r["n_rows"],
+                    r["n_violations"],
+                )
+                for r in res.verdicts.collect()
+            )
+            res.unpersist()
+            return rows
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    a = grid(t1_clips.repartition(3), 4)
+    b = grid(t1_clips.repartition(17), 32)
+    assert a == b and len(a) > 0

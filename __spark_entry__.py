@@ -2026,12 +2026,16 @@ def q47_jdbc_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = read_jdbc_partitioned(
         spark, url, "customer_jdbc", partition_col="c_custkey", num_partitions=4, **derby
     )
-    return (
+    # _gate_tmp_detach (defined below, resolved at call time): persist the
+    # tiny aggregate, then drop the embedded-Derby workspace — the frame
+    # would otherwise re-query the deleted database on later actions
+    return _gate_tmp_detach(
         df.groupBy(F.col("c_mktsegment").alias("mktsegment"))
         .agg(
             F.count(F.lit(1)).alias("n_cust"),
             F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal"),
-        )
+        ),
+        tmp,
     )
 
 

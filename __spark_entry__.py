@@ -2239,9 +2239,13 @@ normed AS (
                              ' +', ' ', 'g')) AS norm_text
   FROM base),
 grp AS (
+  -- norm_text IS NOT NULL mirrors the engine's documented rule (a NULL
+  -- text never forms a duplicate group — the equi semi-join drops it);
+  -- without it DuckDB would emit a (NULL, n) group the engine never does
   SELECT md5(norm_text) AS text_hash, COUNT(*) AS dup_count,
          (array_agg(doc_id ORDER BY doc_id))[1:8] AS id_list
-  FROM normed GROUP BY md5(norm_text) HAVING COUNT(*) > 1)
+  FROM normed WHERE norm_text IS NOT NULL
+  GROUP BY md5(norm_text) HAVING COUNT(*) > 1)
 SELECT text_hash, dup_count, array_to_string(id_list, ',') AS ids FROM grp
 """
 
@@ -2635,7 +2639,33 @@ def q58_feature_update(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("var_value", "request_total", "mean_value"),
         ),
     ]
-    return update_feature_vector(current, past, ["user_id"], specs)
+    # The pooled MEAN is emitted as the pooled SUM (mean x merged count):
+    # 2-dp source data parks pooled means exactly on 4-dp rounding-tie
+    # boundaries where ulp-differing engine doubles legitimately round
+    # apart (the q62 lesson), while the scaled form lands on the 2-dp
+    # grid, 5e-5 from any boundary. The mean updater itself is still what
+    # computes it (raw, round_dp=None, scaled afterwards).
+    m = update_feature_vector(
+        current, past, ["user_id"], specs, round_dp=None
+    )
+    return m.select(
+        "user_id",
+        *[
+            F.round(F.col(c), 4).alias(c)
+            for c in (
+                "upd_request_total",
+                "upd_max_value",
+                "upd_min_value",
+                "upd_minutes_total",
+                "upd_request_rate",
+                "upd_error_ratio",
+            )
+        ],
+        F.round(
+            F.col("upd_mean_value") * F.col("upd_request_total"), 4
+        ).alias("upd_value_sum"),
+        F.round(F.col("upd_var_value"), 4).alias("upd_var_value"),
+    )
 
 
 _Q58_SQL = """
@@ -2680,11 +2710,13 @@ SELECT c.user_id,
                          / (p.request_total + c.request_total)
                   ELSE (p.error_total + c.error_total) / 0.01 END, 4)
          AS upd_error_ratio,
-       ROUND(CASE WHEN p.user_id IS NULL THEN c.mean_value
-                  ELSE (p.request_total * p.mean_value
-                        + c.request_total * c.mean_value)
-                       / (p.request_total + c.request_total) END, 4)
-         AS upd_mean_value,
+       ROUND((CASE WHEN p.user_id IS NULL THEN c.mean_value
+                   ELSE (p.request_total * p.mean_value
+                         + c.request_total * c.mean_value)
+                        / (p.request_total + c.request_total) END)
+             * (CASE WHEN p.user_id IS NULL THEN c.request_total
+                     ELSE p.request_total + c.request_total END), 4)
+         AS upd_value_sum,
        ROUND(CASE WHEN p.user_id IS NULL THEN c.var_value
                   ELSE ((p.request_total - 1) * POWER(p.var_value, 2)
                         + (c.request_total - 1) * POWER(c.var_value, 2)

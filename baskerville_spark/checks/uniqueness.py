@@ -63,11 +63,19 @@ def duplicate_exemplars(
     ~dup_count/n_salt ids before any slice. Hence three levels, each with a
     hard buffer bound:
 
-    - level 0 groups on (key, spark_partition_id()): every group lives
-      entirely in one input split, so map-side partial aggregation fully
-      reduces it there (buffer ≤ the split's projected rows, i.e. bounded by
-      maxPartitionBytes) and the slice to k happens before any cross-split
-      merge;
+    - level 0 groups on (key, spark_partition_id()) AFTER a round-robin
+      repartition of the (rare, slim) duplicated rows: every group lives
+      entirely in one partition, so map-side partial aggregation fully
+      reduces it there (buffer ≤ rows-per-partition) and the slice to k
+      happens before any cross-partition merge. The repartition is
+      LOAD-BEARING, not cosmetic: when the count-first semi join plans as
+      sort-merge (dup keys too numerous to broadcast), its output is
+      hash-clustered BY KEY, so a raw spark_partition_id() would be
+      constant per key and level 0 would collapse into one
+      dup_count-sized buffer — the exact hazard this design exists to
+      bound (round-4 review catch). Round-robin redistributes a hot
+      key's rows across all partitions for the cost of one shuffle of
+      the already-filtered (key, id) rows;
     - level 1 groups on (key, pid % n_salt): merges ≤ P/n_salt lists of ≤ k
       (P = #input splits);
     - level 2 groups on (key): merges ≤ n_salt lists of ≤ k.
@@ -103,7 +111,9 @@ def duplicate_exemplars(
     for c in group_final:
         piece = F.col(c).eqNullSafe(F.col(f"__dk_{c}"))
         semi_cond = piece if semi_cond is None else (semi_cond & piece)
-    slim = slim.join(dup_keys, semi_cond, "left_semi")
+    slim = slim.join(dup_keys, semi_cond, "left_semi").repartition(
+        df.sparkSession.sparkContext.defaultParallelism
+    )
     phase0 = (
         slim
         .withColumn("__pid", F.spark_partition_id())

@@ -63,9 +63,10 @@ def exact_duplicates(
     ``ids`` holds at most ``exemplar_k`` exemplar ids (the smallest by sort
     order). Salted THREE-level aggregation (same structure and bound
     analysis as checks.uniqueness.duplicate_exemplars — see its docstring):
-    level 0 groups on (hash, spark_partition_id()) so each group is fully
-    reduced map-side within its input split (buffer ≤ split rows) and
-    truncated to k BEFORE any cross-split merge; level 1 merges ≤ P/n_salt
+    level 0 round-robin-repartitions the (already count-filtered) rows and
+    groups on (hash, spark_partition_id()) so each group is fully reduced
+    map-side within one partition (buffer ≤ partition rows) and truncated
+    to k BEFORE any cross-partition merge; level 1 merges ≤ P/n_salt
     truncated lists per (hash, pid % n_salt); level 2 merges ≤ n_salt lists.
     No single buffer ever holds more than max(split_rows, (P/n_salt)·k,
     n_salt·k) ids for any hot hash — unlike a two-level (hash, salt) form,
@@ -95,7 +96,14 @@ def exact_duplicates(
         .where("__c > 1")
         .select("text_hash")
     )
-    hashed = hashed.join(dup_hashes, "text_hash", "left_semi")
+    # Round-robin repartition is LOAD-BEARING: a sort-merge semi join
+    # clusters rows BY HASH, making spark_partition_id() constant per hash
+    # and collapsing level 0 into one dup_count-sized buffer; round-robin
+    # restores partition-local groups under any join strategy (round-4
+    # review catch; same fix in checks/uniqueness.duplicate_exemplars).
+    hashed = hashed.join(dup_hashes, "text_hash", "left_semi").repartition(
+        df.sparkSession.sparkContext.defaultParallelism
+    )
     phase0 = (
         hashed.withColumn("__pid", F.spark_partition_id())
         .groupBy("text_hash", "__pid")

@@ -185,16 +185,12 @@ def ivf_training_sample(
 
     Costs one column-pruned count() of the corpus to size the threshold.
     """
+    from baskerville_spark.functions.sampling import hash_threshold_keep
+
     base = df.where(F.col(vec_col).isNotNull())
     n = base.count()
     frac = min(1.0 / sample_mod, 0.9 * max_train_rows / max(n, 1))
-    # md5 → first 15 hex digits → bigint, uniform over [0, 1e6) buckets
-    bucket = F.pmod(
-        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10)
-        .cast("bigint"),
-        F.lit(1_000_000),
-    )
-    keep = bucket < F.lit(int(frac * 1_000_000) + 1)
+    keep = hash_threshold_keep(F.col(id_col), frac)
     return base.where(keep).select(vec_col).limit(max_train_rows)
 
 

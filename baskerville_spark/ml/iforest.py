@@ -141,16 +141,13 @@ def training_sample(
     at ``max_train_rows`` driver-side rows (same bound contract as
     functions.similarity.ivf_training_sample — one column-pruned count to
     size the threshold, ``limit`` as the backstop)."""
+    from baskerville_spark.functions.sampling import hash_threshold_keep
+
     base = df.select(id_col, *feature_cols).na.drop(subset=feature_cols)
     n = base.count()
     frac = min(1.0, 0.9 * max_train_rows / max(n, 1))
-    bucket = F.pmod(
-        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10)
-        .cast("bigint"),
-        F.lit(1_000_000),
-    )
     rows = (
-        base.where(bucket < F.lit(int(frac * 1_000_000) + 1))
+        base.where(hash_threshold_keep(F.col(id_col), frac))
         .select(*[F.col(c).cast("double") for c in feature_cols])
         .limit(max_train_rows)
         .collect()
@@ -263,11 +260,18 @@ def flag_anomalies(
         F.percentile_approx("anomaly_score", 1.0 - contamination).alias("t")
     ).collect()[0]
     thr = float(thr_row["t"]) if thr_row["t"] is not None else float("inf")
-    return scored.where(F.col("anomaly_score") > thr).select(
+    out = scored.where(F.col("anomaly_score") > thr).select(
         (F.col(part_col).cast("int") if part_col else F.lit(0)).alias("part_id"),
         F.col("id").cast("string").alias("clip_id"),
         F.lit("anomaly").alias("check_name"),
         F.concat(F.lit("score="), F.round("anomaly_score", 4).cast("string")).alias(
             "detail"
         ),
-    )
+    ).persist()
+    # materialize the (tiny) violation rows, then drop the full scored
+    # cache — a long-running driver calling this per batch must not
+    # accumulate one scored dataset per call (round-4 review catch).
+    # The returned frame stays cached; it is the caller's to unpersist.
+    out.count()
+    scored.unpersist()
+    return out

@@ -155,6 +155,25 @@ def write_table(
             # schema mismatch, permissions) must surface, not silently
             # land parquet at a different location
             msg = str(exc)
+            # TABLE_OR_VIEW_NOT_FOUND is ambiguous: under the default
+            # session catalog (no Iceberg configured) it just means "no
+            # such table here" — the fallback case — but when the
+            # identifier names a REGISTERED non-session catalog it is a
+            # real error (misspelled/uncreated table on a working Iceberg
+            # cluster) and falling back would silently land parquet at a
+            # different location (round-4 review catch).
+            ident_catalog = (table or path).split(".")[0]
+            try:
+                cats = {
+                    c.name for c in df.sparkSession.catalog.listCatalogs()
+                }
+            except Exception:  # pragma: no cover - very old Spark
+                cats = set()
+            real_catalog = (
+                ident_catalog in cats and ident_catalog != "spark_catalog"
+            )
+            if "TABLE_OR_VIEW_NOT_FOUND" in msg and real_catalog:
+                raise
             if not any(
                 s in msg
                 for s in (

@@ -140,11 +140,17 @@ def save_features(
         writer.save()
     except Exception as exc:  # jar absent → honest optional-connector seam
         msg = str(exc)
+        # Match ONLY missing-data-source signatures. Matching the connector
+        # name anywhere in the message would misclassify REAL connector
+        # failures (a Py4JJavaError's stringified stack trace contains the
+        # connector's class names even when the jar IS present and the
+        # actual failure is connectivity/auth), hiding the true error
+        # behind a bogus "jar missing" seam (round-4 review catch).
         if (
-            "ClassNotFound" in msg
-            or "Failed to find" in msg
+            "ClassNotFoundException" in msg
+            or "Failed to find data source" in msg
+            or "Failed to find the data source" in msg
             or "DATA_SOURCE_NOT_FOUND" in msg
-            or spark_format in msg
         ):
             raise NotImplementedError(
                 f"{fmt} sink needs the {spark_format} connector jar on the "

@@ -3343,3 +3343,179 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
     out = _prev_oracles_q64()
     out["q64_stateful_stream_stats"] = _Q64_SQL
     return out
+
+
+# ---------------------------------------------------------------------------
+# Q65 — transitive dedup clustering (connected components over a UNION of
+#       similarity relations; functions/graph.py — a from-scratch extension:
+#       the reference dedups per-key only, spark/helpers.py:54-75)
+# Q66 — sliding event-time windows (overlapping F.window; SURVEY §2.10's
+#       tumbling gate q23 generalized to slide < duration)
+# ---------------------------------------------------------------------------
+
+def q65_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-relation dedup clustering: three fingerprint relations over
+    the documents table — full normalized text, first-64-normalized-chars
+    prefix, last-64 suffix — are unioned into one bucket-membership list;
+    star edges + min-label connected components (functions/graph.py) give
+    every document a cluster_id = min reachable doc, the canonical
+    survivor of keep-one-per-cluster dedup.
+
+    Fixture plants a 4-document component per every-10th doc: a case/
+    punctuation clone (+100000, joins via the FULL relation), a
+    prefix-preserving truncation with a unique tail (+300000, joins ONLY
+    via the prefix relation), and a suffix-preserving clone with a unique
+    head (+400000, ONLY the suffix relation) — the truncation and the
+    suffix clone share no relation with each other, so their membership
+    in one cluster is provable only transitively through the base doc:
+    exactly the closure the pairwise gates (q16/q19/q20/q51) cannot
+    express. The DuckDB oracle recomputes the closure with a recursive
+    CTE; prefix/suffix fingerprints are defined only for docs with >= 64
+    normalized chars (both engines filter identically)."""
+    from baskerville_spark.functions.graph import dedup_clusters
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    tenth = d.where(F.col("doc_id") % 10 == 0)
+    did = F.col("doc_id").cast("string")
+    corpus = d.unionByName(
+        tenth.select(
+            (F.col("doc_id") + 100_000).alias("doc_id"),
+            F.concat(F.upper("text"), F.lit(" !!!")).alias("text"),
+        )
+    ).unionByName(
+        tenth.select(
+            (F.col("doc_id") + 300_000).alias("doc_id"),
+            F.concat(
+                F.left("text", F.lit(120)), F.lit(" qq unique tail "), did
+            ).alias("text"),
+        )
+    ).unionByName(
+        tenth.select(
+            (F.col("doc_id") + 400_000).alias("doc_id"),
+            F.concat(
+                F.lit("zq head "), did, F.lit(" "), F.right("text", F.lit(160))
+            ).alias("text"),
+        )
+    )
+    nt = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", ""), " +", " "
+        )
+    )
+    normed = corpus.select("doc_id", nt.alias("nt"))
+    long_enough = F.length("nt") >= 64
+    membership = (
+        normed.where(F.col("nt").isNotNull())
+        .select("doc_id", F.concat(F.lit("f:"), F.md5("nt")).alias("bucket"))
+        .unionByName(
+            normed.where(long_enough).select(
+                "doc_id",
+                F.concat(F.lit("p:"), F.md5(F.left("nt", F.lit(64)))).alias("bucket"),
+            )
+        )
+        .unionByName(
+            normed.where(long_enough).select(
+                "doc_id",
+                F.concat(F.lit("s:"), F.md5(F.right("nt", F.lit(64)))).alias("bucket"),
+            )
+        )
+    )
+    return dedup_clusters(
+        membership, id_col="doc_id", bucket_col="bucket", vertices=corpus
+    ).select(
+        F.col("id").alias("doc_id"), "cluster_id", "cluster_size", "is_canonical"
+    )
+
+
+_Q65_SQL = """
+WITH RECURSIVE
+tenth AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, upper(text) || ' !!!' FROM tenth
+  UNION ALL
+  SELECT doc_id + 300000,
+         left(text, 120) || ' qq unique tail ' || CAST(doc_id AS VARCHAR)
+  FROM tenth
+  UNION ALL
+  SELECT doc_id + 400000,
+         'zq head ' || CAST(doc_id AS VARCHAR) || ' ' || right(text, 160)
+  FROM tenth),
+normed AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                             ' +', ' ', 'g')) AS nt
+  FROM corpus),
+rel AS (
+  SELECT doc_id, 'f:' || md5(nt) AS h FROM normed WHERE nt IS NOT NULL
+  UNION ALL
+  SELECT doc_id, 'p:' || md5(left(nt, 64)) FROM normed WHERE length(nt) >= 64
+  UNION ALL
+  SELECT doc_id, 's:' || md5(right(nt, 64)) FROM normed WHERE length(nt) >= 64),
+star AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY h) AS root FROM rel),
+edges AS (SELECT DISTINCT doc_id AS a, root AS b FROM star WHERE doc_id <> root),
+sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+walk(id, lbl) AS (
+  SELECT doc_id, doc_id FROM corpus
+  UNION
+  SELECT s.b, w.lbl FROM walk w JOIN sym s ON s.a = w.id),
+cc AS (SELECT id, MIN(lbl) AS cluster_id FROM walk GROUP BY id)
+SELECT id AS doc_id, cluster_id,
+       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       (id = cluster_id) AS is_canonical
+FROM cc
+"""
+
+
+def q66_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows (10 min duration, 5 min slide) over the
+    events table: every event lands in exactly duration/slide = 2
+    epoch-aligned windows. F.window with slide < duration expands each
+    row JVM-side (Expand node) before ONE hash aggregate — no self-union,
+    no Python. The oracle materializes the same two windows per event via
+    a 2-row constant cross join. value_sum is round-then-float32 (the
+    cross-engine float-stability rule, cf. q64)."""
+    e = _t(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        e.groupBy(F.window("ts", "10 minutes", "5 minutes"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("value"), 4).cast("float").alias("value_sum"),
+        )
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("bucket_epoch"),
+            "event_type",
+            "cnt",
+            "value_sum",
+        )
+    )
+
+
+_Q66_SQL = """
+SELECT CAST(floor(epoch(ts) / 300) * 300 - 300 * offs.k AS BIGINT) AS bucket_epoch,
+       event_type, COUNT(*) AS cnt,
+       CAST(ROUND(SUM(value), 4) AS REAL) AS value_sum
+FROM events, (VALUES (0), (1)) AS offs(k)
+GROUP BY 1, 2
+"""
+
+
+_prev_queries_q66 = queries
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    out = _prev_queries_q66()
+    out["q65_dedup_clusters"] = q65_dedup_clusters
+    out["q66_sliding_window_counts"] = q66_sliding_window_counts
+    return out
+
+
+_prev_oracles_q66 = oracle_sql
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = _prev_oracles_q66()
+    out["q65_dedup_clusters"] = _Q65_SQL
+    out["q66_sliding_window_counts"] = _Q66_SQL
+    return out

@@ -1,0 +1,159 @@
+"""Connected-components dedup clustering — the transitive-closure rung of
+the training-data dedup ladder.
+
+Every similarity relation in this repo (byte-identical q16, normalization-
+equal q51, MinHash q19, SimHash q20) emits PAIRS; a real pipeline must
+then group pairs transitively (A~B via case-folding, B~C via a shared
+fingerprint => {A,B,C} is ONE duplicate cluster) and keep one canonical
+document per cluster. The reference has no graph operator at all — its
+dedup is per-key groupBy (src/baskerville/spark/helpers.py:54-75 drops
+exact duplicates only) — so this module is a from-scratch extension, not
+a port: the standard MapReduce connected-components formulation
+(Kiveris et al., "Connected Components in MapReduce and Beyond", SoCC'14)
+re-expressed as DataFrame joins.
+
+Scale design:
+- Bucket cliques are NEVER materialized: a similarity bucket of n members
+  implies n*(n-1)/2 clique edges but only n-1 STAR edges to the bucket
+  minimum, with identical connectivity (``star_edges``). The min comes
+  from a groupBy aggregate (map-side partial — a 10^9-member hot bucket
+  combines per-partition, never sorts on one task the way a window min
+  would).
+- Label propagation (``connected_components``) only ever LOWERS labels,
+  so a decimal-summed label total is a strict-decrease convergence
+  witness: one cheap scan per round instead of a self-join diff.
+- Per-round ``localCheckpoint`` truncates the lineage chain — without it
+  round k replays rounds 1..k-1 and the plan grows without bound (the
+  classic iterative-Spark trap).
+- Rounds = graph diameter. Dedup-cluster graphs built from star edges
+  have tiny diameter (every bucket member is 1 hop from the bucket min;
+  chains only grow through docs shared across relations), so min-label
+  propagation converges in a handful of rounds; for adversarial
+  long-path graphs the large-star/small-star variant of the same paper
+  converges in O(log n) rounds — the swap point is the ``max_iters``
+  guard raising, which is a loud failure, never a silent wrong answer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def star_edges(
+    buckets: DataFrame, id_col: str = "id", bucket_col: str = "bucket"
+) -> DataFrame:
+    """(id, bucket) membership rows -> (src, dst) star edges to each
+    bucket's minimum id.
+
+    Connectivity-equivalent to the within-bucket all-pairs clique at
+    linear (not quadratic) edge count. The bucket min is a groupBy
+    aggregate + equi-join rather than a window min: partial aggregation
+    absorbs hot buckets map-side, and AQE's skew-join split handles the
+    rejoin, whereas a window would sort an entire hot bucket on one task.
+    Multi-relation membership (same pair in several buckets) dedups via
+    the final distinct over narrow (long, long) rows.
+    """
+    roots = buckets.groupBy(bucket_col).agg(F.min(id_col).alias("__root"))
+    return (
+        buckets.join(roots, bucket_col)
+        .where(F.col(id_col) != F.col("__root"))
+        .select(F.col(id_col).alias("src"), F.col("__root").alias("dst"))
+        .distinct()
+    )
+
+
+def connected_components(
+    vertices: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iters: int = 25,
+    return_iters: bool = False,
+):
+    """Min-label propagation over an undirected edge list.
+
+    Returns (id, cluster_id) with cluster_id = the minimum vertex id
+    reachable from ``id`` (isolated vertices keep their own id). Each
+    round is one join + one aggregate, both on narrow long columns;
+    labels are localCheckpoint-ed per round (lineage truncation) and the
+    label SUM — strictly decreasing while any label moves — is the
+    convergence check, a single scan with no self-join diff. Raises
+    RuntimeError after ``max_iters`` non-converged rounds (diameter
+    exceeded: switch the caller to a large-star/small-star formulation
+    rather than raising the cap past ~O(log n) expectations).
+    """
+    sym = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .union(edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b")))
+        .distinct()
+    )
+    labels = (
+        vertices.select(F.col(id_col).alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    # decimal(38,0): a sum of 10^12 labels each up to ~10^12 overflows
+    # long; the witness must stay exact or "unchanged" could be a wrap
+    prev_sum = labels.agg(F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
+    for it in range(1, max_iters + 1):
+        nbr_min = (
+            sym.join(labels, sym["a"] == labels["id"])
+            .groupBy(F.col("b").alias("nid"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        labels = (
+            labels.join(nbr_min, labels["id"] == nbr_min["nid"], "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint()
+        )
+        new_sum = labels.agg(
+            F.sum(F.col("label").cast("decimal(38,0)"))
+        ).collect()[0][0]
+        if new_sum == prev_sum:
+            out = labels.select("id", F.col("label").alias("cluster_id"))
+            return (out, it) if return_iters else out
+        prev_sum = new_sum
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iters} rounds — "
+        "graph diameter exceeds the dedup-cluster expectation; use a "
+        "large-star/small-star contraction for adversarial graphs"
+    )
+
+
+def dedup_clusters(
+    membership: DataFrame,
+    id_col: str = "id",
+    bucket_col: str = "bucket",
+    vertices: DataFrame | None = None,
+) -> DataFrame:
+    """Bucket membership -> per-document cluster verdicts.
+
+    Output: (id, cluster_id, cluster_size, is_canonical) — cluster_id is
+    the min member (the canonical survivor a keep-one-per-cluster filter
+    retains), cluster_size via one count aggregate re-joined on
+    cluster_id (broadcast-sized: one row per cluster). ``vertices``
+    (one ``id_col`` per corpus document) widens the output to documents
+    that appear in no bucket — e.g. NULL-text docs a fingerprint relation
+    drops — which come out as singleton clusters; default is the
+    membership ids themselves.
+    """
+    if vertices is None:
+        verts = membership.select(F.col(id_col).alias("id")).distinct()
+    else:
+        verts = vertices.select(F.col(id_col).alias("id")).distinct()
+    labels = connected_components(verts, star_edges(membership, id_col, bucket_col))
+    sizes = labels.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return labels.join(sizes, "cluster_id").select(
+        "id",
+        "cluster_id",
+        "cluster_size",
+        (F.col("id") == F.col("cluster_id")).alias("is_canonical"),
+    )

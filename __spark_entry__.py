@@ -3519,3 +3519,74 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
     out["q65_dedup_clusters"] = _Q65_SQL
     out["q66_sliding_window_counts"] = _Q66_SQL
     return out
+
+
+# ---------------------------------------------------------------------------
+# Q67 — adversarial-diameter dedup clustering: large-star/small-star CC
+#       (functions/graph.py connected_components_bigstar) on chain graphs
+#       whose diameter defeats per-hop label propagation
+# ---------------------------------------------------------------------------
+
+def q67_chain_clusters_bigstar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Worst-case cluster topology for label propagation: consecutive
+    doc_ids within each 100-id block are linked pairwise (doc i shares a
+    bucket with i+1), so every component is a PATH of diameter ~99 — the
+    regime where q65's min-label algorithm needs one round per hop and
+    its max_iters guard fires. connected_components_bigstar (the
+    large-star/small-star alternation, Kiveris et al. SoCC'14) converges
+    in O(log n) rounds independent of diameter, and — because rounds
+    depend on diameter, not row count — runs the SAME ~10 rounds at sf0.01
+    and at 10^12 rows. The closed-form oracle needs no recursion: path
+    components over consecutive ids are gaps-and-islands (island =
+    doc_id - row_number within block), robust to any doc_id gaps."""
+    from baskerville_spark.functions.graph import dedup_clusters
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    membership = d.where(F.col("doc_id") % 100 != 99).select(
+        "doc_id", F.col("doc_id").alias("bucket")
+    ).unionByName(
+        d.where(F.col("doc_id") % 100 != 0).select(
+            "doc_id", (F.col("doc_id") - 1).alias("bucket")
+        )
+    )
+    return dedup_clusters(
+        membership,
+        id_col="doc_id",
+        bucket_col="bucket",
+        vertices=d,
+        algorithm="bigstar",
+    ).select(
+        F.col("id").alias("doc_id"), "cluster_id", "cluster_size", "is_canonical"
+    )
+
+
+_Q67_SQL = """
+WITH i AS (
+  SELECT doc_id, doc_id // 100 AS g,
+         doc_id - ROW_NUMBER() OVER (PARTITION BY doc_id // 100
+                                     ORDER BY doc_id) AS isl
+  FROM documents)
+SELECT doc_id,
+       MIN(doc_id) OVER (PARTITION BY g, isl) AS cluster_id,
+       COUNT(*) OVER (PARTITION BY g, isl) AS cluster_size,
+       doc_id = MIN(doc_id) OVER (PARTITION BY g, isl) AS is_canonical
+FROM i
+"""
+
+
+_prev_queries_q67 = queries
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    out = _prev_queries_q67()
+    out["q67_chain_clusters_bigstar"] = q67_chain_clusters_bigstar
+    return out
+
+
+_prev_oracles_q67 = oracle_sql
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = _prev_oracles_q67()
+    out["q67_chain_clusters_bigstar"] = _Q67_SQL
+    return out

@@ -29,9 +29,11 @@ Scale design:
   have tiny diameter (every bucket member is 1 hop from the bucket min;
   chains only grow through docs shared across relations), so min-label
   propagation converges in a handful of rounds; for adversarial
-  long-path graphs the large-star/small-star variant of the same paper
-  converges in O(log n) rounds — the swap point is the ``max_iters``
-  guard raising, which is a loud failure, never a silent wrong answer.
+  long-path graphs ``connected_components_bigstar`` implements the
+  large-star/small-star alternation of the same paper, converging in
+  O(log n) rounds regardless of diameter — ``max_iters`` exhaustion on
+  the label path is a loud failure pointing at the swap, never a silent
+  wrong answer.
 """
 
 from __future__ import annotations
@@ -128,11 +130,135 @@ def connected_components(
     )
 
 
+def _edge_checksum(e: DataFrame) -> tuple:
+    """(count, sum u, sum v) in exact decimal — the fixed-point witness
+    for the big-star loop. Alternation only ever contracts edges toward
+    component minima, so an unchanged checksum round-over-round means the
+    edge set itself is the converged star forest (the per-round total of
+    edge endpoints strictly decreases while any edge still moves)."""
+    row = e.agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum(F.col("u").cast("decimal(38,0)")).alias("su"),
+        F.sum(F.col("v").cast("decimal(38,0)")).alias("sv"),
+    ).collect()[0]
+    return (row["c"], row["su"], row["sv"])
+
+
+def connected_components_bigstar(
+    vertices: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iters: int = 30,
+    return_iters: bool = False,
+):
+    """Large-star/small-star connected components (Kiveris et al.,
+    SoCC'14 §3) — the O(log n)-round alternation for graphs whose
+    diameter defeats per-hop min-label propagation (a diameter-d path
+    costs ``connected_components`` d rounds but this ~log2 d).
+
+    Each round is two groupBy-min + join passes over a narrow (u, v)
+    edge list, every operation shuffle-partitioned on the grouping key:
+
+    - large-star: for every node u with neighbor-min m = min(N(u) ∪ u),
+      re-point every LARGER neighbor v > u at m — long paths halve.
+    - small-star: on edges oriented u > v, re-point every smaller
+      neighbor (and u itself) at u's minimum neighbor — stars flatten.
+
+    Per-round ``localCheckpoint`` truncates lineage exactly as the label
+    path does. Converges when the edge checksum is a fixed point, at
+    which moment the edge set IS a star forest (u, component_min); the
+    labels come from one left join, isolated vertices keeping their own
+    id. Raises after ``max_iters`` rounds (paper bound is O(log^2 n)
+    w.h.p.; 30 rounds covers n ~ 10^12 with a wide margin, so hitting
+    the cap means a malformed edge list, not a bigger graph).
+    """
+    sym = (
+        edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+        .union(edges.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v")))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    # orient larger-first for the first small-star input shape
+    e = (
+        sym.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    prev = _edge_checksum(e)
+    iters = 0
+    for it in range(1, max_iters + 1):
+        iters = it
+        cur_sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        lmins = cur_sym.groupBy("u").agg(F.min("v").alias("mn"))
+        large = (
+            cur_sym.join(lmins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(
+                F.col("v").alias("u"),
+                F.least(F.col("u"), F.col("mn")).alias("v"),
+            )
+            .distinct()
+        )
+        smins = large.groupBy("u").agg(F.min("v").alias("m"))
+        joined = large.join(smins, "u")
+        e = (
+            joined.where(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(smins.select("u", F.col("m").alias("v")))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        cur = _edge_checksum(e)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(
+            f"connected_components_bigstar did not converge in {max_iters} "
+            "rounds — edge list is likely malformed (self-referential or "
+            "non-id-typed keys); the paper bound is O(log^2 n) w.h.p."
+        )
+    # The checksum is a heuristic fixed-point witness (exact sums, but a
+    # permuted edge set could in principle collide) — so PROVE the star
+    # forest before emitting labels: every node has exactly one root, and
+    # no root is itself re-pointed. One aggregate + one self-join, both
+    # on the final (tiny-per-component) edge list; failure raises rather
+    # than silently mislabeling.
+    stars = e.groupBy("u").agg(
+        F.min("v").alias("root"), F.countDistinct("v").alias("nroots")
+    )
+    bad = stars.where(F.col("nroots") > 1).limit(1).count()
+    deep = (
+        e.alias("a")
+        .join(e.alias("b"), F.col("a.v") == F.col("b.u"))
+        .limit(1)
+        .count()
+    )
+    if bad or deep:
+        raise RuntimeError(
+            "bigstar fixed point is not a star forest (checksum collision) "
+            "— rerun with a larger max_iters"
+        )
+    out = (
+        vertices.select(F.col(id_col).alias("id"))
+        .distinct()
+        .join(stars, F.col("id") == F.col("u"), "left")
+        .select("id", F.coalesce("root", "id").alias("cluster_id"))
+    )
+    return (out, iters) if return_iters else out
+
+
 def dedup_clusters(
     membership: DataFrame,
     id_col: str = "id",
     bucket_col: str = "bucket",
     vertices: DataFrame | None = None,
+    algorithm: str = "label",
 ) -> DataFrame:
     """Bucket membership -> per-document cluster verdicts.
 
@@ -143,13 +269,20 @@ def dedup_clusters(
     (one ``id_col`` per corpus document) widens the output to documents
     that appear in no bucket — e.g. NULL-text docs a fingerprint relation
     drops — which come out as singleton clusters; default is the
-    membership ids themselves.
+    membership ids themselves. ``algorithm``: 'label' (default) is
+    min-label propagation — optimal for the tiny-diameter graphs bucket
+    relations produce; 'bigstar' is the large-star/small-star alternation
+    — O(log n) rounds on adversarial long-chain graphs where per-hop
+    propagation would exhaust max_iters.
     """
+    if algorithm not in ("label", "bigstar"):
+        raise ValueError(f"algorithm must be 'label' or 'bigstar', got {algorithm!r}")
     if vertices is None:
         verts = membership.select(F.col(id_col).alias("id")).distinct()
     else:
         verts = vertices.select(F.col(id_col).alias("id")).distinct()
-    labels = connected_components(verts, star_edges(membership, id_col, bucket_col))
+    cc = connected_components if algorithm == "label" else connected_components_bigstar
+    labels = cc(verts, star_edges(membership, id_col, bucket_col))
     sizes = labels.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
     return labels.join(sizes, "cluster_id").select(
         "id",

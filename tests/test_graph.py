@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from baskerville_spark.functions.graph import (
     connected_components,
+    connected_components_bigstar,
     dedup_clusters,
     star_edges,
 )
@@ -71,6 +72,50 @@ def test_nonconvergence_raises(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(verts, edges, max_iters=2)
+
+
+def test_bigstar_long_chain_converges_sublinearly(spark):
+    # Diameter-100 path 0-1-2-...-100: min-label propagation needs ~100
+    # rounds (it would exhaust its cap); the large-star/small-star
+    # alternation must land the correct single component in O(log n)
+    # rounds. This is exactly the adversarial regime the q67 gate drives.
+    n = 100
+    verts = spark.createDataFrame([(i,) for i in range(n + 1)], ["id"])
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], ["src", "dst"]
+    )
+    out, iters = connected_components_bigstar(verts, edges, return_iters=True)
+    assert _labels(out) == {i: 0 for i in range(n + 1)}
+    assert iters <= 12  # ~log2(100) + slack, nowhere near diameter
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(verts, edges, max_iters=10)
+
+
+def test_bigstar_matches_label_on_mixed_graph(spark):
+    # Two components + an isolated vertex, adverse id ordering: both
+    # algorithms must emit identical labels (and the shared shapes:
+    # isolated node keeps its id, mins win).
+    verts = spark.createDataFrame([(i,) for i in range(1, 10)], ["id"])
+    edges = spark.createDataFrame(
+        [(9, 7), (7, 5), (2, 4), (4, 6), (6, 8), (8, 1)], ["src", "dst"]
+    )
+    a = _labels(connected_components(verts, edges))
+    b = _labels(connected_components_bigstar(verts, edges))
+    assert a == b
+    assert b[9] == 5 and b[2] == 1 and b[3] == 3
+
+
+def test_dedup_clusters_bigstar_dispatch(spark):
+    membership = spark.createDataFrame(
+        [(3, "x"), (7, "x"), (7, "y"), (11, "y")], ["id", "bucket"]
+    )
+    out = dedup_clusters(membership, algorithm="bigstar")
+    rows = {r["id"]: r for r in out.collect()}
+    assert {rows[i]["cluster_id"] for i in (3, 7, 11)} == {3}
+    assert rows[3]["cluster_size"] == 3 and rows[3]["is_canonical"] is True
+    with pytest.raises(ValueError, match="algorithm"):
+        dedup_clusters(membership, algorithm="nope")
 
 
 def test_dedup_clusters_vertices_widen_to_singletons(spark):

@@ -73,6 +73,7 @@ def connected_components(
     dst_col: str = "dst",
     max_iters: int = 25,
     return_iters: bool = False,
+    init_labels: DataFrame | None = None,
 ):
     """Min-label propagation over an undirected edge list.
 
@@ -83,20 +84,36 @@ def connected_components(
     label SUM — strictly decreasing while any label moves — is the
     convergence check, a single scan with no self-join diff. Raises
     RuntimeError after ``max_iters`` non-converged rounds (diameter
-    exceeded: switch the caller to a large-star/small-star formulation
+    exceeded: switch the caller to ``connected_components_bigstar``
     rather than raising the cap past ~O(log n) expectations).
+
+    ``init_labels`` (id, label) seeds each vertex below its own id —
+    correct iff every seed is the id of a vertex in the SAME component
+    (propagation converges to the component min of the seeds; a
+    same-component seed keeps that min = the true vertex min).
+    ``dedup_clusters`` uses it to pre-fold the first propagation round
+    into the bucket-root aggregate it has already paid for.
     """
     sym = (
         edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
         .union(edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b")))
         .distinct()
     )
-    labels = (
-        vertices.select(F.col(id_col).alias("id"))
-        .distinct()
-        .withColumn("label", F.col("id"))
-        .localCheckpoint()
-    )
+    verts = vertices.select(F.col(id_col).alias("id")).distinct()
+    if init_labels is None:
+        labels = verts.withColumn("label", F.col("id")).localCheckpoint()
+    else:
+        seeds = init_labels.select(
+            F.col(id_col).alias("id"), F.col("label").alias("__seed")
+        )
+        labels = (
+            verts.join(seeds, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("id"), F.coalesce("__seed", "id")).alias("label"),
+            )
+            .localCheckpoint()
+        )
     # decimal(38,0): a sum of 10^12 labels each up to ~10^12 overflows
     # long; the witness must stay exact or "unchanged" could be a wrap
     prev_sum = labels.agg(F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
@@ -281,8 +298,22 @@ def dedup_clusters(
         verts = membership.select(F.col(id_col).alias("id")).distinct()
     else:
         verts = vertices.select(F.col(id_col).alias("id")).distinct()
-    cc = connected_components if algorithm == "label" else connected_components_bigstar
-    labels = cc(verts, star_edges(membership, id_col, bucket_col))
+    edges = star_edges(membership, id_col, bucket_col)
+    if algorithm == "bigstar":
+        labels = connected_components_bigstar(verts, edges)
+    else:
+        # Seed each member with the min bucket root it touches: that IS
+        # round one of propagation, folded into a groupBy the star-edge
+        # derivation already shapes — bucket graphs then converge in
+        # half the rounds (seeds are bucket minima, i.e. same-component
+        # vertex ids, satisfying the init_labels contract).
+        roots = membership.groupBy(bucket_col).agg(F.min(id_col).alias("__root"))
+        seeds = (
+            membership.join(roots, bucket_col)
+            .groupBy(F.col(id_col).alias("id"))
+            .agg(F.min("__root").alias("label"))
+        )
+        labels = connected_components(verts, edges, init_labels=seeds)
     sizes = labels.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
     return labels.join(sizes, "cluster_id").select(
         "id",

@@ -106,6 +106,31 @@ def test_bigstar_matches_label_on_mixed_graph(spark):
     assert b[9] == 5 and b[2] == 1 and b[3] == 3
 
 
+def test_seeded_labels_halve_rounds_same_answer(spark):
+    # Chained buckets {1,5,9},{9,12},{12,15}: unseeded propagation walks
+    # root-to-root; seeding each member with its min bucket root (the
+    # dedup_clusters fast path) pre-folds round one, so convergence takes
+    # strictly fewer rounds and the labels are identical.
+    membership = spark.createDataFrame(
+        [(1, "a"), (5, "a"), (9, "a"), (9, "b"), (12, "b"), (12, "c"), (15, "c")],
+        ["id", "bucket"],
+    )
+    verts = membership.select("id").distinct()
+    edges = star_edges(membership)
+    plain, it_plain = connected_components(verts, edges, return_iters=True)
+    roots = membership.groupBy("bucket").agg(F.min("id").alias("__root"))
+    seeds = (
+        membership.join(roots, "bucket")
+        .groupBy("id")
+        .agg(F.min("__root").alias("label"))
+    )
+    seeded, it_seeded = connected_components(
+        verts, edges, init_labels=seeds, return_iters=True
+    )
+    assert _labels(plain) == _labels(seeded) == {i: 1 for i in (1, 5, 9, 12, 15)}
+    assert it_seeded < it_plain
+
+
 def test_dedup_clusters_bigstar_dispatch(spark):
     membership = spark.createDataFrame(
         [(3, "x"), (7, "x"), (7, "y"), (11, "y")], ["id", "bucket"]

@@ -22,9 +22,12 @@ Scale design:
 - Label propagation (``connected_components``) only ever LOWERS labels,
   so a decimal-summed label total is a strict-decrease convergence
   witness: one cheap scan per round instead of a self-join diff.
-- Per-round ``localCheckpoint`` truncates the lineage chain — without it
+- Per-round checkpointing truncates the lineage chain — without it
   round k replays rounds 1..k-1 and the plan grows without bound (the
-  classic iterative-Spark trap).
+  classic iterative-Spark trap). Reliable ``checkpoint()`` when the
+  session has a checkpoint dir (cluster runs: localCheckpoint blocks
+  die with a lost executor, killing an hours-long job), else
+  ``localCheckpoint`` (single-JVM local mode) — see ``_ckpt``.
 - Rounds = graph diameter. Dedup-cluster graphs built from star edges
   have tiny diameter (every bucket member is 1 hop from the bucket min;
   chains only grow through docs shared across relations), so min-label
@@ -40,6 +43,23 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _ckpt(df: DataFrame) -> DataFrame:
+    """Per-round lineage truncation, picked by deployment:
+
+    ``localCheckpoint`` stores blocks on executors — fast, but NOT
+    fault-tolerant: on a real cluster one lost executor makes every
+    later round unrecomputable and kills an hours-long CC job. So when
+    the session has a reliable checkpoint dir configured
+    (``sc.setCheckpointDir`` to HDFS/object storage — the spark-submit
+    path), use true ``checkpoint()``; fall back to localCheckpoint on
+    dirless local runs (this box), where executor loss means the whole
+    JVM died anyway."""
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is not None:
+        return df.checkpoint()
+    return df.localCheckpoint()
 
 
 def star_edges(
@@ -80,7 +100,7 @@ def connected_components(
     Returns (id, cluster_id) with cluster_id = the minimum vertex id
     reachable from ``id`` (isolated vertices keep their own id). Each
     round is one join + one aggregate, both on narrow long columns;
-    labels are localCheckpoint-ed per round (lineage truncation) and the
+    labels are checkpointed per round (``_ckpt``: reliable when a dir is set) and the
     label SUM — strictly decreasing while any label moves — is the
     convergence check, a single scan with no self-join diff. Raises
     RuntimeError after ``max_iters`` non-converged rounds (diameter
@@ -101,18 +121,16 @@ def connected_components(
     )
     verts = vertices.select(F.col(id_col).alias("id")).distinct()
     if init_labels is None:
-        labels = verts.withColumn("label", F.col("id")).localCheckpoint()
+        labels = _ckpt(verts.withColumn("label", F.col("id")))
     else:
         seeds = init_labels.select(
             F.col(id_col).alias("id"), F.col("label").alias("__seed")
         )
-        labels = (
-            verts.join(seeds, "id", "left")
-            .select(
+        labels = _ckpt(
+            verts.join(seeds, "id", "left").select(
                 "id",
                 F.least(F.col("id"), F.coalesce("__seed", "id")).alias("label"),
             )
-            .localCheckpoint()
         )
     # decimal(38,0): a sum of 10^12 labels each up to ~10^12 overflows
     # long; the witness must stay exact or "unchanged" could be a wrap
@@ -123,15 +141,13 @@ def connected_components(
             .groupBy(F.col("b").alias("nid"))
             .agg(F.min("label").alias("nbr_label"))
         )
-        labels = (
-            labels.join(nbr_min, labels["id"] == nbr_min["nid"], "left")
-            .select(
+        labels = _ckpt(
+            labels.join(nbr_min, labels["id"] == nbr_min["nid"], "left").select(
                 "id",
                 F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias(
                     "label"
                 ),
             )
-            .localCheckpoint()
         )
         new_sum = labels.agg(
             F.sum(F.col("label").cast("decimal(38,0)"))
@@ -201,10 +217,9 @@ def connected_components_bigstar(
     e = (
         sym.select(
             F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
-        )
-        .distinct()
-        .localCheckpoint()
+        ).distinct()
     )
+    e = _ckpt(e)
     prev = _edge_checksum(e)
     iters = 0
     for it in range(1, max_iters + 1):
@@ -222,13 +237,12 @@ def connected_components_bigstar(
         )
         smins = large.groupBy("u").agg(F.min("v").alias("m"))
         joined = large.join(smins, "u")
-        e = (
+        e = _ckpt(
             joined.where(F.col("v") != F.col("m"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .union(smins.select("u", F.col("m").alias("v")))
             .where(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint()
         )
         cur = _edge_checksum(e)
         if cur == prev:

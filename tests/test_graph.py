@@ -161,3 +161,23 @@ def test_dedup_clusters_vertices_widen_to_singletons(spark):
         out.where("is_canonical").count()
         == out.select("cluster_id").distinct().count()
     )
+
+
+def test_reliable_checkpoint_used_when_dir_configured(spark, tmp_path):
+    # KEEP LAST IN FILE: setCheckpointDir is session-global and has no
+    # unset. With a dir configured, _ckpt must switch from executor-local
+    # blocks to reliable checkpoint() (cluster fault-tolerance path) —
+    # evidenced by RDD checkpoint files landing in the dir — and the
+    # labels must be unchanged.
+    ckdir = str(tmp_path / "ck")
+    spark.sparkContext.setCheckpointDir(ckdir)
+    verts = spark.createDataFrame([(1,), (2,), (3,)], ["id"])
+    edges = spark.createDataFrame([(1, 2)], ["src", "dst"])
+    got = _labels(connected_components(verts, edges))
+    assert got == {1: 1, 2: 1, 3: 3}
+    import os
+
+    found = [
+        f for d, _, fs in os.walk(ckdir) for f in fs if not f.startswith(".")
+    ]
+    assert found, "no reliable checkpoint files were written"

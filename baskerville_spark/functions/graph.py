@@ -27,7 +27,9 @@ Scale design:
   classic iterative-Spark trap). Reliable ``checkpoint()`` when the
   session has a checkpoint dir (cluster runs: localCheckpoint blocks
   die with a lost executor, killing an hours-long job), else
-  ``localCheckpoint`` (single-JVM local mode) — see ``_ckpt``.
+  ``localCheckpoint`` (single-JVM local mode) — see ``_Ckpt``, which
+  also persists-before-checkpoint (no double compute) and deletes the
+  superseded round's files (no unbounded checkpoint growth).
 - Rounds = graph diameter. Dedup-cluster graphs built from star edges
   have tiny diameter (every bucket member is 1 hop from the bucket min;
   chains only grow through docs shared across relations), so min-label
@@ -45,8 +47,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _ckpt(df: DataFrame) -> DataFrame:
-    """Per-round lineage truncation, picked by deployment:
+class _Ckpt:
+    """Per-round lineage truncation, picked by deployment.
 
     ``localCheckpoint`` stores blocks on executors — fast, but NOT
     fault-tolerant: on a real cluster one lost executor makes every
@@ -54,12 +56,63 @@ def _ckpt(df: DataFrame) -> DataFrame:
     the session has a reliable checkpoint dir configured
     (``sc.setCheckpointDir`` to HDFS/object storage — the spark-submit
     path), use true ``checkpoint()``; fall back to localCheckpoint on
-    dirless local runs (this box), where executor loss means the whole
-    JVM died anyway."""
-    sc = df.sparkSession.sparkContext
-    if sc.getCheckpointDir() is not None:
-        return df.checkpoint()
-    return df.localCheckpoint()
+    dirless local runs (this box, and Spark Connect sessions where the
+    driver SparkContext is unreachable), where executor loss means the
+    whole JVM died anyway.
+
+    The reliable path follows the GraphX PeriodicCheckpointer protocol:
+    persist before checkpoint (otherwise the eager materializing job AND
+    the ReliableCheckpointRDD write job each recompute the round's plan
+    — 2× compute per round), unpersist once written, and DELETE the
+    previous round's checkpoint files as soon as the new round's are on
+    disk (checkpoints are eager, so round k's data fully supersedes
+    round k-1's; without deletion a 10^12-label run leaves one full
+    snapshot per round in object storage —
+    ``spark.cleaner.referenceTracking.cleanCheckpoints`` defaults to
+    false and only best-effort-cleans on GC anyway). The final round's
+    files are never deleted by us: the returned DataFrame reads them.
+    """
+
+    def __init__(self) -> None:
+        self._prev_file: str | None = None
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        try:
+            sc = df.sparkSession.sparkContext
+            reliable = sc.getCheckpointDir() is not None
+        except Exception:  # Spark Connect: no driver-side SparkContext
+            return df.localCheckpoint()
+        if not reliable:
+            return df.localCheckpoint()
+        from pyspark import StorageLevel
+
+        df.persist(StorageLevel.MEMORY_AND_DISK)
+        out = df.checkpoint()  # eager: fully on disk when this returns
+        df.unpersist()
+        stale, self._prev_file = self._prev_file, self._ckpt_file(out)
+        if stale:
+            try:
+                jvm = sc._jvm
+                path = jvm.org.apache.hadoop.fs.Path(stale)
+                fs = path.getFileSystem(sc._jsc.hadoopConfiguration())
+                fs.delete(path, True)
+            except Exception:
+                pass  # cleanup is best-effort; correctness never depends on it
+        return out
+
+    @staticmethod
+    def _ckpt_file(out: DataFrame) -> str | None:
+        """Checkpoint path of a just-checkpointed DataFrame. The PYTHON
+        ``out.rdd.getCheckpointFile()`` is always None (``.rdd`` wraps a
+        fresh deserializing RDD, not the checkpointed internal one), so
+        reach the LogicalRDD the checkpoint returned: its ``rdd()`` IS
+        the checkpointed RDD[InternalRow] (verified: Some(.../rdd-<id>)).
+        None (→ skip cleanup) if the internals ever change shape."""
+        try:
+            opt = out._jdf.queryExecution().analyzed().rdd().getCheckpointFile()
+            return opt.get() if opt.isDefined() else None
+        except Exception:
+            return None
 
 
 def star_edges(
@@ -100,7 +153,8 @@ def connected_components(
     Returns (id, cluster_id) with cluster_id = the minimum vertex id
     reachable from ``id`` (isolated vertices keep their own id). Each
     round is one join + one aggregate, both on narrow long columns;
-    labels are checkpointed per round (``_ckpt``: reliable when a dir is set) and the
+    labels are checkpointed per round (``_Ckpt``: reliable when a dir is
+    set, superseded rounds' files deleted) and the
     label SUM — strictly decreasing while any label moves — is the
     convergence check, a single scan with no self-join diff. Raises
     RuntimeError after ``max_iters`` non-converged rounds (diameter
@@ -114,6 +168,7 @@ def connected_components(
     ``dedup_clusters`` uses it to pre-fold the first propagation round
     into the bucket-root aggregate it has already paid for.
     """
+    ckpt = _Ckpt()
     sym = (
         edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
         .union(edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b")))
@@ -121,12 +176,12 @@ def connected_components(
     )
     verts = vertices.select(F.col(id_col).alias("id")).distinct()
     if init_labels is None:
-        labels = _ckpt(verts.withColumn("label", F.col("id")))
+        labels = ckpt(verts.withColumn("label", F.col("id")))
     else:
         seeds = init_labels.select(
             F.col(id_col).alias("id"), F.col("label").alias("__seed")
         )
-        labels = _ckpt(
+        labels = ckpt(
             verts.join(seeds, "id", "left").select(
                 "id",
                 F.least(F.col("id"), F.coalesce("__seed", "id")).alias("label"),
@@ -141,7 +196,7 @@ def connected_components(
             .groupBy(F.col("b").alias("nid"))
             .agg(F.min("label").alias("nbr_label"))
         )
-        labels = _ckpt(
+        labels = ckpt(
             labels.join(nbr_min, labels["id"] == nbr_min["nid"], "left").select(
                 "id",
                 F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias(
@@ -199,7 +254,7 @@ def connected_components_bigstar(
     - small-star: on edges oriented u > v, re-point every smaller
       neighbor (and u itself) at u's minimum neighbor — stars flatten.
 
-    Per-round ``localCheckpoint`` truncates lineage exactly as the label
+    Per-round ``_Ckpt`` checkpointing truncates lineage exactly as the label
     path does. Converges when the edge checksum is a fixed point, at
     which moment the edge set IS a star forest (u, component_min); the
     labels come from one left join, isolated vertices keeping their own
@@ -219,7 +274,8 @@ def connected_components_bigstar(
             F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
         ).distinct()
     )
-    e = _ckpt(e)
+    ckpt = _Ckpt()
+    e = ckpt(e)
     prev = _edge_checksum(e)
     iters = 0
     for it in range(1, max_iters + 1):
@@ -237,7 +293,7 @@ def connected_components_bigstar(
         )
         smins = large.groupBy("u").agg(F.min("v").alias("m"))
         joined = large.join(smins, "u")
-        e = _ckpt(
+        e = ckpt(
             joined.where(F.col("v") != F.col("m"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .union(smins.select("u", F.col("m").alias("v")))

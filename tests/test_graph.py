@@ -164,20 +164,34 @@ def test_dedup_clusters_vertices_widen_to_singletons(spark):
 
 
 def test_reliable_checkpoint_used_when_dir_configured(spark, tmp_path):
-    # KEEP LAST IN FILE: setCheckpointDir is session-global and has no
-    # unset. With a dir configured, _ckpt must switch from executor-local
-    # blocks to reliable checkpoint() (cluster fault-tolerance path) —
-    # evidenced by RDD checkpoint files landing in the dir — and the
-    # labels must be unchanged.
-    ckdir = str(tmp_path / "ck")
-    spark.sparkContext.setCheckpointDir(ckdir)
-    verts = spark.createDataFrame([(1,), (2,), (3,)], ["id"])
-    edges = spark.createDataFrame([(1, 2)], ["src", "dst"])
-    got = _labels(connected_components(verts, edges))
-    assert got == {1: 1, 2: 1, 3: 3}
+    # With a dir configured, _Ckpt must switch from executor-local blocks
+    # to reliable checkpoint() (cluster fault-tolerance path) — evidenced
+    # by RDD checkpoint files landing in the dir — labels unchanged, and
+    # superseded rounds' files deleted (PeriodicCheckpointer protocol):
+    # only ONE checkpointed RDD dir may remain, the final round's. The
+    # session-global dir is restored to unset afterwards (the JVM setter
+    # accepts null) so later tests keep the localCheckpoint path.
     import os
 
-    found = [
-        f for d, _, fs in os.walk(ckdir) for f in fs if not f.startswith(".")
-    ]
-    assert found, "no reliable checkpoint files were written"
+    ckdir = str(tmp_path / "ck")
+    sc = spark.sparkContext
+    sc.setCheckpointDir(ckdir)
+    try:
+        verts = spark.createDataFrame([(9,), (7,), (5,), (3,), (1,)], ["id"])
+        edges = spark.createDataFrame(
+            [(9, 7), (7, 5), (5, 3), (3, 1)], ["src", "dst"]
+        )
+        got = _labels(connected_components(verts, edges))
+        assert got == {1: 1, 3: 1, 5: 1, 7: 1, 9: 1}
+        rdd_dirs = [
+            os.path.join(d, f)
+            for d, fs, _ in os.walk(ckdir)
+            for f in fs
+            if f.startswith("rdd-")
+        ]
+        assert len(rdd_dirs) == 1, (
+            f"expected exactly the final round's checkpoint, got {rdd_dirs}"
+        )
+    finally:
+        sc._jsc.sc().setCheckpointDir(None)
+    assert sc.getCheckpointDir() is None

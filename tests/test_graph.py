@@ -163,6 +163,19 @@ def test_dedup_clusters_vertices_widen_to_singletons(spark):
     )
 
 
+def test_star_edges_plan_is_partial_agg_no_window(spark):
+    """The hot-bucket defense is IN THE PLAN: bucket minima come from a
+    partial-then-final hash aggregate (combines 10^9-member buckets
+    map-side), never a Window (which would sort a whole hot bucket on one
+    task)."""
+    membership = spark.createDataFrame(
+        [(1, "a"), (5, "a"), (9, "b")], ["id", "bucket"]
+    )
+    plan = star_edges(membership)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "partial_min" in plan  # map-side partial aggregation of the root
+
+
 def test_reliable_checkpoint_used_when_dir_configured(spark, tmp_path):
     # With a dir configured, _Ckpt must switch from executor-local blocks
     # to reliable checkpoint() (cluster fault-tolerance path) — evidenced

@@ -391,3 +391,38 @@ def dedup_clusters(
         "cluster_size",
         (F.col("id") == F.col("cluster_id")).alias("is_canonical"),
     )
+
+
+def prior_label_membership(
+    labels: DataFrame, id_col: str = "id", cluster_col: str = "cluster_id"
+) -> DataFrame:
+    """Fold a previous clustering run's (id, cluster_id) labels into
+    bucket-membership rows so ``dedup_clusters`` can run INCREMENTALLY.
+
+    A prior cluster is connectivity-equivalent to one bucket holding its
+    members, so at 10^12 rows a new ingest batch never re-fingerprints
+    or re-clusters the settled corpus. The exact recipe — all three
+    terms are required for incremental == from-scratch:
+
+    (a) the new batch's fingerprint membership rows;
+    (b) this projection of the prior labels (each old cluster becomes
+        one ``prior:<cluster>`` bucket — prefixed so it can never
+        collide with a fingerprint bucket);
+    (c) the retained membership index's rows whose bucket ALSO appears
+        in (a) — a left_semi join of the narrow (id, bucket) index on
+        the new batch's buckets. Without (c), an old doc that shares a
+        content-derived bucket with a new doc contributes no row for
+        it, and the merge is silently missed; with it, old components
+        bridge to new docs exactly as a full re-run would find.
+
+    The (id, bucket) index is append-only and narrow (two columns, no
+    text), so retaining it is the cheap part; what the prior labels buy
+    is never re-running the closure over the settled corpus's internal
+    edges. Exact-equivalence proven in tests/test_graph.py
+    (incremental == from-scratch; the test's batch-2 membership carries
+    its own bridge rows, standing in for term (c)).
+    """
+    return labels.select(
+        F.col(id_col).alias("id"),
+        F.concat(F.lit("prior:"), F.col(cluster_col).cast("string")).alias("bucket"),
+    )

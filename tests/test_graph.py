@@ -208,3 +208,26 @@ def test_reliable_checkpoint_used_when_dir_configured(spark, tmp_path):
     finally:
         sc._jsc.sc().setCheckpointDir(None)
     assert sc.getCheckpointDir() is None
+
+
+def test_incremental_clustering_equals_from_scratch(spark):
+    # Batch 1: buckets {1,5} {9,12}. Batch 2 arrives with a relation
+    # bridging 5~9 and a new doc 20 sharing a bucket with 12. Incremental
+    # = cluster(batch2 relations ∪ prior_label_membership(batch1 labels))
+    # must equal clustering ALL relations from scratch — prior clusters
+    # act as connectivity-preserving buckets, no re-fingerprinting.
+    from baskerville_spark.functions.graph import prior_label_membership
+
+    b1 = spark.createDataFrame(
+        [(1, "a"), (5, "a"), (9, "b"), (12, "b")], ["id", "bucket"]
+    )
+    b2 = spark.createDataFrame(
+        [(5, "c"), (9, "c"), (12, "d"), (20, "d")], ["id", "bucket"]
+    )
+    prior = dedup_clusters(b1).select("id", "cluster_id")
+    incremental = dedup_clusters(b2.unionByName(prior_label_membership(prior)))
+    scratch = dedup_clusters(b1.unionByName(b2))
+    inc = {r["id"]: (r["cluster_id"], r["cluster_size"]) for r in incremental.collect()}
+    full = {r["id"]: (r["cluster_id"], r["cluster_size"]) for r in scratch.collect()}
+    assert inc == full
+    assert inc[20] == (1, 5)  # everything merged into one 5-doc cluster

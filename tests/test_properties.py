@@ -133,3 +133,58 @@ def test_pooled_merge_equals_recompute_property(spark, vals, cut):
         abs(statistics.fmean(union)), 1.0
     )
     assert abs(row["var_value"] - statistics.variance(union)) <= 1e-7 * scale
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 24), st.integers(0, 24)),
+        min_size=0,
+        max_size=30,
+    ),
+    data=st.data(),
+)
+@settings(max_examples=5, deadline=None)
+def test_connected_components_match_union_find(spark, edges, data):
+    """Both CC algorithms vs a driver-side union-find oracle on random
+    graphs (self-loops, duplicate and reversed edges, isolated vertices
+    all allowed). Few examples: each is several Spark jobs."""
+    from baskerville_spark.functions.graph import (
+        connected_components,
+        connected_components_bigstar,
+    )
+
+    n_verts = data.draw(st.integers(25, 30))
+    # union-find oracle
+    parent = list(range(n_verts))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {i: find(i) for i in range(n_verts)}
+    # min-label invariant: root of each component must be its min member
+    mins: dict[int, int] = {}
+    for i, r in expected.items():
+        mins[r] = min(mins.get(r, i), i)
+    expected = {i: mins[r] for i, r in expected.items()}
+
+    verts = spark.createDataFrame([(i,) for i in range(n_verts)], ["id"])
+    e = spark.createDataFrame(
+        [(a, b) for a, b in edges] or [(0, 0)], ["src", "dst"]
+    )
+    got_label = {
+        r["id"]: r["cluster_id"]
+        for r in connected_components(verts, e, max_iters=40).collect()
+    }
+    got_star = {
+        r["id"]: r["cluster_id"]
+        for r in connected_components_bigstar(verts, e).collect()
+    }
+    assert got_label == expected
+    assert got_star == expected

@@ -65,9 +65,9 @@ class _Ckpt:
     the ReliableCheckpointRDD write job each recompute the round's plan
     — 2× compute per round), unpersist once written, and DELETE the
     previous round's checkpoint files as soon as the new round's are on
-    disk (checkpoints are eager, so round k's data fully supersedes
-    round k-1's; without deletion a 10^12-label run leaves one full
-    snapshot per round in object storage —
+    disk (``committed`` runs only after the materializing action, so
+    round k's data fully supersedes round k-1's; without deletion a
+    10^12-label run leaves one full snapshot per round in object storage —
     ``spark.cleaner.referenceTracking.cleanCheckpoints`` defaults to
     false and only best-effort-cleans on GC anyway). The final round's
     files are never deleted by us: the returned DataFrame reads them.
@@ -75,20 +75,48 @@ class _Ckpt:
 
     def __init__(self) -> None:
         self._prev_file: str | None = None
+        self._pending: tuple[DataFrame, DataFrame] | None = None
 
     def __call__(self, df: DataFrame) -> DataFrame:
+        """Eager form: checkpoint fully materialized on return."""
+        out = self.lazy(df)
+        # a cheap full-materializing action; the caller's next action
+        # would do the same work, so only use the eager form standalone
+        out.count()
+        self.committed(out)
+        return out
+
+    def lazy(self, df: DataFrame) -> DataFrame:
+        """Mark for checkpoint WITHOUT materializing: the caller's next
+        action (the loops' convergence aggregate) computes the round AND
+        writes the checkpoint in ONE job instead of two — halving the
+        per-round job count, which IS the cost of these loops (narrow
+        data, many small stages). The caller must invoke ``committed``
+        after that action for unpersist + stale-file cleanup."""
         try:
             sc = df.sparkSession.sparkContext
             reliable = sc.getCheckpointDir() is not None
         except Exception:  # Spark Connect: no driver-side SparkContext
-            return df.localCheckpoint()
+            return df.localCheckpoint(eager=False)
         if not reliable:
-            return df.localCheckpoint()
+            return df.localCheckpoint(eager=False)
         from pyspark import StorageLevel
 
         df.persist(StorageLevel.MEMORY_AND_DISK)
-        out = df.checkpoint()  # eager: fully on disk when this returns
-        df.unpersist()
+        out = df.checkpoint(eager=False)
+        self._pending = (df, out)
+        return out
+
+    def committed(self, out: DataFrame) -> None:
+        """Call after the first action on ``lazy``'s result: unpersists
+        the pre-checkpoint plan and deletes the superseded round's
+        checkpoint files (reliable path only; no-op otherwise)."""
+        if self._pending is None or self._pending[1] is not out:
+            return
+        src, _ = self._pending
+        self._pending = None
+        src.unpersist()
+        sc = out.sparkSession.sparkContext
         stale, self._prev_file = self._prev_file, self._ckpt_file(out)
         if stale:
             try:
@@ -98,7 +126,6 @@ class _Ckpt:
                 fs.delete(path, True)
             except Exception:
                 pass  # cleanup is best-effort; correctness never depends on it
-        return out
 
     @staticmethod
     def _ckpt_file(out: DataFrame) -> str | None:
@@ -176,27 +203,30 @@ def connected_components(
     )
     verts = vertices.select(F.col(id_col).alias("id")).distinct()
     if init_labels is None:
-        labels = ckpt(verts.withColumn("label", F.col("id")))
+        labels = ckpt.lazy(verts.withColumn("label", F.col("id")))
     else:
         seeds = init_labels.select(
             F.col(id_col).alias("id"), F.col("label").alias("__seed")
         )
-        labels = ckpt(
+        labels = ckpt.lazy(
             verts.join(seeds, "id", "left").select(
                 "id",
                 F.least(F.col("id"), F.coalesce("__seed", "id")).alias("label"),
             )
         )
     # decimal(38,0): a sum of 10^12 labels each up to ~10^12 overflows
-    # long; the witness must stay exact or "unchanged" could be a wrap
+    # long; the witness must stay exact or "unchanged" could be a wrap.
+    # This aggregate is ALSO the action that materializes the lazy
+    # checkpoint above — one job per round, not two.
     prev_sum = labels.agg(F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
+    ckpt.committed(labels)
     for it in range(1, max_iters + 1):
         nbr_min = (
             sym.join(labels, sym["a"] == labels["id"])
             .groupBy(F.col("b").alias("nid"))
             .agg(F.min("label").alias("nbr_label"))
         )
-        labels = ckpt(
+        labels = ckpt.lazy(
             labels.join(nbr_min, labels["id"] == nbr_min["nid"], "left").select(
                 "id",
                 F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias(
@@ -207,6 +237,7 @@ def connected_components(
         new_sum = labels.agg(
             F.sum(F.col("label").cast("decimal(38,0)"))
         ).collect()[0][0]
+        ckpt.committed(labels)
         if new_sum == prev_sum:
             out = labels.select("id", F.col("label").alias("cluster_id"))
             return (out, it) if return_iters else out
@@ -275,8 +306,9 @@ def connected_components_bigstar(
         ).distinct()
     )
     ckpt = _Ckpt()
-    e = ckpt(e)
-    prev = _edge_checksum(e)
+    e = ckpt.lazy(e)
+    prev = _edge_checksum(e)  # materializes the lazy checkpoint
+    ckpt.committed(e)
     iters = 0
     for it in range(1, max_iters + 1):
         iters = it
@@ -293,14 +325,15 @@ def connected_components_bigstar(
         )
         smins = large.groupBy("u").agg(F.min("v").alias("m"))
         joined = large.join(smins, "u")
-        e = ckpt(
+        e = ckpt.lazy(
             joined.where(F.col("v") != F.col("m"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .union(smins.select("u", F.col("m").alias("v")))
             .where(F.col("u") != F.col("v"))
             .distinct()
         )
-        cur = _edge_checksum(e)
+        cur = _edge_checksum(e)  # materializes the lazy checkpoint
+        ckpt.committed(e)
         if cur == prev:
             break
         prev = cur

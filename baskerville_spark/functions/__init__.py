@@ -22,3 +22,10 @@ from baskerville_spark.functions.similarity import (  # noqa: F401
     cosine_topk,
     hyperplane_lsh_pairs,
 )
+from baskerville_spark.functions.graph import (  # noqa: F401
+    connected_components,
+    connected_components_bigstar,
+    dedup_clusters,
+    prior_label_membership,
+    star_edges,
+)

@@ -29,3 +29,6 @@ from baskerville_spark.functions.graph import (  # noqa: F401
     prior_label_membership,
     star_edges,
 )
+from baskerville_spark.functions.graph import (  # noqa: F401
+    incremental_membership,
+)

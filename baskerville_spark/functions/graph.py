@@ -76,23 +76,27 @@ class _Ckpt:
     def __init__(self) -> None:
         self._prev_file: str | None = None
         self._pending: tuple[DataFrame, DataFrame] | None = None
+        self._sc = None
 
     def __call__(self, df: DataFrame) -> DataFrame:
-        """Eager form: checkpoint fully materialized on return."""
+        """Eager form: checkpoint fully materialized on return. Used for
+        one-off pre-loop materializations (the label loop's symmetrized
+        edges) where no caller action follows immediately."""
         out = self.lazy(df)
-        # a cheap full-materializing action; the caller's next action
-        # would do the same work, so only use the eager form standalone
         out.count()
         self.committed(out)
         return out
 
     def lazy(self, df: DataFrame) -> DataFrame:
         """Mark for checkpoint WITHOUT materializing: the caller's next
-        action (the loops' convergence aggregate) computes the round AND
-        writes the checkpoint in ONE job instead of two — halving the
-        per-round job count, which IS the cost of these loops (narrow
-        data, many small stages). The caller must invoke ``committed``
-        after that action for unpersist + stale-file cleanup."""
+        action (the loops' convergence aggregate) doubles as the
+        materializer. On the dirless local path that is ONE job per
+        round instead of two; on the reliable path it is two instead of
+        three (ReliableRDDCheckpointData still runs its own write job
+        after the aggregate, but it reads the persisted blocks rather
+        than a separate eager count recomputing the plan). The caller
+        must invoke ``committed`` after that action for unpersist +
+        stale-file cleanup."""
         try:
             sc = df.sparkSession.sparkContext
             reliable = sc.getCheckpointDir() is not None
@@ -116,16 +120,27 @@ class _Ckpt:
         src, _ = self._pending
         self._pending = None
         src.unpersist()
-        sc = out.sparkSession.sparkContext
+        self._sc = out.sparkSession.sparkContext
         stale, self._prev_file = self._prev_file, self._ckpt_file(out)
-        if stale:
-            try:
-                jvm = sc._jvm
-                path = jvm.org.apache.hadoop.fs.Path(stale)
-                fs = path.getFileSystem(sc._jsc.hadoopConfiguration())
-                fs.delete(path, True)
-            except Exception:
-                pass  # cleanup is best-effort; correctness never depends on it
+        self._delete(stale)
+
+    def release(self) -> None:
+        """Delete this instance's FINAL checkpoint file too — for one-off
+        pre-loop materializations (the label loop's symmetrized edges)
+        whose data nothing references once the loop returns."""
+        stale, self._prev_file = self._prev_file, None
+        self._delete(stale)
+
+    def _delete(self, stale: str | None) -> None:
+        if not stale or self._sc is None:
+            return
+        try:
+            jvm = self._sc._jvm
+            path = jvm.org.apache.hadoop.fs.Path(stale)
+            fs = path.getFileSystem(self._sc._jsc.hadoopConfiguration())
+            fs.delete(path, True)
+        except Exception:
+            pass  # cleanup is best-effort; correctness never depends on it
 
     @staticmethod
     def _ckpt_file(out: DataFrame) -> str | None:
@@ -140,6 +155,28 @@ class _Ckpt:
             return opt.get() if opt.isDefined() else None
         except Exception:
             return None
+
+
+_INTEGRAL_TYPES = {"tinyint", "smallint", "int", "bigint"}
+
+
+def _require_integral_ids(
+    vertices: DataFrame, id_col: str, edges: DataFrame, src_col: str, dst_col: str
+) -> None:
+    """Loud guard: both CC algorithms need integral ids. The decimal-sum
+    witness casts ids; on string ids ANSI mode crashes mid-loop and
+    non-ANSI silently yields NULL sums that compare equal from round one
+    (= premature convergence, wrong answer), and even numeric STRINGS
+    order lexicographically (min('9','12') = '12'). Hash string keys
+    through F.xxhash64 before clustering."""
+    for df, cols in ((vertices, [id_col]), (edges, [src_col, dst_col])):
+        dt = dict(df.dtypes)
+        for c in cols:
+            if c in dt and dt[c] not in _INTEGRAL_TYPES:
+                raise ValueError(
+                    f"connected components require integral ids; column {c!r} "
+                    f"is {dt[c]!r} — hash string keys with F.xxhash64 first"
+                )
 
 
 def star_edges(
@@ -178,8 +215,12 @@ def connected_components(
     """Min-label propagation over an undirected edge list.
 
     Returns (id, cluster_id) with cluster_id = the minimum vertex id
-    reachable from ``id`` (isolated vertices keep their own id). Each
-    round is one join + one aggregate, both on narrow long columns;
+    reachable from ``id`` (isolated vertices keep their own id). The
+    symmetrized edge list is checkpointed ONCE before the loop (a
+    one-off ``_Ckpt`` — every round joins against it, and without the
+    materialization each round would replay the whole upstream
+    edge-derivation plan: Spark shares no stages across jobs). Each
+    round is then one join + one aggregate over narrow long columns;
     labels are checkpointed per round (``_Ckpt``: reliable when a dir is
     set, superseded rounds' files deleted) and the
     label SUM — strictly decreasing while any label moves — is the
@@ -188,6 +229,12 @@ def connected_components(
     exceeded: switch the caller to ``connected_components_bigstar``
     rather than raising the cap past ~O(log n) expectations).
 
+    Ids must be an integral type (the decimal-sum witness and min-label
+    semantics both require numeric ordering; hash string keys through
+    ``F.xxhash64`` first) — enforced with a loud ValueError, because
+    with ANSI off a string id would silently mis-converge (NULL sums
+    compare equal from round one).
+
     ``init_labels`` (id, label) seeds each vertex below its own id —
     correct iff every seed is the id of a vertex in the SAME component
     (propagation converges to the component min of the seeds; a
@@ -195,8 +242,13 @@ def connected_components(
     ``dedup_clusters`` uses it to pre-fold the first propagation round
     into the bucket-root aggregate it has already paid for.
     """
+    _require_integral_ids(vertices, id_col, edges, src_col, dst_col)
     ckpt = _Ckpt()
-    sym = (
+    # one-off instance: the shared ckpt would delete sym's files on the
+    # first labels commit while rounds 2+ still read them; released in
+    # the finally once nothing references sym anymore
+    sym_ckpt = _Ckpt()
+    sym = sym_ckpt(
         edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
         .union(edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b")))
         .distinct()
@@ -217,36 +269,39 @@ def connected_components(
     # decimal(38,0): a sum of 10^12 labels each up to ~10^12 overflows
     # long; the witness must stay exact or "unchanged" could be a wrap.
     # This aggregate is ALSO the action that materializes the lazy
-    # checkpoint above — one job per round, not two.
+    # checkpoint above (see _Ckpt.lazy for the per-path job accounting).
     prev_sum = labels.agg(F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
     ckpt.committed(labels)
-    for it in range(1, max_iters + 1):
-        nbr_min = (
-            sym.join(labels, sym["a"] == labels["id"])
-            .groupBy(F.col("b").alias("nid"))
-            .agg(F.min("label").alias("nbr_label"))
-        )
-        labels = ckpt.lazy(
-            labels.join(nbr_min, labels["id"] == nbr_min["nid"], "left").select(
-                "id",
-                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias(
-                    "label"
-                ),
+    try:
+        for it in range(1, max_iters + 1):
+            nbr_min = (
+                sym.join(labels, sym["a"] == labels["id"])
+                .groupBy(F.col("b").alias("nid"))
+                .agg(F.min("label").alias("nbr_label"))
             )
+            labels = ckpt.lazy(
+                labels.join(nbr_min, labels["id"] == nbr_min["nid"], "left").select(
+                    "id",
+                    F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias(
+                        "label"
+                    ),
+                )
+            )
+            new_sum = labels.agg(
+                F.sum(F.col("label").cast("decimal(38,0)"))
+            ).collect()[0][0]
+            ckpt.committed(labels)
+            if new_sum == prev_sum:
+                out = labels.select("id", F.col("label").alias("cluster_id"))
+                return (out, it) if return_iters else out
+            prev_sum = new_sum
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds — "
+            "graph diameter exceeds the dedup-cluster expectation; use a "
+            "large-star/small-star contraction for adversarial graphs"
         )
-        new_sum = labels.agg(
-            F.sum(F.col("label").cast("decimal(38,0)"))
-        ).collect()[0][0]
-        ckpt.committed(labels)
-        if new_sum == prev_sum:
-            out = labels.select("id", F.col("label").alias("cluster_id"))
-            return (out, it) if return_iters else out
-        prev_sum = new_sum
-    raise RuntimeError(
-        f"connected_components did not converge in {max_iters} rounds — "
-        "graph diameter exceeds the dedup-cluster expectation; use a "
-        "large-star/small-star contraction for adversarial graphs"
-    )
+    finally:
+        sym_ckpt.release()
 
 
 def _edge_checksum(e: DataFrame) -> tuple:
@@ -289,10 +344,12 @@ def connected_components_bigstar(
     path does. Converges when the edge checksum is a fixed point, at
     which moment the edge set IS a star forest (u, component_min); the
     labels come from one left join, isolated vertices keeping their own
-    id. Raises after ``max_iters`` rounds (paper bound is O(log^2 n)
+    id. Integral ids required (same guard and reason as the label
+    path). Raises after ``max_iters`` rounds (paper bound is O(log^2 n)
     w.h.p.; 30 rounds covers n ~ 10^12 with a wide margin, so hitting
     the cap means a malformed edge list, not a bigger graph).
     """
+    _require_integral_ids(vertices, id_col, edges, src_col, dst_col)
     sym = (
         edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
         .union(edges.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v")))
@@ -427,35 +484,71 @@ def dedup_clusters(
 
 
 def prior_label_membership(
-    labels: DataFrame, id_col: str = "id", cluster_col: str = "cluster_id"
+    labels: DataFrame,
+    id_col: str = "id",
+    cluster_col: str = "cluster_id",
+    bucket_col: str = "bucket",
 ) -> DataFrame:
     """Fold a previous clustering run's (id, cluster_id) labels into
-    bucket-membership rows so ``dedup_clusters`` can run INCREMENTALLY.
-
-    A prior cluster is connectivity-equivalent to one bucket holding its
-    members, so at 10^12 rows a new ingest batch never re-fingerprints
-    or re-clusters the settled corpus. The exact recipe — all three
-    terms are required for incremental == from-scratch:
-
-    (a) the new batch's fingerprint membership rows;
-    (b) this projection of the prior labels (each old cluster becomes
-        one ``prior:<cluster>`` bucket — prefixed so it can never
-        collide with a fingerprint bucket);
-    (c) the retained membership index's rows whose bucket ALSO appears
-        in (a) — a left_semi join of the narrow (id, bucket) index on
-        the new batch's buckets. Without (c), an old doc that shares a
-        content-derived bucket with a new doc contributes no row for
-        it, and the merge is silently missed; with it, old components
-        bridge to new docs exactly as a full re-run would find.
-
-    The (id, bucket) index is append-only and narrow (two columns, no
-    text), so retaining it is the cheap part; what the prior labels buy
-    is never re-running the closure over the settled corpus's internal
-    edges. Exact-equivalence proven in tests/test_graph.py
-    (incremental == from-scratch; the test's batch-2 membership carries
-    its own bridge rows, standing in for term (c)).
+    bucket-membership rows — term (b) of ``incremental_membership``'s
+    recipe, exposed separately for pipelines that assemble their own
+    union. Each old cluster becomes one ``prior:<cluster>`` bucket
+    (prefixed so it can never collide with a fingerprint bucket), which
+    is connectivity-equivalent to the old component. Output columns are
+    named (``id_col``, ``bucket_col``) so the result unions cleanly with
+    membership tables using non-default names.
     """
     return labels.select(
-        F.col(id_col).alias("id"),
-        F.concat(F.lit("prior:"), F.col(cluster_col).cast("string")).alias("bucket"),
+        F.col(id_col).alias(id_col),
+        F.concat(F.lit("prior:"), F.col(cluster_col).cast("string")).alias(
+            bucket_col
+        ),
+    )
+
+
+def incremental_membership(
+    new_membership: DataFrame,
+    prior_labels: DataFrame,
+    retained_index: DataFrame,
+    id_col: str = "id",
+    bucket_col: str = "bucket",
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """The full three-term membership for INCREMENTAL ``dedup_clusters``
+    — at 10^12 rows a new ingest batch never re-fingerprints or
+    re-clusters the settled corpus:
+
+    (a) ``new_membership``: the new batch's fingerprint rows;
+    (b) the prior labels folded to one bucket per old cluster
+        (``prior_label_membership``) — the settled corpus's internal
+        connectivity without its internal edges;
+    (c) the bridge: ``retained_index`` rows (the append-only, narrow
+        (id, bucket) index of ALL fingerprints ever emitted) whose
+        bucket also appears in (a), found with a left_semi join on the
+        new batch's distinct buckets. Without this term an old doc that
+        shares a content-derived bucket with a new doc contributes no
+        row for it and the old↔new merge is silently missed — the one
+        silent-wrong-answer mode of the naive (a)∪(b) union.
+
+    Clustering this union equals clustering every relation ever seen
+    (proven in tests/test_graph.py, including a case where the naive
+    two-term union provably misses the merge). The left_semi probe side
+    is the new batch's distinct buckets — broadcast-sized relative to
+    the 10^12-row index, so (c) costs one broadcast semi-join over the
+    index scan, never a shuffle of the index.
+    """
+    bridge = retained_index.select(id_col, bucket_col).join(
+        new_membership.select(bucket_col).distinct(), bucket_col, "left_semi"
+    )
+    return (
+        new_membership.select(id_col, bucket_col)
+        .unionByName(bridge)
+        .unionByName(
+            prior_label_membership(
+                prior_labels,
+                id_col=id_col,
+                cluster_col=cluster_col,
+                bucket_col=bucket_col,
+            )
+        )
     )

@@ -211,23 +211,45 @@ def test_reliable_checkpoint_used_when_dir_configured(spark, tmp_path):
 
 
 def test_incremental_clustering_equals_from_scratch(spark):
-    # Batch 1: buckets {1,5} {9,12}. Batch 2 arrives with a relation
-    # bridging 5~9 and a new doc 20 sharing a bucket with 12. Incremental
-    # = cluster(batch2 relations ∪ prior_label_membership(batch1 labels))
-    # must equal clustering ALL relations from scratch — prior clusters
-    # act as connectivity-preserving buckets, no re-fingerprinting.
-    from baskerville_spark.functions.graph import prior_label_membership
+    # Batch 1: buckets {1,5} (a) and {9,12} (b). Batch 2 fingerprints
+    # ONLY its own new docs: 20 lands in old content bucket "b" and 21
+    # in old bucket "a" — batch 2 carries no rows for the old docs in
+    # those buckets; reconstructing them from the retained index is the
+    # bridge term's job. incremental_membership must recover both
+    # old↔new merges, and the naive (a)∪(b) union must provably MISS
+    # them (stranded singletons).
+    from baskerville_spark.functions.graph import (
+        incremental_membership,
+        prior_label_membership,
+    )
 
     b1 = spark.createDataFrame(
         [(1, "a"), (5, "a"), (9, "b"), (12, "b")], ["id", "bucket"]
     )
-    b2 = spark.createDataFrame(
-        [(5, "c"), (9, "c"), (12, "d"), (20, "d")], ["id", "bucket"]
-    )
+    # batch 2 = ONLY new docs' fingerprints (the honest incremental shape)
+    b2 = spark.createDataFrame([(20, "b"), (21, "a")], ["id", "bucket"])
     prior = dedup_clusters(b1).select("id", "cluster_id")
-    incremental = dedup_clusters(b2.unionByName(prior_label_membership(prior)))
-    scratch = dedup_clusters(b1.unionByName(b2))
+    full_membership = b1.unionByName(b2)
+
+    inc_m = incremental_membership(b2, prior, retained_index=full_membership)
+    incremental = dedup_clusters(inc_m)
+    scratch = dedup_clusters(full_membership)
     inc = {r["id"]: (r["cluster_id"], r["cluster_size"]) for r in incremental.collect()}
     full = {r["id"]: (r["cluster_id"], r["cluster_size"]) for r in scratch.collect()}
     assert inc == full
-    assert inc[20] == (1, 5)  # everything merged into one 5-doc cluster
+    assert inc[20] == (9, 3) and inc[21] == (1, 3)
+
+    # the naive two-term union (no bridge) silently misses both merges —
+    # the exact failure mode the bridge term exists to prevent
+    naive = dedup_clusters(b2.unionByName(prior_label_membership(prior)))
+    nv = {r["id"]: r["cluster_id"] for r in naive.collect()}
+    assert nv[20] == 20 and nv[21] == 21  # stranded singletons
+
+
+def test_string_ids_raise_loudly(spark):
+    verts = spark.createDataFrame([("a",), ("b",)], ["id"])
+    edges = spark.createDataFrame([("a", "b")], ["src", "dst"])
+    with pytest.raises(ValueError, match="xxhash64"):
+        connected_components(verts, edges)
+    with pytest.raises(ValueError, match="xxhash64"):
+        connected_components_bigstar(verts, edges)

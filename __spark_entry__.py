@@ -3590,3 +3590,84 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
     out = _prev_oracles_q67()
     out["q67_chain_clusters_bigstar"] = _Q67_SQL
     return out
+
+
+# ---------------------------------------------------------------------------
+# Q68 — incremental dedup clustering protocol: batch-1 clusters + the
+#       three-term incremental_membership for batch 2 must reproduce the
+#       SAME closed-form chain clusters as a from-scratch run (q67),
+#       without re-clustering batch 1's internal edges
+# ---------------------------------------------------------------------------
+
+def q68_incremental_chain_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental-reclustering protocol (functions/graph.py
+    incremental_membership) under the hash gate. The q67 chain corpus is
+    ingested in TWO batches — even doc_ids first, odd second; each doc
+    emits only ITS OWN fingerprint rows ((d, d) links-to-next and
+    (d, d-1) links-to-prev within its 100-id block), so batch 2 carries
+    NO rows for the settled even docs. Batch 1 is clustered alone
+    (even-doc pairs); batch 2 then goes through the three-term union —
+    its own rows, the prior labels folded to one bucket per old cluster,
+    and the retained index's rows semi-joined on batch-2 buckets (the
+    bridge without which every odd doc strands as a singleton) — and the
+    final clusters must hash-match the SAME gaps-and-islands oracle as
+    the from-scratch q67 run. Both legs use the large-star/small-star
+    algorithm (the final graph has diameter ~99)."""
+    from baskerville_spark.functions.graph import (
+        dedup_clusters,
+        incremental_membership,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    # bucket as string: the prior-label leg emits "prior:<cluster>"
+    # string buckets, and the three-term union must be type-consistent
+    emit = d.where(F.col("doc_id") % 100 != 99).select(
+        "doc_id", F.col("doc_id").cast("string").alias("bucket")
+    ).unionByName(
+        d.where(F.col("doc_id") % 100 != 0).select(
+            "doc_id", (F.col("doc_id") - 1).cast("string").alias("bucket")
+        )
+    )
+    b1 = emit.where(F.col("doc_id") % 2 == 0)
+    b2 = emit.where(F.col("doc_id") % 2 == 1)
+    prior = dedup_clusters(
+        b1,
+        id_col="doc_id",
+        bucket_col="bucket",
+        vertices=d.where(F.col("doc_id") % 2 == 0),
+        algorithm="bigstar",
+    ).select("id", "cluster_id")
+    inc_m = incremental_membership(
+        b2,
+        prior.withColumnRenamed("id", "doc_id"),
+        retained_index=b1,
+        id_col="doc_id",
+        bucket_col="bucket",
+    )
+    return dedup_clusters(
+        inc_m,
+        id_col="doc_id",
+        bucket_col="bucket",
+        vertices=d,
+        algorithm="bigstar",
+    ).select(
+        F.col("id").alias("doc_id"), "cluster_id", "cluster_size", "is_canonical"
+    )
+
+
+_prev_queries_q68 = queries
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    out = _prev_queries_q68()
+    out["q68_incremental_chain_clusters"] = q68_incremental_chain_clusters
+    return out
+
+
+_prev_oracles_q68 = oracle_sql
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = _prev_oracles_q68()
+    out["q68_incremental_chain_clusters"] = _Q67_SQL
+    return out

@@ -188,3 +188,38 @@ def test_connected_components_match_union_find(spark, edges, data):
     }
     assert got_label == expected
     assert got_star == expected
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 20), st.integers(0, 8)),
+        min_size=1,
+        max_size=25,
+    ),
+    split_mod=st.integers(2, 3),
+)
+@settings(max_examples=3, deadline=None)
+def test_incremental_clustering_theorem(spark, rows, split_mod):
+    """The incremental recipe's equivalence theorem on RANDOM membership
+    tables and splits: cluster(batch1) + incremental_membership(batch2,
+    prior, retained_index) == cluster(everything). Three Spark
+    clusterings per example — few examples."""
+    from baskerville_spark.functions.graph import (
+        dedup_clusters,
+        incremental_membership,
+    )
+
+    membership = spark.createDataFrame(
+        [(i, f"b{b}") for i, b in set(rows)], "id int, bucket string"
+    )
+    b1 = membership.where(f"id % {split_mod} != 0")
+    b2 = membership.where(f"id % {split_mod} = 0")
+    prior = dedup_clusters(b1).select("id", "cluster_id")
+    inc = dedup_clusters(
+        incremental_membership(b2, prior, retained_index=membership)
+    )
+    scratch = dedup_clusters(membership)
+    to_map = lambda df: {  # noqa: E731
+        r["id"]: (r["cluster_id"], r["cluster_size"]) for r in df.collect()
+    }
+    assert to_map(inc) == to_map(scratch)

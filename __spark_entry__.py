@@ -3671,3 +3671,107 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
     out = _prev_oracles_q68()
     out["q68_incremental_chain_clusters"] = _Q67_SQL
     return out
+
+
+# ---------------------------------------------------------------------------
+# Q69 — TF-IDF cosine similarity pairs via an inverted term index
+#       (functions/dedup.tfidf_cosine_pairs — sparse lexical similarity,
+#       no embeddings; the max_df stop-term guard is ACTIVE: the
+#       generator's tiny shared vocabulary appears in ~every doc and is
+#       dropped wholesale, which is exactly the guard's job at scale)
+# ---------------------------------------------------------------------------
+
+def q69_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every doc gets an 8-word doc-unique tail; every 5th doc is cloned
+    (+500000) keeping 6 of the 8 tail words and adding 2 clone-unique
+    ones. After the df > 400 stop-term guard drops the generator's
+    shared vocabulary (each word appears in ~all 600 docs — raw pairwise
+    cosine on this table reaches 0.95 BECAUSE of that vocabulary, which
+    is why the guard is load-bearing), the surviving term space is
+    doc-unique tails only: the emitted pairs are EXACTLY the planted
+    clone pairs, at a cosine mixing df=2 shared-tail weights with df=1
+    singleton weights — the oracle recomputes the full tf·ln(N/df)
+    algebra, not a count. Threshold applied to the round-4 value in both
+    engines (cross-engine float-stability rule)."""
+    from baskerville_spark.functions.dedup import tfidf_cosine_pairs
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    did = F.col("doc_id").cast("string")
+
+    def tail(letters: str, prefix: str = "u") -> F.Column:
+        return F.concat_ws(
+            " ", *[F.concat(F.lit(prefix), did, F.lit(ch)) for ch in letters]
+        )
+
+    corpus = d.select(
+        "doc_id", F.concat("text", F.lit(" "), tail("abcdefgh")).alias("text")
+    ).unionByName(
+        d.where(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + 500_000).alias("doc_id"),
+            F.concat(
+                "text", F.lit(" "), tail("abcdef"), F.lit(" "), tail("ab", "v")
+            ).alias("text"),
+        )
+    )
+    pairs = tfidf_cosine_pairs(corpus, threshold=0.0, max_df=400)
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.round("cosine", 4).cast("float").alias("cosine"),
+    ).where(F.round("cosine", 4) >= 0.3)
+
+
+_Q69_SQL = """
+WITH corpus AS (
+  SELECT doc_id, text || ' ' ||
+         'u'||doc_id||'a u'||doc_id||'b u'||doc_id||'c u'||doc_id||'d ' ||
+         'u'||doc_id||'e u'||doc_id||'f u'||doc_id||'g u'||doc_id||'h' AS text
+  FROM documents
+  UNION ALL
+  SELECT doc_id + 500000, text || ' ' ||
+         'u'||doc_id||'a u'||doc_id||'b u'||doc_id||'c u'||doc_id||'d ' ||
+         'u'||doc_id||'e u'||doc_id||'f ' ||
+         'v'||doc_id||'a v'||doc_id||'b' AS text
+  FROM documents WHERE doc_id % 5 = 0),
+terms AS (
+  SELECT doc_id AS id, t.term
+  FROM corpus, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t(term)
+  WHERE length(t.term) > 1),
+tf AS (SELECT id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM corpus),
+dfq AS (SELECT term, COUNT(*) AS df_ FROM tf GROUP BY 1
+        HAVING COUNT(*) <= 400),
+w AS (SELECT id, tf.term, tf.tf * ln(n_docs / df_) AS w
+      FROM tf JOIN dfq USING (term) CROSS JOIN nd),
+nrm AS (SELECT id, term, w,
+               sqrt(SUM(w * w) OVER (PARTITION BY id)) AS norm
+        FROM w),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         ANY_VALUE(a.norm) AS na, ANY_VALUE(b.norm) AS nb,
+         SUM(a.w * b.w) AS dot
+  FROM nrm a JOIN nrm b ON a.term = b.term AND a.id < b.id
+  GROUP BY 1, 2)
+SELECT id_a, id_b,
+       CAST(ROUND(dot / (na * nb), 4) AS REAL) AS cosine
+FROM pairs
+WHERE ROUND(dot / (na * nb), 4) >= 0.3
+"""
+
+
+_prev_queries_q69 = queries
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    out = _prev_queries_q69()
+    out["q69_tfidf_cosine_pairs"] = q69_tfidf_cosine_pairs
+    return out
+
+
+_prev_oracles_q69 = oracle_sql
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = _prev_oracles_q69()
+    out["q69_tfidf_cosine_pairs"] = _Q69_SQL
+    return out

@@ -398,3 +398,84 @@ def simhash_near_dups(
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.3,
+    max_df: int = 1000,
+) -> DataFrame:
+    """Document pairs with TF-IDF cosine similarity >= threshold — sparse
+    lexical similarity with NO embeddings, via an inverted term index
+    (the prefix-filtering family; a from-scratch extension, the reference
+    has no similarity operator at all).
+
+    tf = per-(doc, term) count; idf = ln(N / df) over distinct-doc term
+    frequency; weight = tf·idf; cosine = Σ w_a·w_b / (‖a‖·‖b‖), computed
+    by joining the index on term and aggregating per pair — a sparse dot
+    product that touches only co-occurring terms, never a dense matmul.
+
+    Scale design mirrors ``ngram_jaccard_pairs``: terms with document
+    frequency > ``max_df`` are dropped BEFORE the pair join AND before
+    the norms (stop-word guard against the quadratic fan-out of hot
+    terms; the metric is cosine over the filtered term space — identical
+    to true cosine when nothing is filtered, and the filtered terms are
+    exactly the least-informative ones: idf ≈ 0 contributes ≈ nothing).
+    Norms ride along via a window over ``id`` (bounded per-partition by
+    a doc's term count), keeping the a/b branches ReuseExchange-identical.
+    N (corpus size) is a scalar crossJoin of a 1-row aggregate, not a
+    collected literal — no driver round-trip, plan stays resumable.
+    """
+    terms = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+                lambda t: F.length(t) > 1,
+            )
+        ).alias("term"),
+    )
+    tf = terms.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = df.select(
+        F.countDistinct(F.col(id_col)).cast("double").alias("n_docs")
+    )
+    dfreq = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df_"))
+        .where(F.col("df_") <= max_df)
+    )
+    weighted = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "id",
+            "term",
+            (F.col("tf") * F.log(F.col("n_docs") / F.col("df_"))).alias("w"),
+        )
+    )
+    normed = weighted.withColumn(
+        "norm",
+        F.sqrt(F.sum(F.col("w") * F.col("w")).over(Window.partitionBy("id"))),
+    )
+    a = normed.select(
+        F.col("id").alias("id_a"), F.col("w").alias("w_a"),
+        F.col("norm").alias("norm_a"), "term",
+    )
+    b = normed.select(
+        F.col("id").alias("id_b"), F.col("w").alias("w_b"),
+        F.col("norm").alias("norm_b"), "term",
+    )
+    return (
+        a.join(b, "term")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "norm_a", "norm_b")
+        .agg(F.sum(F.col("w_a") * F.col("w_b")).alias("dot"))
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("dot") / (F.col("norm_a") * F.col("norm_b"))).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )

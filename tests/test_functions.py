@@ -470,3 +470,29 @@ def test_audio_codec_seam_contract(monkeypatch):
     monkeypatch.setattr(audio, "_soundfile", _FakeSF)
     out = audio.decode(payload, "mp3")
     assert out is not None and np.array_equal(out, pcm)
+
+
+def test_tfidf_cosine_pairs(spark):
+    from baskerville_spark.functions.dedup import tfidf_cosine_pairs
+    import math
+
+    # 1&2 share {apple, banana}; doc 3 disjoint; "the" in every doc is
+    # dropped by max_df=2 (stop-term guard) so it must contribute nothing
+    docs = spark.createDataFrame(
+        [
+            (1, "the apple banana cherry"),
+            (2, "the apple banana dates"),
+            (3, "the walnut pecan almond"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = tfidf_cosine_pairs(docs, threshold=0.0, max_df=2).collect()
+    got = {(r["id_a"], r["id_b"]): r["cosine"] for r in rows}
+    assert set(got) == {(1, 2)}  # doc 3 shares only the filtered stop word
+    # hand computation over the filtered space: shared terms df=2 weight
+    # w2=ln(3/2), uniques df=1 weight w1=ln(3); cos = 2*w2^2/(2*w2^2+w1^2)
+    w2, w1 = math.log(3 / 2), math.log(3.0)
+    expected = (2 * w2 * w2) / (2 * w2 * w2 + w1 * w1)
+    assert abs(got[(1, 2)] - expected) < 1e-9
+    # threshold filters
+    assert tfidf_cosine_pairs(docs, threshold=0.99, max_df=2).count() == 0

@@ -12,6 +12,7 @@ from baskerville_spark.functions.dedup import (  # noqa: F401
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash,
+    tfidf_cosine_pairs,
 )
 from baskerville_spark.functions.text import (  # noqa: F401
     lang_id,

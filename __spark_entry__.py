@@ -3775,3 +3775,84 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
     out = _prev_oracles_q69()
     out["q69_tfidf_cosine_pairs"] = _Q69_SQL
     return out
+
+
+# ---------------------------------------------------------------------------
+# Q70 — asymmetric containment dedup (doc ⊇ excerpt):
+#       functions/dedup.shingle_containment_pairs
+# ---------------------------------------------------------------------------
+
+def q70_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every 6th doc gets a planted EXCERPT (+700000: its first 20
+    words). Excerpt→original shingle containment is ~1.0 while Jaccard
+    is ~|excerpt|/|doc| ≈ 0.3 — the asymmetric-duplicate class the q15
+    Jaccard gate structurally cannot flag. Both containment directions
+    ride one pair aggregate; the division is exact small-int rational
+    math, identical across engines (no float-stability dance needed
+    beyond round-6 output)."""
+    from baskerville_spark.functions.dedup import shingle_containment_pairs
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.unionByName(
+        d.where(F.col("doc_id") % 6 == 0).select(
+            (F.col("doc_id") + 700_000).alias("doc_id"),
+            F.array_join(
+                F.slice(F.split(F.col("text"), "\\s+"), 1, 20), " "
+            ).alias("text"),
+        )
+    )
+    p = shingle_containment_pairs(corpus, n=3, threshold=0.8, max_df=50)
+    return p.select(
+        "id_a",
+        "id_b",
+        F.round("containment_a", 6).alias("containment_a"),
+        F.round("containment_b", 6).alias("containment_b"),
+    )
+
+
+_Q70_SQL = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 700000,
+         array_to_string((string_split_regex(text, '\\s+'))[1:20], ' ')
+  FROM documents WHERE doc_id % 6 = 0),
+toks AS (
+  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t FROM corpus),
+idx AS (
+  SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 2, 0))) AS i
+  FROM toks WHERE len(t) >= 3),
+sh0 AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle FROM idx),
+keep AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) <= 50),
+sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN keep USING (shingle)),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT id_a, id_b,
+       ROUND(c * 1.0 / sa.n, 6) AS containment_a,
+       ROUND(c * 1.0 / sb.n, 6) AS containment_b
+FROM common
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE c * 1.0 / sa.n >= 0.8 OR c * 1.0 / sb.n >= 0.8
+"""
+
+
+_prev_queries_q70 = queries
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    out = _prev_queries_q70()
+    out["q70_containment_pairs"] = q70_containment_pairs
+    return out
+
+
+_prev_oracles_q70 = oracle_sql
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = _prev_oracles_q70()
+    out["q70_containment_pairs"] = _Q70_SQL
+    return out

@@ -479,3 +479,58 @@ def tfidf_cosine_pairs(
         )
         .where(F.col("cosine") >= threshold)
     )
+
+
+def shingle_containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_df: int = 1000,
+) -> DataFrame:
+    """ASYMMETRIC near-dup: containment(A⊆B) = |A∩B| / |A| — the metric
+    that catches a document plus its truncation/excerpt, which Jaccard
+    structurally under-scores (a 10%-length excerpt of a clean doc has
+    containment 1.0 but Jaccard 0.1, sailing under any Jaccard
+    threshold). Standard in training-data pipelines for prefix/suffix
+    and quote dedup; a from-scratch extension (the reference dedups
+    exact keys only).
+
+    Emits (id_a, id_b, containment_a, containment_b) for pairs where
+    EITHER direction >= threshold — both directions ride the same pair
+    aggregate, no second join. Same scale shape as
+    ``ngram_jaccard_pairs``: inverted shingle index, max_df stop-shingle
+    guard applied before the join AND the sizes (the metric is
+    containment over the filtered space), window-carried sizes keeping
+    the a/b branches ReuseExchange-identical.
+    """
+    sh = word_shingles(df, id_col, text_col, n)
+    low_df = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df_"))
+        .where(F.col("df_") <= max_df)
+        .select("shingle")
+    )
+    filtered = sh.join(low_df, "shingle", "left_semi")
+    sized = filtered.withColumn(
+        "n_sh", F.count(F.lit(1)).over(Window.partitionBy("id"))
+    )
+    a = sized.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"), "shingle")
+    b = sized.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"), "shingle")
+    return (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("n_common") / F.col("n_a")).cast("double").alias("containment_a"),
+            (F.col("n_common") / F.col("n_b")).cast("double").alias("containment_b"),
+        )
+        .where(
+            (F.col("containment_a") >= threshold)
+            | (F.col("containment_b") >= threshold)
+        )
+    )

@@ -496,3 +496,31 @@ def test_tfidf_cosine_pairs(spark):
     assert abs(got[(1, 2)] - expected) < 1e-9
     # threshold filters
     assert tfidf_cosine_pairs(docs, threshold=0.99, max_df=2).count() == 0
+
+
+def test_containment_catches_excerpts_jaccard_misses(spark):
+    from baskerville_spark.functions.dedup import (
+        ngram_jaccard_pairs,
+        shingle_containment_pairs,
+    )
+
+    base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet " \
+           "kilo lima mike november oscar papa quebec romeo sierra tango"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, " ".join(base.split()[:6])),  # 30% excerpt of doc 1
+            (3, "whiskey xray yankee zulu uniform victor"),
+        ],
+        ["doc_id", "text"],
+    )
+    cont = {
+        (r["id_a"], r["id_b"]): (r["containment_a"], r["containment_b"])
+        for r in shingle_containment_pairs(docs, n=3, threshold=0.8).collect()
+    }
+    # excerpt fully contained: 4 of doc 2's 4 shingles appear in doc 1
+    assert set(cont) == {(1, 2)}
+    assert cont[(1, 2)][1] == 1.0  # containment of the excerpt (b) in a
+    assert cont[(1, 2)][0] < 0.8   # the big doc is NOT contained in the excerpt
+    # the same pair sails under a Jaccard gate — the class this metric exists for
+    assert ngram_jaccard_pairs(docs, n=3, threshold=0.8).count() == 0

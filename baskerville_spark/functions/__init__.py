@@ -11,6 +11,7 @@ from baskerville_spark.functions.dedup import (  # noqa: F401
     minhash_signatures,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
+    shingle_containment_pairs,
     simhash,
     tfidf_cosine_pairs,
 )

@@ -3856,3 +3856,99 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
     out = _prev_oracles_q70()
     out["q70_containment_pairs"] = _Q70_SQL
     return out
+
+
+# ---------------------------------------------------------------------------
+# Q71 — Gopher-style repetition quality metrics
+#       (functions/text.repetition_metrics)
+# ---------------------------------------------------------------------------
+
+def q71_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-doc repetition signals over documents plus a planted
+    pathological tail: every 8th doc is cloned (+800000) with its first
+    4 words repeated 10 times appended — driving all three metrics up in
+    a way the oracle recomputes exactly. The *_frac ratios are pure
+    array algebra (no explode); only top_2gram_frac pays an explode +
+    two map-side-combining aggregates."""
+    from baskerville_spark.functions.text import repetition_metrics
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    rep = F.array_join(
+        F.flatten(
+            F.array_repeat(F.slice(F.split(F.col("text"), "\\s+"), 1, 4), 10)
+        ),
+        " ",
+    )
+    corpus = d.unionByName(
+        d.where(F.col("doc_id") % 8 == 0).select(
+            (F.col("doc_id") + 800_000).alias("doc_id"),
+            F.concat("text", F.lit(" "), rep).alias("text"),
+        )
+    )
+    m = repetition_metrics(corpus)
+    return m.select(
+        F.col("id").alias("doc_id"),
+        F.round("dup_token_frac", 6).alias("dup_token_frac"),
+        F.round("dup_2gram_frac", 6).alias("dup_2gram_frac"),
+        F.round("top_2gram_frac", 6).alias("top_2gram_frac"),
+    )
+
+
+_Q71_SQL = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 800000,
+         text || ' ' ||
+         array_to_string(flatten([ (string_split_regex(text, '\\s+'))[1:4]
+                                   FOR _ IN range(10) ]), ' ')
+  FROM documents WHERE doc_id % 8 = 0),
+toks AS (
+  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t FROM corpus),
+grams AS (
+  SELECT doc_id, t,
+         CASE WHEN len(t) >= 2
+              THEN [array_to_string(t[i:i+1], ' ')
+                    FOR i IN range(1, len(t))]
+              ELSE [] END AS g
+  FROM toks),
+ratios AS (
+  SELECT doc_id,
+         1.0 - len(list_distinct(t)) * 1.0 / len(t) AS dup_token_frac,
+         CASE WHEN len(g) > 0
+              THEN 1.0 - len(list_distinct(g)) * 1.0 / len(g)
+              ELSE 0.0 END AS dup_2gram_frac,
+         g
+  FROM grams),
+topg AS (
+  SELECT doc_id,
+         CASE WHEN len(g) > 0
+              THEN (SELECT MAX(c) FROM (
+                      SELECT COUNT(*) AS c FROM unnest(g) AS u(x) GROUP BY x
+                   )) * 1.0 / len(g)
+              ELSE 0.0 END AS top_2gram_frac
+  FROM ratios)
+SELECT r.doc_id,
+       ROUND(r.dup_token_frac, 6) AS dup_token_frac,
+       ROUND(r.dup_2gram_frac, 6) AS dup_2gram_frac,
+       ROUND(t.top_2gram_frac, 6) AS top_2gram_frac
+FROM ratios r JOIN topg t ON r.doc_id = t.doc_id
+"""
+
+
+_prev_queries_q71 = queries
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    out = _prev_queries_q71()
+    out["q71_repetition_metrics"] = q71_repetition_metrics
+    return out
+
+
+_prev_oracles_q71 = oracle_sql
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = _prev_oracles_q71()
+    out["q71_repetition_metrics"] = _Q71_SQL
+    return out

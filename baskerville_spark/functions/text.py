@@ -88,3 +88,64 @@ def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
         F.col(id_col).alias("id"),
         F.md5(canon).alias("fingerprint"),
     )
+
+
+def repetition_metrics(
+    df, id_col: str = "doc_id", text_col: str = "text"
+):
+    """Gopher-style within-document repetition signals (Rae et al. 2021,
+    §A1.1 repetition filters) — a standard LLM training-data quality
+    gate the reference has no analogue for:
+
+    - dup_token_frac  = 1 − |distinct tokens| / |tokens|
+    - dup_2gram_frac  = 1 − |distinct 2-grams| / |2-grams|
+    - top_2gram_frac  = occurrences of the most frequent 2-gram / |2-grams|
+
+    The two *_frac ratios are pure array algebra (size/array_distinct —
+    whole-stage codegen, zero explode, zero shuffle); only the top-2-gram
+    share needs an explode + two aggregates, both map-side-combining on
+    (doc, gram). Single-token docs emit 0.0 for the 2-gram metrics
+    (nothing to repeat), matching the SQL oracle's coalesce.
+    """
+    from pyspark.sql import functions as F
+
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    k = F.size(toks) - 1
+    grams = F.when(
+        k >= 1,
+        F.transform(
+            F.sequence(F.lit(0), k - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = df.select(
+        F.col(id_col).alias("id"),
+        toks.alias("toks"),
+        grams.alias("grams"),
+    )
+    ratios = base.select(
+        "id",
+        (
+            1.0 - F.size(F.array_distinct("toks")) / F.size("toks")
+        ).alias("dup_token_frac"),
+        F.when(
+            F.size("grams") > 0,
+            1.0 - F.size(F.array_distinct("grams")) / F.size("grams"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_2gram_frac"),
+    )
+    top = (
+        base.select("id", F.size("grams").alias("n_g"), F.explode_outer("grams").alias("g"))
+        .groupBy("id", "n_g", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("id", "n_g")
+        .agg(F.max(F.when(F.col("g").isNotNull(), F.col("c")).otherwise(0)).alias("top_c"))
+        .select(
+            "id",
+            F.when(F.col("n_g") > 0, F.col("top_c") / F.col("n_g"))
+            .otherwise(F.lit(0.0))
+            .alias("top_2gram_frac"),
+        )
+    )
+    return ratios.join(top, "id")

@@ -524,3 +524,25 @@ def test_containment_catches_excerpts_jaccard_misses(spark):
     assert cont[(1, 2)][0] < 0.8   # the big doc is NOT contained in the excerpt
     # the same pair sails under a Jaccard gate — the class this metric exists for
     assert ngram_jaccard_pairs(docs, n=3, threshold=0.8).count() == 0
+
+
+def test_repetition_metrics(spark):
+    from baskerville_spark.functions.text import repetition_metrics
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),       # 3x "a b": heavy 2-gram repetition
+            (2, "w x y z"),           # all distinct
+            (3, "solo"),              # single token: 2-gram metrics 0.0
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["id"]: r for r in repetition_metrics(docs).collect()}
+    # doc 1: 6 tokens 2 distinct; 5 grams ["a b","b a","a b","b a","a b"]
+    assert abs(rows[1]["dup_token_frac"] - (1 - 2 / 6)) < 1e-9
+    assert abs(rows[1]["dup_2gram_frac"] - (1 - 2 / 5)) < 1e-9
+    assert abs(rows[1]["top_2gram_frac"] - 3 / 5) < 1e-9
+    assert rows[2]["dup_token_frac"] == 0.0
+    assert rows[2]["dup_2gram_frac"] == 0.0
+    assert abs(rows[2]["top_2gram_frac"] - 1 / 3) < 1e-9
+    assert rows[3]["dup_2gram_frac"] == 0.0 and rows[3]["top_2gram_frac"] == 0.0

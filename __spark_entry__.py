@@ -3952,3 +3952,68 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
     out = _prev_oracles_q71()
     out["q71_repetition_metrics"] = _Q71_SQL
     return out
+
+
+# ---------------------------------------------------------------------------
+# Q72 — per-document character entropy (functions/text.char_entropy)
+# ---------------------------------------------------------------------------
+
+def q72_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-family quality signal: Shannon entropy (nats) of each doc's
+    character distribution, with planted degenerate docs — every 9th doc
+    cloned (+900000) as 200 repeats of one character (entropy exactly 0)
+    — that any entropy floor filter must catch. ONE explode + ONE
+    aggregate via the ln(n) − Σc·ln(c)/n identity (no per-id window);
+    the (doc, char) key space is alphabet-bounded so the shuffle is tiny
+    at any document length."""
+    from baskerville_spark.functions.text import char_entropy
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.unionByName(
+        d.where(F.col("doc_id") % 9 == 0).select(
+            (F.col("doc_id") + 900_000).alias("doc_id"),
+            F.repeat(F.lit("a"), 200).alias("text"),
+        )
+    )
+    return char_entropy(corpus).select(
+        F.col("id").alias("doc_id"),
+        F.round("entropy", 4).cast("float").alias("entropy"),
+    )
+
+
+_Q72_SQL = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 900000, repeat('a', 200) FROM documents WHERE doc_id % 9 = 0),
+chars AS (
+  SELECT doc_id AS id, c.ch
+  FROM corpus, unnest(string_split(coalesce(text, ''), '')) AS c(ch)
+  WHERE c.ch <> ''),
+counts AS (SELECT id, ch, COUNT(*) AS c FROM chars GROUP BY 1, 2),
+ent AS (
+  SELECT id, ln(SUM(c)) - SUM(c * ln(c)) / SUM(c) AS entropy
+  FROM counts GROUP BY id),
+ids AS (SELECT DISTINCT doc_id AS id FROM corpus)
+SELECT ids.id AS doc_id,
+       CAST(ROUND(coalesce(ent.entropy, 0.0), 4) AS REAL) AS entropy
+FROM ids LEFT JOIN ent USING (id)
+"""
+
+
+_prev_queries_q72 = queries
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    out = _prev_queries_q72()
+    out["q72_char_entropy"] = q72_char_entropy
+    return out
+
+
+_prev_oracles_q72 = oracle_sql
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = _prev_oracles_q72()
+    out["q72_char_entropy"] = _Q72_SQL
+    return out

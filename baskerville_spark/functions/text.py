@@ -6,7 +6,7 @@ end to end, no Python in the hot path.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 #: tiny per-language stopword sets for the n-gram/stopword-overlap heuristic
@@ -149,3 +149,39 @@ def repetition_metrics(
         )
     )
     return ratios.join(top, "id")
+
+
+def char_entropy(df, id_col: str = "doc_id", text_col: str = "text"):
+    """Per-document Shannon entropy (nats) of the character distribution
+    — the CCNet-family quality signal that separates natural text
+    (entropy ~ 2.5-3.2 nats over lowercase ASCII) from degenerate
+    payloads: repeated filler collapses toward 0, base64/hex blobs and
+    mojibake spike above it. Entirely JVM-side Column algebra: the text
+    is exploded to characters ONCE, then two map-side-combining
+    aggregates — no Python, no UDF, and the (doc, char) key space is
+    bounded by |alphabet| per doc, so the shuffle is tiny regardless of
+    document length. Empty/NULL texts emit 0.0.
+    """
+    from pyspark.sql import functions as F
+
+    chars = df.select(
+        F.col(id_col).alias("id"),
+        F.explode_outer(F.split(F.coalesce(F.col(text_col), F.lit("")), "")).alias(
+            "ch"
+        ),
+    ).where(F.col("ch") != "")
+    counts = chars.groupBy("id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    # -Σ (c/n)·ln(c/n) = ln n − (Σ c·ln c)/n: both sums land in ONE
+    # aggregate, no per-id window pass
+    ent = (
+        counts.groupBy("id")
+        .agg(
+            F.sum("c").alias("n"),
+            F.sum(F.col("c") * F.log("c")).alias("s"),
+        )
+        .select("id", (F.log("n") - F.col("s") / F.col("n")).alias("entropy"))
+    )
+    ids = df.select(F.col(id_col).alias("id")).distinct()
+    return ids.join(ent, "id", "left").select(
+        "id", F.coalesce("entropy", F.lit(0.0)).alias("entropy")
+    )

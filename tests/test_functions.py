@@ -546,3 +546,23 @@ def test_repetition_metrics(spark):
     assert rows[2]["dup_2gram_frac"] == 0.0
     assert abs(rows[2]["top_2gram_frac"] - 1 / 3) < 1e-9
     assert rows[3]["dup_2gram_frac"] == 0.0 and rows[3]["top_2gram_frac"] == 0.0
+
+
+def test_char_entropy(spark):
+    import math
+
+    from baskerville_spark.functions.text import char_entropy
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aaaa"),        # degenerate: exactly 0
+            (2, "abab"),        # two equiprobable chars: ln 2
+            (3, ""),            # empty: 0 via the left-join coalesce
+            (4, None),          # NULL text: 0
+        ],
+        "doc_id int, text string",
+    )
+    rows = {r["id"]: r["entropy"] for r in char_entropy(docs).collect()}
+    assert rows[1] == 0.0
+    assert abs(rows[2] - math.log(2)) < 1e-9
+    assert rows[3] == 0.0 and rows[4] == 0.0

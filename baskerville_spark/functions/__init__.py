@@ -16,9 +16,11 @@ from baskerville_spark.functions.dedup import (  # noqa: F401
     tfidf_cosine_pairs,
 )
 from baskerville_spark.functions.text import (  # noqa: F401
+    char_entropy,
+    fingerprint,
     lang_id,
     quality_features,
-    fingerprint,
+    repetition_metrics,
 )
 from baskerville_spark.functions.similarity import (  # noqa: F401
     cosine_topk,

@@ -4017,3 +4017,94 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
     out = _prev_oracles_q72()
     out["q72_char_entropy"] = _Q72_SQL
     return out
+
+
+# ---------------------------------------------------------------------------
+# Q73 — PII detection + scrubbing (functions/text.pii_scrub)
+# ---------------------------------------------------------------------------
+
+_PII_TAIL = (
+    " contact bob.smith@example.com from 192.168.1.77"
+    " call 555-123-4567 ssn 123-45-6789"
+)
+
+
+def q73_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pre-release redaction pass: every 10th doc (+1000000) gets an
+    appended PII payload (email, IPv4, US-phone, SSN shapes). Counts are
+    one regexp_count per pattern and the scrub one chained
+    regexp_replace — a single whole-stage-codegen projection, zero
+    shuffle; the oracle re-runs the identical regex family (RE2/Java
+    common subset — no backreferences, no lookaround) and md5s the
+    scrubbed text, so replacement ORDER (most-specific first: an SSN
+    must not be half-eaten by the phone pattern) is under the hash."""
+    from baskerville_spark.functions.text import pii_scrub
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.unionByName(
+        d.where(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            F.concat("text", F.lit(_PII_TAIL)).alias("text"),
+        )
+    )
+    out = pii_scrub(corpus)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "email_count",
+        "ipv4_count",
+        "ssn_count",
+        "phone_count",
+        "pii_total",
+        F.md5("scrubbed").alias("scrubbed_md5"),
+    )
+
+
+_Q73_SQL = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000,
+         text || ' contact bob.smith@example.com from 192.168.1.77' ||
+                 ' call 555-123-4567 ssn 123-45-6789'
+  FROM documents WHERE doc_id % 10 = 0),
+pat AS (
+  SELECT
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}' AS email,
+    '\\b(?:(?:25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])\\.){3}(?:25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])\\b' AS ipv4,
+    '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b' AS ssn,
+    '\\b(?:\\+?1[-. ]?)?\\(?[0-9]{3}\\)?[-. ][0-9]{3}[-. ][0-9]{4}\\b' AS phone)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, email)) AS INT) AS email_count,
+       CAST(len(regexp_extract_all(t, ipv4)) AS INT) AS ipv4_count,
+       CAST(len(regexp_extract_all(t, ssn)) AS INT) AS ssn_count,
+       CAST(len(regexp_extract_all(t, phone)) AS INT) AS phone_count,
+       CAST(len(regexp_extract_all(t, email)) + len(regexp_extract_all(t, ipv4))
+          + len(regexp_extract_all(t, ssn)) + len(regexp_extract_all(t, phone))
+          AS INT) AS pii_total,
+       md5(regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(t, email, '<EMAIL>', 'g'),
+                 ipv4, '<IP>', 'g'),
+               ssn, '<SSN>', 'g'),
+             phone, '<PHONE>', 'g')) AS scrubbed_md5
+FROM (SELECT doc_id, coalesce(text, '') AS t FROM corpus), pat
+"""
+
+
+_prev_queries_q73 = queries
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    out = _prev_queries_q73()
+    out["q73_pii_scrub"] = q73_pii_scrub
+    return out
+
+
+_prev_oracles_q73 = oracle_sql
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = _prev_oracles_q73()
+    out["q73_pii_scrub"] = _Q73_SQL
+    return out

@@ -19,6 +19,7 @@ from baskerville_spark.functions.text import (  # noqa: F401
     char_entropy,
     fingerprint,
     lang_id,
+    pii_scrub,
     quality_features,
     repetition_metrics,
 )

@@ -185,3 +185,51 @@ def char_entropy(df, id_col: str = "doc_id", text_col: str = "text"):
     return ids.join(ent, "id", "left").select(
         "id", F.coalesce("entropy", F.lit(0.0)).alias("entropy")
     )
+
+
+_PII_PATTERNS = {
+    # ordered most- to least-specific; each value is (regex, replacement)
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "ipv4": (
+        r"\b(?:(?:25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])\.){3}"
+        r"(?:25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])\b",
+        "<IP>",
+    ),
+    "ssn": (r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<SSN>"),
+    "phone": (
+        r"\b(?:\+?1[-. ]?)?\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}\b",
+        "<PHONE>",
+    ),
+}
+
+
+def pii_scrub(df, id_col: str = "doc_id", text_col: str = "text"):
+    """PII detection + scrubbing — the redaction pass every
+    training-data pipeline runs before release (emails, IPv4 addresses,
+    SSN-shaped and US-phone-shaped numbers; the pattern set is the
+    deliberately-conservative regex family — a production deployment
+    swaps in its compliance team's patterns through ``_PII_PATTERNS``
+    without touching the plan shape).
+
+    Pure Column algebra: one ``regexp_count`` per pattern for the
+    counts and a chained ``regexp_replace`` for the scrubbed text — all
+    inside whole-stage codegen, zero Python, one projection, no
+    shuffle at all. Emits (id, <kind>_count ..., pii_total, scrubbed).
+    Replacement order is most-specific-first so an SSN is not half-eaten
+    by the phone pattern.
+    """
+    from pyspark.sql import functions as F
+
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    counts = [
+        F.regexp_count(text, F.lit(rx)).alias(f"{kind}_count")
+        for kind, (rx, _) in _PII_PATTERNS.items()
+    ]
+    scrubbed = text
+    for rx, repl in _PII_PATTERNS.values():
+        scrubbed = F.regexp_replace(scrubbed, rx, repl)
+    out = df.select(F.col(id_col).alias("id"), *counts, scrubbed.alias("scrubbed"))
+    total = sum(
+        (F.col(f"{k}_count") for k in _PII_PATTERNS), F.lit(0)
+    )
+    return out.withColumn("pii_total", total)

@@ -566,3 +566,27 @@ def test_char_entropy(spark):
     assert rows[1] == 0.0
     assert abs(rows[2] - math.log(2)) < 1e-9
     assert rows[3] == 0.0 and rows[4] == 0.0
+
+
+def test_pii_scrub(spark):
+    from baskerville_spark.functions.text import pii_scrub
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail a@b.co and c.d+x@e.org ip 10.0.0.1 ssn 123-45-6789 "
+                "tel (555) 123-4567"),
+            (2, "clean text with plain numbers 12345 and version 1.2"),
+            (3, None),
+        ],
+        "doc_id int, text string",
+    )
+    rows = {r["id"]: r for r in pii_scrub(docs).collect()}
+    r1 = rows[1]
+    assert (r1["email_count"], r1["ipv4_count"], r1["ssn_count"], r1["phone_count"]) == (2, 1, 1, 1)
+    assert r1["pii_total"] == 5
+    s = r1["scrubbed"]
+    assert "<EMAIL>" in s and "<IP>" in s and "<SSN>" in s and "<PHONE>" in s
+    assert "a@b.co" not in s and "123-45-6789" not in s
+    # version strings and plain ints must NOT be flagged
+    assert rows[2]["pii_total"] == 0 and rows[2]["scrubbed"].endswith("1.2")
+    assert rows[3]["pii_total"] == 0 and rows[3]["scrubbed"] == ""

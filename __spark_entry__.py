@@ -4108,3 +4108,215 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
     out = _prev_oracles_q73()
     out["q73_pii_scrub"] = _Q73_SQL
     return out
+
+
+# --------------------------------------------------------------------------
+# q74/q75: metadata-consistency checks over a CLOSED-FORM clip-metadata table
+# (every column is pure mod arithmetic on the row index, so DuckDB rebuilds
+# the identical table from generate_series — the q21 oracle pattern without
+# the rng-dependent columns).
+# --------------------------------------------------------------------------
+
+_META_N = 2000  # 4 partitions x 500 rows
+
+
+def _meta_clips(spark: SparkSession):
+    """Closed-form clip-metadata table: (clip_id, byte_len, sr_hz, dur_ms,
+    codec, transcript, part_id). dur_ms NULL on i%23==11 (non-checkable
+    path); pcm byte_len corrupted on i%41==3; flac/opus byte_len arbitrary
+    (no fixed-rate contract)."""
+    i = F.col("id")
+    sr = F.element_at(
+        F.array(*[F.lit(x) for x in (8000, 16000, 22050, 44100, 48000)]),
+        ((i % 5) + 1).cast("int"),
+    )
+    true_dur = (F.lit(100) + (i * 37) % 900).cast("int")
+    dur = F.when(i % 23 == 11, F.lit(None).cast("int")).otherwise(true_dur)
+    codec = (
+        F.when(i % 7 == 0, F.lit("flac"))
+        .when(i % 7 == 3, F.lit("opus"))
+        .otherwise(F.lit("pcm_s16le"))
+    )
+    expected = (F.floor(sr.cast("bigint") * true_dur / F.lit(1000)) * 2).cast("bigint")
+    corrupt = F.when(i % 41 == 3, (i % 89) + 1).otherwise(F.lit(0)).cast("bigint")
+    byte_len = F.when(codec == "pcm_s16le", expected + corrupt).otherwise(
+        F.lit(50) + (i % 1000)
+    )
+    n_chars = (F.lit(5) + (i * 13) % 80).cast("int")
+    return spark.range(_META_N).select(
+        F.format_string("clip_%012d", i).alias("clip_id"),
+        byte_len.cast("bigint").alias("byte_len"),
+        sr.cast("int").alias("sr_hz"),
+        dur.alias("dur_ms"),
+        codec.alias("codec"),
+        F.expr("repeat('a', 5 + cast((id*13) % 80 as int))").alias("transcript"),
+        F.floor(i / F.lit(500)).cast("int").alias("part_id"),
+        n_chars.alias("n_chars"),
+    )
+
+
+_META_CTE = f"""
+WITH idx AS (SELECT unnest(generate_series(0, {_META_N - 1})) AS i),
+m AS (
+  SELECT
+    printf('clip_%012d', i) AS clip_id,
+    CAST([8000,16000,22050,44100,48000][CAST(i % 5 AS INT) + 1] AS BIGINT) AS sr_hz,
+    CAST(100 + (i*37) % 900 AS BIGINT) AS true_dur,
+    CASE WHEN i % 23 = 11 THEN NULL ELSE CAST(100 + (i*37) % 900 AS BIGINT) END AS dur_ms,
+    CASE WHEN i % 7 = 0 THEN 'flac' WHEN i % 7 = 3 THEN 'opus'
+         ELSE 'pcm_s16le' END AS codec,
+    CAST(5 + (i*13) % 80 AS BIGINT) AS n_chars,
+    CAST(i // 500 AS INT) AS part_id,
+    i
+  FROM idx),
+meta AS (
+  SELECT clip_id, sr_hz, dur_ms, codec, n_chars, part_id,
+    CASE WHEN codec = 'pcm_s16le'
+         THEN (sr_hz * true_dur) // 1000 * 2
+              + (CASE WHEN i % 41 = 3 THEN (i % 89) + 1 ELSE 0 END)
+         ELSE 50 + (i % 1000) END AS byte_len
+  FROM m)
+"""
+
+
+def q74_payload_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Payload byte-length consistency (validation tier): fixed-rate codecs
+    must satisfy len(bytes) == floor(sr*dur/1000)*bytes_per_sample; catches
+    truncated uploads / lying headers without decoding. Pure Column
+    arithmetic over the metadata projection — no payload scan, one filter,
+    no shuffle (the violations listing is a map-side projection)."""
+    from baskerville_spark.checks.consistency import payload_byte_violations
+
+    return payload_byte_violations(_meta_clips(spark))
+
+
+_Q74_SQL = _META_CTE + """
+SELECT part_id, clip_id, 'payload_bytes' AS check_name,
+       byte_len,
+       (sr_hz * dur_ms) // 1000 * 2 AS expected_bytes
+FROM meta
+WHERE codec = 'pcm_s16le' AND dur_ms IS NOT NULL
+  AND byte_len <> (sr_hz * dur_ms) // 1000 * 2
+"""
+
+
+def q75_speaking_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Speaking-rate plausibility verdicts: transcript chars/sec outside
+    [20, 200] fails the partition (the cheap transcript-audio alignment
+    screen run before any ASR verify). ONE conditional-sum aggregate keyed
+    on part_id — verdict shape, exercising the verdicts path of
+    checks/consistency.py under the oracle (q74 covers the listing path)."""
+    from baskerville_spark.checks.consistency import speaking_rate_verdicts
+
+    v = speaking_rate_verdicts(_meta_clips(spark), min_cps=20.0, max_cps=200.0)
+    return v.select(
+        "part_id",
+        "check_name",
+        F.col("passed").cast("int").alias("passed"),
+        F.round("metric_value", 6).alias("violation_rate"),
+        "n_rows",
+        "n_violations",
+    )
+
+
+_Q75_SQL = _META_CTE + """
+, flags AS (
+  SELECT part_id,
+         (dur_ms IS NOT NULL) AS checkable,
+         (dur_ms IS NOT NULL AND
+          (n_chars / (dur_ms / 1000.0) < 20.0
+           OR n_chars / (dur_ms / 1000.0) > 200.0)) AS violated
+  FROM meta)
+SELECT part_id, 'speaking_rate' AS check_name,
+       CAST(SUM(CASE WHEN violated THEN 1 ELSE 0 END) = 0 AS INT) AS passed,
+       ROUND(SUM(CASE WHEN violated THEN 1 ELSE 0 END)
+             / greatest(SUM(CASE WHEN checkable THEN 1 ELSE 0 END), 1) * 1.0,
+             6) AS violation_rate,
+       SUM(CASE WHEN checkable THEN 1 ELSE 0 END) AS n_rows,
+       SUM(CASE WHEN violated THEN 1 ELSE 0 END) AS n_violations
+FROM flags GROUP BY part_id
+"""
+
+
+def q76_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (8-gram overlap): benchmark = docs with
+    doc_id%10==7, training = the rest; flag training docs sharing any
+    8-gram with the benchmark. Broadcast semi-join on the benchmark's
+    distinct shingles — the training corpus never shuffles its text."""
+    from baskerville_spark.functions.dedup import decontaminate
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = d.where(F.col("doc_id") % 10 == 7)
+    train = d.where(F.col("doc_id") % 10 != 7)
+    return decontaminate(train, bench, n=8)
+
+
+_Q76_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t FROM documents),
+idx AS (
+  SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 7, 0))) AS i
+  FROM toks WHERE len(t) >= 8),
+sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS shingle FROM idx),
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 10 = 7)
+SELECT s.doc_id, COUNT(*) AS n_contaminated_shingles
+FROM sh s JOIN bench USING (shingle)
+WHERE s.doc_id % 10 <> 7
+GROUP BY s.doc_id
+"""
+
+
+def q77_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing: concatenate docs in doc_id order, cut every
+    512 tokens, report per-bin doc count / token mass / id span. The global
+    prefix sum is the two-phase distributed form (range partition -> P-row
+    block-total agg -> literal offset map -> per-block window): no
+    single-task global Window.orderBy — see functions/packing.py."""
+    from baskerville_spark.functions.packing import pack_sequences, packed_bin_summary
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return packed_bin_summary(pack_sequences(d, bin_tokens=512))
+
+
+_Q77_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+  FROM documents),
+c AS (
+  SELECT doc_id, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - n_tokens AS start_offset
+  FROM t)
+SELECT start_offset // 512 AS bin_id,
+       COUNT(*) AS n_docs,
+       SUM(n_tokens) AS n_tokens,
+       MIN(doc_id) AS first_doc,
+       MAX(doc_id) AS last_doc
+FROM c GROUP BY 1
+"""
+
+
+_prev_queries_q77 = queries
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    out = _prev_queries_q77()
+    out["q74_payload_bytes"] = q74_payload_bytes
+    out["q75_speaking_rate"] = q75_speaking_rate
+    out["q76_decontamination"] = q76_decontamination
+    out["q77_sequence_packing"] = q77_sequence_packing
+    return out
+
+
+_prev_oracles_q77 = oracle_sql
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = _prev_oracles_q77()
+    out["q74_payload_bytes"] = _Q74_SQL
+    out["q75_speaking_rate"] = _Q75_SQL
+    out["q76_decontamination"] = _Q76_SQL
+    out["q77_sequence_packing"] = _Q77_SQL
+    return out

@@ -7,6 +7,7 @@ Python appears only in Arrow-batched pandas UDFs (multimodal decode).
 """
 
 from baskerville_spark.functions.dedup import (  # noqa: F401
+    decontaminate,
     exact_duplicates,
     minhash_signatures,
     minhash_lsh_pairs,
@@ -14,6 +15,10 @@ from baskerville_spark.functions.dedup import (  # noqa: F401
     shingle_containment_pairs,
     simhash,
     tfidf_cosine_pairs,
+)
+from baskerville_spark.functions.packing import (  # noqa: F401
+    pack_sequences,
+    packed_bin_summary,
 )
 from baskerville_spark.functions.text import (  # noqa: F401
     char_entropy,

@@ -534,3 +534,38 @@ def shingle_containment_pairs(
             | (F.col("containment_b") >= threshold)
         )
     )
+
+
+def decontaminate(
+    df: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any word
+    n-gram with an evaluation/benchmark corpus (the GPT-3/Llama-style
+    8-to-13-gram overlap filter run before every pretraining mix; the
+    reference has no analog — its dedup is exact-key only).
+
+    Scale shape: the benchmark side is tiny relative to a 100-TB training
+    corpus (an eval suite is ~1e5 docs), so its DISTINCT shingle set is
+    broadcast and the training corpus streams map-side through a broadcast
+    LEFT SEMI join — the only shuffle is the per-doc hit count, keyed on
+    doc id, carrying (id) rows for matched shingles only. Training text is
+    never shuffled. For benchmark suites too large to broadcast, drop the
+    ``broadcast`` hint and the same plan runs as a shuffled semi-join.
+
+    Returns (doc_id, n_contaminated_shingles) for contaminated docs only —
+    the count is of DISTINCT shared n-grams (word_shingles dedupes per doc).
+    """
+    bench_sh = (
+        word_shingles(benchmark, id_col, text_col, n).select("shingle").distinct()
+    )
+    train_sh = word_shingles(df, id_col, text_col, n)
+    hits = train_sh.join(F.broadcast(bench_sh), "shingle", "left_semi")
+    return (
+        hits.groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated_shingles"))
+        .select(F.col("id").alias(id_col), "n_contaminated_shingles")
+    )

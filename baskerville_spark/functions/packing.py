@@ -1,0 +1,103 @@
+"""Sequence packing: assign documents to fixed-size context-window bins.
+
+Pretraining pipelines concatenate documents (in a deterministic order) into
+one token stream and cut it into fixed-length context windows; each document
+is attributed to the window where it STARTS. That attribution is a global
+prefix sum over token counts — trivial in one process, but the naive Spark
+form (``Window.orderBy(id)`` with no partitionBy) coalesces the whole table
+into ONE task, which is exactly the kind of plan that works at 60k rows and
+dies at 100 TB.
+
+``pack_sequences`` implements the classic two-phase distributed prefix sum:
+
+1. ``repartitionByRange(id)`` gives contiguous, ordered id blocks (range
+   partition i holds strictly smaller ids than partition i+1 — the same
+   layout a sorted Iceberg table already has, in which case the shuffle is
+   free).
+2. ONE tiny aggregate computes per-block token totals (P rows, P = number
+   of range partitions) which the driver cumulates into per-block start
+   offsets — O(P) driver work, bounded by parallelism, never by data.
+3. The offsets re-enter the plan as a literal map keyed on the range
+   partition id; the within-block running sum is a per-partition window
+   (partitionBy block), so no task ever sees more than one block.
+
+Token counting is whitespace tokens (`F.split(trim, '\\s+')`) — identical
+to quality_features' token_count_ws; swap in token_count_bpe or a real
+tokenizer count column via ``tokens_col``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokens_col: str | None = None,
+    bin_tokens: int = 512,
+    n_blocks: int | None = None,
+) -> DataFrame:
+    """(id, n_tokens, start_offset, bin_id): the context window each doc
+    starts in when docs are concatenated in ``id_col`` order and split
+    every ``bin_tokens`` tokens.
+
+    ``tokens_col`` uses a precomputed token-count column; otherwise counts
+    whitespace tokens of ``text_col``. Ids must be unique (they are the
+    concatenation order). For P range blocks the literal offset map holds
+    P entries — fine into the thousands; beyond that, broadcast-join a tiny
+    (block, offset) frame instead (same plan shape).
+    """
+    tok = (
+        F.col(tokens_col)
+        if tokens_col is not None
+        else F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    )
+    base = df.select(F.col(id_col).alias("id"), tok.cast("long").alias("n_tokens"))
+    if n_blocks is None:
+        n_blocks = base.sparkSession.sparkContext.defaultParallelism
+    ranged = (
+        base.repartitionByRange(n_blocks, "id")
+        .withColumn("block", F.spark_partition_id())
+    )
+    # phase 1: per-block totals -> driver cumsum (P rows; bounded by
+    # parallelism, not data). Range partition order == id order, so the
+    # running total over block index is the global prefix.
+    totals = ranged.groupBy("block").agg(F.sum("n_tokens").alias("t")).collect()
+    offsets: dict[int, int] = {}
+    acc = 0
+    for r in sorted(totals, key=lambda r: r["block"]):
+        offsets[r["block"]] = acc
+        acc += int(r["t"] or 0)
+    off = F.element_at(
+        F.create_map(
+            *[F.lit(x) for kv in sorted(offsets.items()) for x in kv]
+        ),
+        F.col("block"),
+    )
+    # phase 2: within-block running sum — partitioned window, no global sort
+    w = (
+        Window.partitionBy("block")
+        .orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    start = (off + F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("bigint")
+    return ranged.select(
+        F.col("id").alias(id_col),
+        "n_tokens",
+        start.alias("start_offset"),
+        F.floor(start / F.lit(bin_tokens)).cast("bigint").alias("bin_id"),
+    )
+
+
+def packed_bin_summary(packed: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Per-bin rollup of ``pack_sequences`` output: doc count, token mass,
+    id span — the shape a packing job reports for mix auditing."""
+    return packed.groupBy("bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.min(id_col).alias("first_doc"),
+        F.max(id_col).alias("last_doc"),
+    )

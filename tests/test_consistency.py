@@ -1,0 +1,134 @@
+"""Metadata-consistency checks (checks/consistency.py) + the new
+training-pipeline operators (decontaminate, pack_sequences)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from baskerville_spark.checks.consistency import (
+    payload_byte_verdicts,
+    payload_byte_violations,
+    speaking_rate_verdicts,
+    speaking_rate_violations,
+)
+from baskerville_spark.functions.dedup import decontaminate
+from baskerville_spark.functions.packing import pack_sequences, packed_bin_summary
+
+
+def _meta_rows(spark):
+    # 16 kHz * 1000 ms * 2 B = 32000 expected bytes for pcm
+    return spark.createDataFrame(
+        [
+            Row(part_id=0, clip_id="a", codec="pcm_s16le", sr_hz=16000,
+                dur_ms=1000, byte_len=32000, transcript="x" * 50),   # ok
+            Row(part_id=0, clip_id="b", codec="pcm_s16le", sr_hz=16000,
+                dur_ms=1000, byte_len=31998, transcript="x" * 50),   # truncated
+            Row(part_id=0, clip_id="c", codec="flac", sr_hz=16000,
+                dur_ms=1000, byte_len=7, transcript="x" * 50),       # non-checkable codec
+            Row(part_id=1, clip_id="d", codec="pcm_s16le", sr_hz=8000,
+                dur_ms=None, byte_len=99, transcript="x" * 50),      # null dur: skip
+            Row(part_id=1, clip_id="e", codec="pcm_s16le", sr_hz=22050,
+                dur_ms=333, byte_len=(22050 * 333) // 1000 * 2,
+                transcript="x" * 4000),                              # bytes ok, rate high
+        ]
+    )
+
+
+def test_payload_byte_check(spark):
+    df = _meta_rows(spark)
+    viol = payload_byte_violations(df).collect()
+    assert [(v["clip_id"], v["byte_len"], v["expected_bytes"]) for v in viol] == [
+        ("b", 31998, 32000)
+    ]
+    v = {r["part_id"]: r for r in payload_byte_verdicts(df).collect()}
+    assert v[0]["n_rows"] == 2 and v[0]["n_violations"] == 1 and not v[0]["passed"]
+    # part 1: only clip e checkable (d has NULL dur), and it matches
+    assert v[1]["n_rows"] == 1 and v[1]["n_violations"] == 0 and v[1]["passed"]
+
+
+def test_speaking_rate_check(spark):
+    df = _meta_rows(spark)
+    # 50 chars / 1.0 s = 50 cps; 4000 chars / 0.333 s = 12012 cps
+    viol = speaking_rate_violations(df, min_cps=0.5, max_cps=100.0).collect()
+    assert [r["clip_id"] for r in viol] == ["e"]
+    v = {r["part_id"]: r for r in
+         speaking_rate_verdicts(df, min_cps=0.5, max_cps=100.0).collect()}
+    assert v[0]["n_rows"] == 3 and v[0]["n_violations"] == 0 and v[0]["passed"]
+    assert v[1]["n_rows"] == 1 and v[1]["n_violations"] == 1 and not v[1]["passed"]
+
+
+def test_payload_check_on_generated_clips(spark, t1_clips, t1_cfg):
+    """On the real generator fixture, the byte check flags EXACTLY the
+    pcm rows whose declared dur_ms was range-mutated (payload was encoded
+    with the true duration; NULL-dur rows are non-checkable)."""
+    import baskerville_spark.generator as g
+
+    meta = t1_clips.select(
+        "part_id", "clip_id", "codec", "sr_hz", "dur_ms",
+        F.length("bytes").alias("byte_len"),
+    )
+    flagged = {
+        r["clip_id"] for r in payload_byte_violations(meta).collect()
+    }
+    expected = set()
+    for i in range(t1_cfg.n_rows):
+        if g.is_clean_part(i, t1_cfg):
+            continue
+        if i % g.NULL_MOD == g.NULL_OFF:
+            continue  # dur NULL -> non-checkable
+        if i % g.RANGE_MOD == g.RANGE_OFF:
+            cid = g.clip_id_of(i, t1_cfg)
+            codec_row = meta.where(F.col("clip_id") == cid)
+            # only pcm rows are checkable; look codec up from the fixture
+            expected.add(cid)
+    # every flagged row is a range-mutated row and is pcm
+    pcm_expected = {
+        r["clip_id"]
+        for r in meta.where(
+            F.col("clip_id").isin(list(expected))
+            & (F.col("codec") == "pcm_s16le")
+        ).collect()
+    }
+    assert flagged == pcm_expected
+    assert flagged  # fixture must actually exercise the violation path
+
+
+def test_decontaminate(spark):
+    bench = spark.createDataFrame(
+        [Row(doc_id=1, text="the quick brown fox jumps over the lazy dog today")]
+    )
+    train = spark.createDataFrame(
+        [
+            # contains the benchmark 8-gram "the quick ... lazy" twice shifted
+            Row(doc_id=10, text="xx the quick brown fox jumps over the lazy dog yy"),
+            Row(doc_id=11, text="completely different words with no overlap at all here"),
+            Row(doc_id=12, text="short text"),
+        ]
+    )
+    out = {r["doc_id"]: r["n_contaminated_shingles"]
+           for r in decontaminate(train, bench, n=8).collect()}
+    assert set(out) == {10}
+    # the common 9-token run "the quick ... lazy dog" yields 2 distinct
+    # 8-gram windows shared with the benchmark
+    assert out[10] == 2
+
+
+def test_pack_sequences_matches_serial_cumsum(spark):
+    rows = [Row(doc_id=i, text=" ".join(["w"] * (3 + i % 7))) for i in range(40)]
+    df = spark.createDataFrame(rows)
+    # multi-block path: 5 range blocks exercises the offset map
+    packed = {
+        r["doc_id"]: (r["start_offset"], r["bin_id"])
+        for r in pack_sequences(df, bin_tokens=10, n_blocks=5).collect()
+    }
+    acc = 0
+    for i in range(40):
+        n = 3 + i % 7
+        assert packed[i] == (acc, acc // 10), f"doc {i}"
+        acc += n
+    summary = packed_bin_summary(
+        pack_sequences(df, bin_tokens=10, n_blocks=5)
+    ).collect()
+    assert sum(r["n_docs"] for r in summary) == 40
+    assert sum(r["n_tokens"] for r in summary) == acc

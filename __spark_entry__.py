@@ -4320,3 +4320,60 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
     out["q76_decontamination"] = _Q76_SQL
     out["q77_sequence_packing"] = _Q77_SQL
     return out
+
+
+# --------------------------------------------------------------------------
+# q78: domain-mixture rebalancing sample
+# --------------------------------------------------------------------------
+
+_MIX_WEIGHTS = {"src0": 0.4, "src1": 0.25, "src2": 0.2, "src3": 0.1, "src4": 0.05}
+
+
+def q78_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining domain rebalancing: downsample `documents` to the target
+    source mixture (40/25/20/10/5) without upsampling — T = min_g n_g/w_g,
+    per-group deterministic md5-threshold keep (functions/sampling.py).
+    ONE tiny group-count shuffle + a map-side filter; the oracle recomputes
+    the group counts, the same IEEE-double rates, and the same 60-bit md5
+    bucket, so the exact sampled row SET is under the hash."""
+    from baskerville_spark.functions.sampling import mixture_sample
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return mixture_sample(d, _MIX_WEIGHTS, group_col="source", id_col="doc_id")
+
+
+def _q78_sql() -> str:
+    vals = ", ".join(
+        f"('{g}', CAST({w} AS DOUBLE))" for g, w in sorted(_MIX_WEIGHTS.items())
+    )
+    return f"""
+WITH w(source, w) AS (VALUES {vals}),
+n AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+t AS (SELECT MIN(n.n / w.w) AS total FROM n JOIN w USING (source)),
+thr AS (
+  SELECT n.source,
+         CAST(floor(((w.w * t.total) / n.n) * 1000000) AS BIGINT) + 1 AS thr
+  FROM n JOIN w USING (source), t)
+SELECT d.doc_id, d.source
+FROM documents d JOIN thr USING (source)
+WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000
+      < thr.thr
+"""
+
+
+_prev_queries_q78 = queries
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    out = _prev_queries_q78()
+    out["q78_mixture_sample"] = q78_mixture_sample
+    return out
+
+
+_prev_oracles_q78 = oracle_sql
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = _prev_oracles_q78()
+    out["q78_mixture_sample"] = _q78_sql()
+    return out

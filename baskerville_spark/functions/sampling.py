@@ -45,3 +45,42 @@ def hash_threshold_keep(id_expr: Column, frac: float) -> Column:
     ``limit`` backstop after this filter.
     """
     return hash_bucket(id_expr) < F.lit(int(frac * N_BUCKETS) + 1)
+
+
+def mixture_sample(
+    df,
+    target_weights: dict[str, float],
+    group_col: str = "source",
+    id_col: str = "doc_id",
+):
+    """Downsample to a target group mixture WITHOUT upsampling — the
+    pretraining domain-rebalancing pass (e.g. "make the mix 40% web /
+    25% books / ..."): find the largest total T achievable given each
+    group's population (T = min_g n_g / w_g), then keep each group at
+    rate_g = w_g * T / n_g via the deterministic hash-threshold predicate.
+
+    Scale: ONE tiny groupBy(group) count (the only shuffle; group
+    cardinality ~ dozens of domains), rates computed driver-side from
+    those few rows, then a pure map-side filter over the corpus — no
+    second shuffle, no RNG, reproducible across engines and
+    partitionings. Groups absent from ``target_weights`` are dropped
+    (their target share is zero).
+    """
+    from pyspark.sql import functions as F
+
+    counts = {
+        r[0]: r[1] for r in df.groupBy(group_col).count().collect()
+    }
+    present = {g: w for g, w in target_weights.items() if counts.get(g)}
+    if not present:
+        raise ValueError("no target group present in the data")
+    total = min(counts[g] / w for g, w in present.items())
+    thr_map = {
+        g: int(((w * total) / counts[g]) * N_BUCKETS) + 1
+        for g, w in present.items()
+    }
+    thr = F.element_at(
+        F.create_map(*[F.lit(x) for kv in sorted(thr_map.items()) for x in kv]),
+        F.col(group_col),
+    )
+    return df.where(hash_bucket(F.col(id_col)) < thr)

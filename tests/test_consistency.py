@@ -132,3 +132,31 @@ def test_pack_sequences_matches_serial_cumsum(spark):
     ).collect()
     assert sum(r["n_docs"] for r in summary) == 40
     assert sum(r["n_tokens"] for r in summary) == acc
+
+
+def test_mixture_sample(spark):
+    from pyspark.sql import Row
+    from baskerville_spark.functions.sampling import mixture_sample
+
+    rows = [Row(doc_id=i, source=f"s{i % 4}") for i in range(400)]  # 100 per group
+    df = spark.createDataFrame(rows)
+    out = mixture_sample(
+        df, {"s0": 0.5, "s1": 0.25, "s2": 0.25}, group_col="source"
+    )
+    got = {r["source"]: r["n"] for r in
+           out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # T = min(100/.5, 100/.25, 100/.25) = 200 -> targets 100/50/50;
+    # s3 has no target weight -> dropped entirely
+    assert "s3" not in got
+    assert got["s0"] == 100                      # rate 1.0 keeps everything
+    assert abs(got["s1"] - 50) <= 15             # hash-threshold is ~binomial
+    assert abs(got["s2"] - 50) <= 15
+    # deterministic: same call, same exact row set
+    ids = sorted(r["doc_id"] for r in out.collect())
+    ids2 = sorted(
+        r["doc_id"]
+        for r in mixture_sample(
+            df, {"s0": 0.5, "s1": 0.25, "s2": 0.25}, group_col="source"
+        ).collect()
+    )
+    assert ids == ids2

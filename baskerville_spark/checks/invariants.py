@@ -23,6 +23,7 @@ from __future__ import annotations
 from typing import Iterator
 
 import pyarrow as pa
+import pyarrow.compute as pc
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -37,6 +38,17 @@ INVARIANT_RESULT_SCHEMA = T.StructType(
         T.StructField("snr_ok", T.BooleanType(), False),
         T.StructField("decode_ok", T.BooleanType(), False),
         T.StructField("transcript_ok", T.BooleanType(), True),
+        # appended at the END (never mid-schema: positional consumers —
+        # checkpointed state, Arrow batches — must keep old offsets valid).
+        # byte_len + echoed metadata make the result self-sufficient for the
+        # payload byte-consistency check WITHOUT a clip_id join back to the
+        # metadata projection — clip_id is NOT unique (duplicate injection is
+        # what the uniqueness check detects), so such a join cross-matches
+        # dup rows and fabricates violations.
+        T.StructField("byte_len", T.LongType(), True),
+        T.StructField("sr_hz", T.IntegerType(), True),
+        T.StructField("dur_ms", T.IntegerType(), True),
+        T.StructField("codec", T.StringType(), True),
     ]
 )
 
@@ -49,6 +61,10 @@ _ARROW_OUT = pa.schema(
         pa.field("snr_ok", pa.bool_()),
         pa.field("decode_ok", pa.bool_()),
         pa.field("transcript_ok", pa.bool_()),
+        pa.field("byte_len", pa.int64()),
+        pa.field("sr_hz", pa.int32()),
+        pa.field("dur_ms", pa.int32()),
+        pa.field("codec", pa.string()),
     ]
 )
 
@@ -96,6 +112,13 @@ def _check_arrow_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.Recor
                 pa.array(snr_oks, pa.bool_()),
                 pa.array(decode_oks, pa.bool_()),
                 pa.array(transcript_oks, pa.bool_()),
+                # payload length rides out of the SAME pass that decodes —
+                # an O(1) offsets difference per row (pyarrow kernel), no
+                # extra payload IO; feeds the byte-consistency check
+                pc.cast(pc.binary_length(payloads), pa.int64()),
+                pc.cast(b.column(b.schema.get_field_index("sr_hz")), pa.int32()),
+                pc.cast(b.column(b.schema.get_field_index("dur_ms")), pa.int32()),
+                pc.cast(b.column(b.schema.get_field_index("codec")), pa.string()),
             ],
             schema=_ARROW_OUT,
         )
@@ -111,7 +134,7 @@ def audio_invariant(
     transcript_ok is null when the clip has no reference transcript (that
     case is the referential-integrity check's job, not this one's).
     """
-    cols = ["part_id", "clip_id", "bytes", "sr_hz", "codec", "transcript"]
+    cols = ["part_id", "clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript"]
     df = clips.select(*cols)
     if transcript_ref is not None:
         dim = transcript_ref.select("clip_id", "transcript_ref")

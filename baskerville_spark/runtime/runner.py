@@ -66,6 +66,11 @@ class ValidationConfig:
     check_audio: bool = True
     numeric_cols: tuple = ("sr_hz", "dur_ms")
     categorical_cols: tuple = ("codec",)
+    # metadata-consistency checks (checks/consistency.py); off by default so
+    # existing verdict grids (and their closed-form oracles) are unchanged
+    check_payload_bytes: bool = False
+    check_speaking_rate: bool = False
+    speaking_rate_bounds: tuple = (0.5, 30.0)
 
 
 @dataclass
@@ -185,10 +190,56 @@ def run_validation(
         violation_dfs.append(pv)
         check_names += [f"pattern:{s.name}" for s in CLIP_SPECS if s.pattern]
 
+    if cfg.check_speaking_rate:
+        from baskerville_spark.checks import consistency
+
+        lo, hi = cfg.speaking_rate_bounds
+        sr_v = consistency.speaking_rate_violations(slim, min_cps=lo, max_cps=hi)
+        violation_dfs.append(
+            sr_v.select(
+                "part_id",
+                "clip_id",
+                "check_name",
+                F.concat(
+                    F.lit("chars_per_sec="), F.col("chars_per_sec").cast("string")
+                ).alias("detail"),
+            )
+        )
+        check_names.append("speaking_rate")
+
+    inv = inv_mod.audio_invariant(clips, transcript_ref) if cfg.check_audio else None
     if cfg.check_audio:
-        inv = inv_mod.audio_invariant(clips, transcript_ref)
         violation_dfs.append(inv_mod.invariant_violations(inv))
         check_names += ["snr", "decode_error", "transcript_eq"]
+
+    if cfg.check_payload_bytes:
+        from baskerville_spark.checks import consistency
+
+        if inv is not None:
+            # byte_len + echoed metadata ride out of the SAME Arrow pass that
+            # decodes audio (pc.binary_length on the batch offsets — no extra
+            # payload IO, and crucially NO clip_id join back to the metadata:
+            # clip_id is not unique, a join would cross-match dup rows)
+            meta_bl = inv
+        else:
+            # no decode pass to piggyback on: pay one dedicated payload scan
+            meta_bl = clips.select(
+                "part_id", "clip_id", "codec", "sr_hz", "dur_ms",
+                F.length("bytes").alias("byte_len"),
+            )
+        pb = consistency.payload_byte_violations(meta_bl)
+        violation_dfs.append(
+            pb.select(
+                "part_id",
+                "clip_id",
+                "check_name",
+                F.concat(
+                    F.lit("byte_len="), F.col("byte_len").cast("string"),
+                    F.lit(" expected="), F.col("expected_bytes").cast("string"),
+                ).alias("detail"),
+            )
+        )
+        check_names.append("payload_bytes")
 
     violations = violation_dfs[0]
     for v in violation_dfs[1:]:

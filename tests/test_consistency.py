@@ -160,3 +160,58 @@ def test_mixture_sample(spark):
         ).collect()
     )
     assert ids == ids2
+
+
+def test_runner_consistency_checks_optin(spark, t1_clips, t1_tref):
+    """With the opt-in flags on, the suite gains payload_bytes and
+    speaking_rate verdict rows whose counts match independent recomputation;
+    with defaults, the verdict grid is unchanged (no new check names)."""
+    from baskerville_spark.runtime.runner import ValidationConfig, run_validation
+
+    res = run_validation(
+        spark, t1_clips, t1_tref,
+        cfg=ValidationConfig(
+            check_payload_bytes=True,
+            check_speaking_rate=True,
+            speaking_rate_bounds=(0.5, 400.0),
+        ),
+    )
+    verd = res.verdicts.collect()
+    names = {r["check_name"] for r in verd}
+    assert {"payload_bytes", "speaking_rate"} <= names
+
+    # independent recomputation of both counts from the raw fixture
+    meta = t1_clips.select(
+        "part_id", "clip_id", "codec", "sr_hz", "dur_ms",
+        F.length("bytes").alias("byte_len"), "transcript",
+    )
+    exp_pb = (
+        meta.where(
+            (F.col("codec") == "pcm_s16le")
+            & F.col("dur_ms").isNotNull()
+            & (
+                F.col("byte_len")
+                != F.floor(
+                    F.col("sr_hz").cast("bigint") * F.col("dur_ms") / F.lit(1000)
+                ) * 2
+            )
+        ).count()
+    )
+    cps = F.length("transcript") / (F.col("dur_ms") / F.lit(1000.0))
+    exp_sr = (
+        meta.where(
+            F.col("dur_ms").isNotNull()
+            & ((cps < 0.5) | (cps > 400.0))
+        ).count()
+    )
+    got_pb = sum(r["n_violations"] for r in verd if r["check_name"] == "payload_bytes")
+    got_sr = sum(r["n_violations"] for r in verd if r["check_name"] == "speaking_rate")
+    assert got_pb == exp_pb and exp_pb > 0
+    assert got_sr == exp_sr and exp_sr > 0
+    res.unpersist()
+
+    # defaults: grid unchanged
+    res0 = run_validation(spark, t1_clips, t1_tref)
+    names0 = {r["check_name"] for r in res0.verdicts.collect()}
+    assert "payload_bytes" not in names0 and "speaking_rate" not in names0
+    res0.unpersist()

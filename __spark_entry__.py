@@ -4377,3 +4377,89 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
     out = _prev_oracles_q78()
     out["q78_mixture_sample"] = _q78_sql()
     return out
+
+
+# --------------------------------------------------------------------------
+# q79/q80: document chunking + vocabulary/OOV audit
+# --------------------------------------------------------------------------
+
+
+def q79_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (100-token windows every 80 tokens): the
+    RAG / long-doc preprocessing split. Pure Column algebra (split ->
+    sequence -> posexplode -> slice), no shuffle; chunk content is under
+    the hash via md5 of the re-joined window."""
+    from baskerville_spark.functions.packing import chunk_documents
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return chunk_documents(d, chunk_tokens=100, stride=80)
+
+
+_Q79_SQL = """
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+s AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         unnest(generate_series(0, greatest(len(toks) - 1, 0), 80)) AS start_tok
+  FROM t)
+SELECT doc_id,
+       CAST(start_tok // 80 AS INT) AS chunk_idx,
+       CAST(start_tok AS INT) AS start_tok,
+       CAST(least(100, n - start_tok) AS INT) AS n_tokens_chunk,
+       md5(array_to_string(toks[start_tok + 1 : start_tok + 100], ' ')) AS chunk_md5
+FROM s
+"""
+
+
+def q80_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-coverage audit: top-500 corpus tokens by frequency
+    (deterministic tie-break), then per-document OOV rate against that
+    vocab. Count agg with map-side combine absorbs token skew; the vocab
+    is TakeOrdered'd (no global sort) and broadcast into the coverage
+    join, so the corpus tokens never shuffle by token twice."""
+    from baskerville_spark.functions.text import oov_rate, vocab_top_tokens
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    vocab = vocab_top_tokens(d, vocab_size=500)
+    return oov_rate(d, vocab).select(
+        F.col("id").alias("doc_id"), "n_tokens", "n_oov", "oov_ratio"
+    )
+
+
+_Q80_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+  FROM documents),
+tok2 AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+vocab AS (
+  SELECT token FROM (
+    SELECT token, COUNT(*) AS cnt FROM tok2 GROUP BY token)
+  ORDER BY cnt DESC, token ASC LIMIT 500)
+SELECT t.doc_id,
+       COUNT(*) AS n_tokens,
+       SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS n_oov,
+       ROUND(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) * 1.0
+             / COUNT(*), 6) AS oov_ratio
+FROM tok2 t LEFT JOIN vocab v USING (token)
+GROUP BY t.doc_id
+"""
+
+
+_prev_queries_q80 = queries
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    out = _prev_queries_q80()
+    out["q79_chunk_documents"] = q79_chunk_documents
+    out["q80_vocab_oov"] = q80_vocab_oov
+    return out
+
+
+_prev_oracles_q80 = oracle_sql
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = _prev_oracles_q80()
+    out["q79_chunk_documents"] = _Q79_SQL
+    out["q80_vocab_oov"] = _Q80_SQL
+    return out

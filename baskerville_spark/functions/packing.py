@@ -101,3 +101,43 @@ def packed_bin_summary(packed: DataFrame, id_col: str = "doc_id") -> DataFrame:
         F.min(id_col).alias("first_doc"),
         F.max(id_col).alias("last_doc"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 100,
+    stride: int = 80,
+) -> DataFrame:
+    """Sliding-window chunking: split each document into token windows of
+    ``chunk_tokens`` starting every ``stride`` tokens (overlap when
+    stride < chunk_tokens) — the RAG / long-document preprocessing step.
+
+    Pure Column algebra: split -> sequence of starts -> posexplode ->
+    slice; one narrow projection, no shuffle, whole-stage codegen
+    end-to-end. The chunk text is re-joined with single spaces (the
+    tokenizer's inverse for whitespace tokens); chunk_md5 fingerprints it
+    so content — not just counts — is under any downstream comparison.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(toks)
+    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride))
+    chunk = F.slice(F.col("__toks"), F.col("start_tok") + 1, chunk_tokens)
+    return (
+        df.select(
+            F.col(id_col).alias(id_col),
+            toks.alias("__toks"),
+            n.alias("__n"),
+            F.posexplode(starts).alias("chunk_idx", "start_tok"),
+        )
+        .select(
+            id_col,
+            "chunk_idx",
+            "start_tok",
+            F.least(F.lit(chunk_tokens), F.col("__n") - F.col("start_tok"))
+            .cast("int")
+            .alias("n_tokens_chunk"),
+            F.md5(F.concat_ws(" ", chunk)).alias("chunk_md5"),
+        )
+    )

@@ -233,3 +233,63 @@ def pii_scrub(df, id_col: str = "doc_id", text_col: str = "text"):
         (F.col(f"{k}_count") for k in _PII_PATTERNS), F.lit(0)
     )
     return out.withColumn("pii_total", total)
+
+
+def vocab_top_tokens(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_size: int = 1000,
+) -> DataFrame:
+    """Top-``vocab_size`` tokens by corpus frequency (ties broken by token
+    order for determinism): (token, cnt, rank).
+
+    Scale: explode -> ONE count aggregate (map-side combine absorbs token
+    skew: each task emits at most |local vocab| partial counts regardless
+    of how hot a token is) -> orderBy+limit, which Spark executes as
+    per-partition TakeOrdered + driver merge of vocab_size rows — no
+    global sort shuffle.
+    """
+    toks = F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("token")
+    counts = (
+        df.select(toks)
+        .where(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc("token"))
+    return (
+        counts.orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(vocab_size)
+        .withColumn("rank", F.row_number().over(w))
+    )
+
+
+def oov_rate(
+    df: DataFrame,
+    vocab: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document out-of-vocabulary rate against a (token, ...) vocab
+    frame: (id, n_tokens, n_oov, oov_ratio).
+
+    The vocab is broadcast (it is vocab_size rows by construction); tokens
+    stream map-side through the broadcast left join, and the only shuffle
+    is the per-doc count — the tokenizer-coverage audit run before
+    committing to a vocab.
+    """
+    toks = F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("token")
+    exploded = df.select(F.col(id_col).alias("id"), toks).where(F.col("token") != "")
+    marked = exploded.join(
+        F.broadcast(vocab.select("token").withColumn("__in_v", F.lit(1))),
+        "token",
+        "left",
+    )
+    return marked.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.isnull("__in_v").cast("long")).alias("n_oov"),
+        F.round(
+            F.sum(F.isnull("__in_v").cast("long")) / F.count(F.lit(1)), 6
+        ).alias("oov_ratio"),
+    )

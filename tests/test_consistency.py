@@ -215,3 +215,42 @@ def test_runner_consistency_checks_optin(spark, t1_clips, t1_tref):
     names0 = {r["check_name"] for r in res0.verdicts.collect()}
     assert "payload_bytes" not in names0 and "speaking_rate" not in names0
     res0.unpersist()
+
+
+def test_chunk_documents(spark):
+    from baskerville_spark.functions.packing import chunk_documents
+
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text=" ".join(f"t{i}" for i in range(25))),
+         Row(doc_id=2, text="a b")]
+    )
+    out = chunk_documents(df, chunk_tokens=10, stride=8)
+    rows = {(r["doc_id"], r["chunk_idx"]): r for r in out.collect()}
+    # doc 1: 25 tokens -> starts 0,8,16,24
+    assert sorted(k[1] for k in rows if k[0] == 1) == [0, 1, 2, 3]
+    assert rows[(1, 0)]["n_tokens_chunk"] == 10
+    assert rows[(1, 2)]["n_tokens_chunk"] == 9   # tokens 16..24
+    assert rows[(1, 3)]["n_tokens_chunk"] == 1   # token 24 only
+    # doc 2: 2 tokens -> single chunk of 2
+    assert sorted(k[1] for k in rows if k[0] == 2) == [0]
+    assert rows[(2, 0)]["n_tokens_chunk"] == 2
+    import hashlib
+    want = hashlib.md5(" ".join(f"t{i}" for i in range(16, 25)).encode()).hexdigest()
+    assert rows[(1, 2)]["chunk_md5"] == want
+
+
+def test_vocab_oov(spark):
+    from baskerville_spark.functions.text import oov_rate, vocab_top_tokens
+
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="a a a b b c"),
+         Row(doc_id=2, text="a b x y")]
+    )
+    vocab = vocab_top_tokens(df, vocab_size=2)
+    assert [(r["token"], r["cnt"], r["rank"]) for r in vocab.collect()] == [
+        ("a", 4, 1), ("b", 3, 2)
+    ]
+    out = {r["id"]: r for r in oov_rate(df, vocab).collect()}
+    assert out[1]["n_tokens"] == 6 and out[1]["n_oov"] == 1      # c
+    assert out[2]["n_tokens"] == 4 and out[2]["n_oov"] == 2      # x y
+    assert abs(out[2]["oov_ratio"] - 0.5) < 1e-9

@@ -161,3 +161,52 @@ def stats_verdicts(
     return stats.select(
         "part_id", F.explode(F.array_compact(F.array(*pieces))).alias("__v")
     ).select("part_id", "__v.*")
+
+
+def robust_outlier_violations(
+    df: DataFrame,
+    value_col: str,
+    part_col: str = "part_id",
+    id_cols: list[str] | None = None,
+    k: float = 5.0,
+) -> DataFrame:
+    """Median/MAD robust outlier flagging per partition:
+    ``|x − median| > k · 1.4826 · MAD`` (1.4826 scales MAD to σ under
+    normality — the robust z-score). Mean/stddev-based thresholds (the
+    reference's incident condition, incident_detector.py:285-289) are
+    dragged by the very outliers they hunt; median/MAD has a 50%
+    breakdown point.
+
+    Plan: TWO aggregate passes (median, then MAD of |x−med|), each
+    producing one tiny per-partition row broadcast back — the flag itself
+    is a map-side filter, no row-level shuffle. Uses the EXACT
+    ``percentile`` (DuckDB quantile_cont parity; it buffers each group's
+    values, fine at gate scale) — at 10^12 rows swap ``percentile_approx``,
+    whose rank-error bound is exactly what the q46 sketch-accuracy gate
+    certifies.
+    """
+    v = F.col(value_col).cast("double")
+    base = df.where(v.isNotNull()).select(
+        F.col(part_col).alias("__part"),
+        *[F.col(c) for c in (id_cols or [])],
+        v.alias("__x"),
+    )
+    med = base.groupBy("__part").agg(F.percentile(F.col("__x"), 0.5).alias("med"))
+    with_med = base.join(F.broadcast(med), "__part")
+    mad = with_med.groupBy("__part").agg(
+        F.percentile(F.abs(F.col("__x") - F.col("med")), 0.5).alias("mad")
+    )
+    return (
+        with_med.join(F.broadcast(mad), "__part")
+        .where(
+            F.abs(F.col("__x") - F.col("med"))
+            > F.lit(k) * F.lit(1.4826) * F.greatest(F.col("mad"), F.lit(1e-12))
+        )
+        .select(
+            F.col("__part").alias(part_col),
+            *[F.col(c) for c in (id_cols or [])],
+            F.col("__x").alias(value_col),
+            F.round("med", 6).alias("med"),
+            F.round("mad", 6).alias("mad"),
+        )
+    )

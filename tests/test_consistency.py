@@ -254,3 +254,19 @@ def test_vocab_oov(spark):
     assert out[1]["n_tokens"] == 6 and out[1]["n_oov"] == 1      # c
     assert out[2]["n_tokens"] == 4 and out[2]["n_oov"] == 2      # x y
     assert abs(out[2]["oov_ratio"] - 0.5) < 1e-9
+
+
+def test_robust_outlier_violations(spark):
+    from baskerville_spark.checks.stats import robust_outlier_violations
+
+    # group g: values 1..9 plus a 100 outlier -> med 5.5, MAD 2.5
+    # threshold = 3 * 1.4826 * 2.5 = 11.12 -> only 100 flagged
+    rows = [Row(part="g", rid=i, x=float(i)) for i in range(1, 10)]
+    rows.append(Row(part="g", rid=99, x=100.0))
+    rows.append(Row(part="h", rid=1, x=None))  # null-only group: no output
+    df = spark.createDataFrame(rows)
+    out = robust_outlier_violations(
+        df, "x", part_col="part", id_cols=["rid"], k=3.0
+    ).collect()
+    assert [(r["part"], r["rid"], r["x"]) for r in out] == [("g", 99, 100.0)]
+    assert abs(out[0]["med"] - 5.5) < 1e-9 and abs(out[0]["mad"] - 2.5) < 1e-9

@@ -4516,3 +4516,79 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
     out = _prev_oracles_q81()
     out["q81_robust_outliers"] = _Q81_SQL
     return out
+
+
+# --------------------------------------------------------------------------
+# q82: content-based audio dedup (decode-level, cross-container)
+# --------------------------------------------------------------------------
+
+
+def q82_audio_content_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio content dedup across containers: every 17th canonical clip is
+    transcoded to flac under a new id ('xcopy_' prefix) and unioned in; the
+    engine must recover EXACTLY the planted (original, copy) pairs by
+    joining on md5 of the DECODED sample stream (byte-level hashing cannot
+    see through the container change). One mapInArrow decode pass per
+    payload; the pair join carries only (16-byte hash, id) rows.
+
+    ORACLE: the planted set is closed-form over the generator's mod
+    arithmetic — s%17==5 minus the dup-renamed ids (no clip_s row exists)
+    and the mp3-codec drift rows (undecodable, so no transcode copy);
+    recall 1.0 and zero false pairs are both under the hash."""
+    from baskerville_spark.functions.audio_dedup import (
+        audio_content_fingerprints,
+        content_duplicate_pairs,
+        reencode,
+    )
+    from baskerville_spark.generator import GenConfig, generate_clips
+
+    cfg = GenConfig(n_rows=1000, n_parts=4)
+    clips = generate_clips(spark, cfg).persist()
+    suffix = F.substring("clip_id", 6, 12).cast("int")
+    plants = clips.where(suffix % 17 == 5)
+    copies = reencode(plants, "flac").withColumn(
+        "clip_id", F.concat(F.lit("xcopy_"), F.col("clip_id"))
+    )
+    corpus = clips.unionByName(copies)
+    pairs = content_duplicate_pairs(
+        audio_content_fingerprints(corpus), exact=True
+    )
+    out = pairs.persist()
+    out.count()
+    clips.unpersist()
+    return out
+
+
+_Q82_SQL = """
+WITH idx AS (SELECT unnest(generate_series(0, 999)) AS s),
+fl AS (
+  SELECT s,
+    least(3, (s*4)//1000) AS part,
+    (s > 0 AND s % 199 = 17
+       AND least(3, (s*4)//1000) = least(3, ((s-1)*4)//1000)
+       AND least(3, (s*4)//1000) <> 0) AS dup_renamed,
+    (least(3, (s*4)//1000) = 3 AND s % 211 <> 31 AND s % 5 = 2) AS mp3
+  FROM idx)
+SELECT printf('clip_%012d', s) AS clip_id_a,
+       'xcopy_' || printf('clip_%012d', s) AS clip_id_b
+FROM fl
+WHERE s % 17 = 5 AND NOT dup_renamed AND NOT mp3
+"""
+
+
+_prev_queries_q82 = queries
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    out = _prev_queries_q82()
+    out["q82_audio_content_dedup"] = q82_audio_content_dedup
+    return out
+
+
+_prev_oracles_q82 = oracle_sql
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = _prev_oracles_q82()
+    out["q82_audio_content_dedup"] = _Q82_SQL
+    return out

@@ -4592,3 +4592,89 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
     out = _prev_oracles_q82()
     out["q82_audio_content_dedup"] = _Q82_SQL
     return out
+
+
+# --------------------------------------------------------------------------
+# q83: audio loudness / clipping QA vs analytic closed forms
+# --------------------------------------------------------------------------
+
+
+def q83_loudness_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Loudness QA gate: 300 synthesized constant-level (DC) clips whose
+    exact peak/RMS dBFS and clipped-sample counts are closed-form
+    (level v = min(500 + (i*613)%40000, 32767): peak = rms = v, clipped
+    iff v hits full scale). The measurement path is the REAL one — encode
+    to pcm_s16le, Arrow decode, per-clip stats (functions/audio_quality) —
+    and the gate emits exact integers plus |measured − analytic| < 1e-9
+    booleans (the q46 bounded-verdict pattern); the oracle rebuilds the
+    integer columns arithmetically and pins the booleans TRUE."""
+    import pandas as pd
+
+    from baskerville_spark.functions.audio_quality import audio_loudness_stats
+
+    def synth(batches):
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for i in pdf["id"]:
+                i = int(i)
+                amp = 500 + (i * 613) % 40000
+                v = min(amp, 32767)
+                n = 100 + (i % 7) * 50
+                out.append(
+                    {
+                        "part_id": i % 4,
+                        "clip_id": f"dc_{i:06d}",
+                        "bytes": np.full(n, v, dtype="<i2").tobytes(),
+                        "codec": "pcm_s16le",
+                        "level": v,
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    clips = spark.range(300).mapInPandas(
+        synth,
+        schema="part_id int, clip_id string, bytes binary, codec string, level int",
+    )
+    stats = audio_loudness_stats(clips).join(
+        clips.select("clip_id", "level"), "clip_id"
+    )
+    expected_db = F.lit(20.0) * F.log10(F.col("level") / F.lit(32768.0))
+    return stats.select(
+        "clip_id",
+        "n_samples",
+        "n_clipped",
+        (F.abs(F.col("peak_dbfs") - expected_db) < 1e-9).alias("ok_peak"),
+        (F.abs(F.col("rms_dbfs") - expected_db) < 1e-9).alias("ok_rms"),
+    )
+
+
+_Q83_SQL = """
+WITH idx AS (SELECT unnest(generate_series(0, 299)) AS i)
+SELECT printf('dc_%06d', i) AS clip_id,
+       CAST(100 + (i % 7) * 50 AS BIGINT) AS n_samples,
+       CAST(CASE WHEN 500 + (i * 613) % 40000 >= 32767
+                 THEN 100 + (i % 7) * 50 ELSE 0 END AS BIGINT) AS n_clipped,
+       TRUE AS ok_peak,
+       TRUE AS ok_rms
+FROM idx
+"""
+
+
+_prev_queries_q83 = queries
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    out = _prev_queries_q83()
+    out["q83_loudness_stats"] = q83_loudness_stats
+    return out
+
+
+_prev_oracles_q83 = oracle_sql
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = _prev_oracles_q83()
+    out["q83_loudness_stats"] = _Q83_SQL
+    return out

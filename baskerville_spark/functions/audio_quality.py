@@ -1,0 +1,101 @@
+"""Audio loudness / clipping QA: per-clip level statistics.
+
+The standard audio-ingest QA trio — peak level, RMS level (both in dBFS,
+full scale = 32768 for int16), and clipped-sample detection (|x| at full
+scale) — computed in ONE Arrow pass over the payload column, narrow rows
+out, same decode discipline as the SNR invariant (checks/invariants.py).
+Flags the real-world ingest failures metadata checks can't see: silent
+uploads (rms ~ -inf), hot/clipped masters, gain-mismatched batches.
+
+Reference seam: Baskerville has no audio-signal operators (its features
+are request-set statistics); this is a from-scratch extension for the
+audio graft cell, gated analytically (q83: synthesized constant-level
+clips whose exact dBFS/clipping counts are closed-form).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from baskerville_spark import audio
+
+FULL_SCALE = 32768.0
+CLIP_LEVEL = 32767  # |sample| >= this counts as clipped
+
+LOUDNESS_SCHEMA = T.StructType(
+    [
+        T.StructField("part_id", T.IntegerType(), True),
+        T.StructField("clip_id", T.StringType(), False),
+        T.StructField("decode_ok", T.BooleanType(), False),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("n_clipped", T.LongType(), True),
+        T.StructField("peak_dbfs", T.DoubleType(), True),
+        T.StructField("rms_dbfs", T.DoubleType(), True),
+    ]
+)
+
+_ARROW_LOUD = pa.schema(
+    [
+        pa.field("part_id", pa.int32()),
+        pa.field("clip_id", pa.string()),
+        pa.field("decode_ok", pa.bool_()),
+        pa.field("n_samples", pa.int64()),
+        pa.field("n_clipped", pa.int64()),
+        pa.field("peak_dbfs", pa.float64()),
+        pa.field("rms_dbfs", pa.float64()),
+    ]
+)
+
+
+def _loudness_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    for b in batches:
+        payloads = b.column(b.schema.get_field_index("bytes"))
+        codecs = b.column(b.schema.get_field_index("codec")).to_pylist()
+        clip_ids = b.column(b.schema.get_field_index("clip_id")).to_pylist()
+        part_ids = b.column(b.schema.get_field_index("part_id"))
+        n = len(b)
+        oks = [False] * n
+        n_samps: list[int | None] = [None] * n
+        n_clips: list[int | None] = [None] * n
+        peaks: list[float | None] = [None] * n
+        rmss: list[float | None] = [None] * n
+        for i in range(n):
+            pv = payloads[i]
+            payload = pv.as_py() if pv.is_valid else None
+            pcm = audio.decode(payload, codecs[i]) if payload is not None else None
+            if pcm is None or len(pcm) == 0:
+                continue
+            oks[i] = True
+            x = np.abs(pcm.astype(np.float64))
+            n_samps[i] = int(len(x))
+            n_clips[i] = int((x >= CLIP_LEVEL).sum())
+            peak = x.max()
+            rms = float(np.sqrt((x * x).mean()))
+            # silent clips: dBFS undefined -> NULL (not -inf, which breaks
+            # parquet/arrow round trips and every downstream comparison)
+            peaks[i] = 20.0 * np.log10(peak / FULL_SCALE) if peak > 0 else None
+            rmss[i] = 20.0 * np.log10(rms / FULL_SCALE) if rms > 0 else None
+        yield pa.RecordBatch.from_arrays(
+            [
+                part_ids.cast(pa.int32()),
+                pa.array(clip_ids, pa.string()),
+                pa.array(oks, pa.bool_()),
+                pa.array(n_samps, pa.int64()),
+                pa.array(n_clips, pa.int64()),
+                pa.array(peaks, pa.float64()),
+                pa.array(rmss, pa.float64()),
+            ],
+            schema=_ARROW_LOUD,
+        )
+
+
+def audio_loudness_stats(clips: DataFrame) -> DataFrame:
+    """(part_id, clip_id, decode_ok, n_samples, n_clipped, peak_dbfs,
+    rms_dbfs) — one decode per payload, narrow rows out."""
+    cols = [c for c in ("part_id", "clip_id", "bytes", "codec") if c in clips.columns]
+    return clips.select(*cols).mapInArrow(_loudness_batches, schema=LOUDNESS_SCHEMA)

@@ -72,3 +72,27 @@ def test_reencode_round_trip(spark):
     assert r["codec"] == "flac" and r["extra"] == "kept"  # metadata preserved
     dec = audio.decode(bytes(r["bytes"]), "flac")
     assert np.array_equal(dec, pcm)                       # lossless transcode
+
+
+def test_audio_loudness_stats(spark):
+    from baskerville_spark.functions.audio_quality import audio_loudness_stats
+
+    half = np.full(200, 16384, dtype=np.int16)          # -6.02 dBFS
+    clipped = np.full(100, 32767, dtype=np.int16)       # full scale
+    silent = np.zeros(50, dtype=np.int16)
+    rows = [
+        Row(part_id=0, clip_id="half", bytes=bytes(audio.encode(half, "flac")),
+            codec="flac"),
+        Row(part_id=0, clip_id="hot", bytes=bytes(audio.encode(clipped, "pcm_s16le")),
+            codec="pcm_s16le"),
+        Row(part_id=1, clip_id="silent", bytes=bytes(audio.encode(silent, "pcm_s16le")),
+            codec="pcm_s16le"),
+        Row(part_id=1, clip_id="bad", bytes=b"xx", codec="flac"),
+    ]
+    out = {r["clip_id"]: r for r in
+           audio_loudness_stats(spark.createDataFrame(rows)).collect()}
+    assert abs(out["half"]["peak_dbfs"] - 20 * np.log10(16384 / 32768)) < 1e-12
+    assert out["half"]["n_clipped"] == 0
+    assert out["hot"]["n_clipped"] == 100 and out["hot"]["n_samples"] == 100
+    assert out["silent"]["decode_ok"] and out["silent"]["peak_dbfs"] is None
+    assert out["bad"]["decode_ok"] is False and out["bad"]["n_samples"] is None

@@ -270,3 +270,17 @@ def test_robust_outlier_violations(spark):
     ).collect()
     assert [(r["part"], r["rid"], r["x"]) for r in out] == [("g", 99, 100.0)]
     assert abs(out[0]["med"] - 5.5) < 1e-9 and abs(out[0]["mad"] - 2.5) < 1e-9
+
+
+def test_pack_sequences_plan_no_global_window(spark):
+    """The scale property PLANS.md documents: the prefix sum must never
+    plan a SinglePartition window (the naive Window.orderBy(id) form);
+    the window is partitioned by the range block."""
+    from baskerville_spark.functions.packing import pack_sequences
+
+    rows = [Row(doc_id=i, text="a b c") for i in range(100)]
+    packed = pack_sequences(spark.createDataFrame(rows), bin_tokens=10, n_blocks=4)
+    plan = packed._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan
+    assert "SinglePartition" not in plan
+    assert "rangepartitioning" in plan

@@ -4678,3 +4678,89 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
     out = _prev_oracles_q83()
     out["q83_loudness_stats"] = _Q83_SQL
     return out
+
+
+# --------------------------------------------------------------------------
+# q84: spectral features vs exact-bin sines
+# --------------------------------------------------------------------------
+
+
+def q84_spectral_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spectral-feature gate: 200 pure sines at exact FFT-bin frequencies
+    (f = k · sr/n_fft with an integer number of periods per window, so the
+    DFT is leakage-free and ALL energy lands in bin k). The measurement
+    path is real (pcm encode → Arrow decode → rFFT); the gate pins the
+    integer dominant_bin to its closed form and bounds the centroid
+    (|centroid − k| < 1e-6 — leakage-free means numerically-zero mass
+    elsewhere). Oracle rebuilds the integers arithmetically."""
+    import pandas as pd
+
+    from baskerville_spark.functions.audio_quality import audio_spectral_features
+
+    sr, n_fft = 16000, 256
+
+    def synth(batches):
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for i in pdf["id"]:
+                i = int(i)
+                k = (i % 40) + 1                      # target bin 1..40
+                n = n_fft + (i % 3) * 100             # >= one full window
+                t = np.arange(n)
+                pcm = (10000 * np.sin(2 * np.pi * k * t / n_fft)).astype("<i2")
+                out.append(
+                    {
+                        "part_id": i % 4,
+                        "clip_id": f"sine_{i:06d}",
+                        "bytes": pcm.tobytes(),
+                        "codec": "pcm_s16le",
+                        "bin_k": k,
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    clips = spark.range(200).mapInPandas(
+        synth,
+        schema="part_id int, clip_id string, bytes binary, codec string, bin_k int",
+    )
+    feats = audio_spectral_features(clips, n_fft=n_fft).join(
+        clips.select("clip_id", "bin_k"), "clip_id"
+    )
+    return feats.select(
+        "clip_id",
+        "n_samples",
+        "dominant_bin",
+        (F.abs(F.col("spectral_centroid") - F.col("bin_k")) < 0.5).alias(
+            "ok_centroid"
+        ),
+    )
+
+
+_Q84_SQL = """
+WITH idx AS (SELECT unnest(generate_series(0, 199)) AS i)
+SELECT printf('sine_%06d', i) AS clip_id,
+       CAST(256 + (i % 3) * 100 AS BIGINT) AS n_samples,
+       CAST((i % 40) + 1 AS INT) AS dominant_bin,
+       TRUE AS ok_centroid
+FROM idx
+"""
+
+
+_prev_queries_q84 = queries
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    out = _prev_queries_q84()
+    out["q84_spectral_features"] = q84_spectral_features
+    return out
+
+
+_prev_oracles_q84 = oracle_sql
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = _prev_oracles_q84()
+    out["q84_spectral_features"] = _Q84_SQL
+    return out

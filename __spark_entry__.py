@@ -4919,3 +4919,97 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
     out = _prev_oracles_q86()
     out["q86_batched_topk"] = _Q86_SQL
     return out
+
+
+# --------------------------------------------------------------------------
+# q87: stereo downmix via exact channel identities
+# --------------------------------------------------------------------------
+
+
+def q87_downmix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downmix gate: interleaved stereo masters where either L == R (mean
+    is bit-identical to L) or R == 0 (mean = rint(L/2) — same tone, half
+    amplitude). Both closed forms keep the tone's FFT bin: the gate pins
+    frame counts (total//2, minus an odd-tail truncation case) and the
+    dominant bin through the REAL decode → deinterleave → mean → encode →
+    decode → rFFT pipeline."""
+    import pandas as pd
+
+    from baskerville_spark.functions.audio_quality import (
+        audio_downmix,
+        audio_spectral_features,
+    )
+
+    n_fft = 256
+
+    def synth(batches):
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for i in pdf["id"]:
+                i = int(i)
+                k = (i % 30) + 1
+                frames = n_fft + (i % 3) * 100
+                t = np.arange(frames)
+                left = (10000 * np.sin(2 * np.pi * k * t / n_fft)).astype("<i2")
+                right = left if i % 2 == 0 else np.zeros(frames, dtype="<i2")
+                stereo = np.empty(frames * 2, dtype="<i2")
+                stereo[0::2] = left
+                stereo[1::2] = right
+                raw = stereo.tobytes()
+                if i % 11 == 3:
+                    raw = raw + b"\x07\x00"  # odd tail: one orphan sample
+                out.append(
+                    {
+                        "part_id": i % 4,
+                        "clip_id": f"st_{i:06d}",
+                        "bytes": raw,
+                        "codec": "pcm_s16le",
+                        "bin_k": k,
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    clips = spark.range(150).mapInPandas(
+        synth,
+        schema="part_id int, clip_id string, bytes binary, codec string, bin_k int",
+    )
+    mono = audio_downmix(clips, n_channels=2)
+    feats = audio_spectral_features(mono, n_fft=n_fft).join(
+        clips.select("clip_id", "bin_k"), "clip_id"
+    )
+    return feats.select(
+        "clip_id",
+        "n_samples",
+        "dominant_bin",
+        (F.col("dominant_bin") == F.col("bin_k")).alias("ok_bin"),
+    )
+
+
+_Q87_SQL = """
+WITH idx AS (SELECT unnest(generate_series(0, 149)) AS i)
+SELECT printf('st_%06d', i) AS clip_id,
+       CAST(256 + (i % 3) * 100 AS BIGINT) AS n_samples,
+       CAST((i % 30) + 1 AS INT) AS dominant_bin,
+       TRUE AS ok_bin
+FROM idx
+"""
+
+
+_prev_queries_q87 = queries
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    out = _prev_queries_q87()
+    out["q87_downmix"] = q87_downmix
+    return out
+
+
+_prev_oracles_q87 = oracle_sql
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = _prev_oracles_q87()
+    out["q87_downmix"] = _Q87_SQL
+    return out

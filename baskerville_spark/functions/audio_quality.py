@@ -228,3 +228,41 @@ def audio_resample(clips: DataFrame, target_sr: int) -> DataFrame:
             )
 
     return clips.mapInArrow(_res, schema=clips.schema)
+
+
+def audio_downmix(clips: DataFrame, n_channels: int = 2) -> DataFrame:
+    """Downmix interleaved multi-channel PCM to mono (per-frame mean,
+    round-half-even) in one decode→transform→encode Arrow pass, preserving
+    metadata. A trailing partial frame (stream length not divisible by the
+    channel count) is truncated — the standard tolerant-reader behavior
+    for corrupt interleaving. Rows that fail to decode are dropped.
+
+    Channel count rides in as a parameter because the clip schema
+    (BASELINE input_hint) is mono — this is the ingest-side normalizer
+    that FEEDS that schema from multi-channel masters.
+    """
+
+    def _mix(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            tbl = b.to_pydict()
+            keep, new_payloads = [], []
+            for i in range(len(b)):
+                payload, codec = tbl["bytes"][i], tbl["codec"][i]
+                pcm = audio.decode(payload, codec) if payload is not None else None
+                if pcm is None or len(pcm) < n_channels:
+                    continue
+                frames = len(pcm) // n_channels
+                x = pcm[: frames * n_channels].astype(np.float64)
+                mono = np.rint(x.reshape(frames, n_channels).mean(axis=1))
+                out_pcm = np.clip(mono, -32768, 32767).astype(np.int16)
+                keep.append(i)
+                new_payloads.append(audio.encode(out_pcm, codec))
+            out = {
+                name: [tbl[name][i] for i in keep] for name in tbl if name != "bytes"
+            }
+            out["bytes"] = new_payloads
+            yield pa.RecordBatch.from_pydict(
+                {f.name: out[f.name] for f in b.schema}, schema=b.schema
+            )
+
+    return clips.mapInArrow(_mix, schema=clips.schema)

@@ -137,3 +137,26 @@ def test_audio_resample(spark):
     assert len(dec) == 3200                            # n * 8000 // 16000
     # integer ratio -> exact decimation: every output sample equals x[2j]
     assert np.array_equal(dec, pcm[::2])
+
+
+def test_audio_downmix(spark):
+    from baskerville_spark.functions.audio_quality import audio_downmix
+
+    left = np.array([100, 200, -300, 32767], dtype=np.int16)
+    right = np.array([300, -200, -300, 32767], dtype=np.int16)
+    stereo = np.empty(8, dtype=np.int16)
+    stereo[0::2] = left
+    stereo[1::2] = right
+    rows = [
+        Row(part_id=0, clip_id="s", bytes=stereo.tobytes(), codec="pcm_s16le"),
+        # odd tail: orphan half-frame is truncated, not an error
+        Row(part_id=0, clip_id="odd", bytes=stereo.tobytes() + b"\x01\x00",
+            codec="pcm_s16le"),
+        Row(part_id=0, clip_id="bad", bytes=b"z", codec="flac"),
+    ]
+    out = {r["clip_id"]: r for r in
+           audio_downmix(spark.createDataFrame(rows), n_channels=2).collect()}
+    assert "bad" not in out
+    for cid in ("s", "odd"):
+        dec = audio.decode(bytes(out[cid]["bytes"]), "pcm_s16le")
+        assert np.array_equal(dec, np.array([200, 0, -300, 32767], dtype=np.int16))

@@ -5013,3 +5013,126 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
     out = _prev_oracles_q87()
     out["q87_downmix"] = _Q87_SQL
     return out
+
+
+# --------------------------------------------------------------------------
+# q88/q89: silence trim + fixed-window segmentation, closed-form plants
+# --------------------------------------------------------------------------
+
+
+def _q88_q89_clips(spark: SparkSession):
+    """150 pcm clips with EXACT closed-form structure: lead = i%40 zero
+    samples, body = (i%50)+1 samples of constant 5000, tail = i%25 zeros."""
+    import pandas as pd
+
+    def synth(batches):
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for i in pdf["id"]:
+                i = int(i)
+                lead, body, tail = i % 40, (i % 50) + 1, i % 25
+                pcm = np.concatenate(
+                    [
+                        np.zeros(lead, dtype="<i2"),
+                        np.full(body, 5000, dtype="<i2"),
+                        np.zeros(tail, dtype="<i2"),
+                    ]
+                )
+                out.append(
+                    {
+                        "part_id": i % 4,
+                        "clip_id": f"tr_{i:06d}",
+                        "bytes": pcm.tobytes(),
+                        "codec": "pcm_s16le",
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return spark.range(150).mapInPandas(
+        synth, schema="part_id int, clip_id string, bytes binary, codec string"
+    )
+
+
+def q88_trim_silence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Endpoint silence trim gate: planted (lead zeros | constant body |
+    tail zeros) clips — the trimmed length must equal the body length
+    EXACTLY, a pure integer the oracle rebuilds from the same mods. Runs
+    the real decode → trim → encode → decode pipeline."""
+    from baskerville_spark.functions.audio_quality import audio_trim_silence
+
+    trimmed = audio_trim_silence(_q88_q89_clips(spark), threshold=100)
+
+    def measure(batches):
+        import pandas as pd
+
+        from baskerville_spark import audio as au
+
+        for pdf in batches:
+            ns = [
+                len(au.decode(bz, c))
+                for bz, c in zip(pdf["bytes"], pdf["codec"])
+            ]
+            yield pd.DataFrame({"clip_id": pdf["clip_id"], "trimmed_samples": ns})
+
+    return trimmed.mapInPandas(
+        measure, schema="clip_id string, trimmed_samples long"
+    )
+
+
+_Q88_SQL = """
+WITH idx AS (SELECT unnest(generate_series(0, 149)) AS i)
+SELECT printf('tr_%06d', i) AS clip_id,
+       CAST((i % 50) + 1 AS BIGINT) AS trimmed_samples
+FROM idx
+"""
+
+
+def q89_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-window segmentation gate: every clip (n = lead+body+tail,
+    closed form) split into 32-sample windows → per-clip segment count =
+    ceil(n/32) and last-segment length = n mod 32 (or 32), both integers
+    the oracle rebuilds arithmetically."""
+    from baskerville_spark.functions.audio_quality import audio_segment
+
+    segs = audio_segment(_q88_q89_clips(spark), segment_samples=32)
+    return segs.groupBy("clip_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_segments"),
+        F.max(F.col("seg_idx")).cast("int").alias("max_idx"),
+        F.min("n_samples").cast("long").alias("min_seg_len"),
+        F.sum("n_samples").cast("long").alias("total_samples"),
+    )
+
+
+_Q89_SQL = """
+WITH idx AS (SELECT unnest(generate_series(0, 149)) AS i),
+m AS (
+  SELECT i, CAST(i % 40 + (i % 50) + 1 + i % 25 AS BIGINT) AS n FROM idx)
+SELECT printf('tr_%06d', i) AS clip_id,
+       (n + 31) // 32 AS n_segments,
+       CAST((n - 1) // 32 AS INT) AS max_idx,
+       CASE WHEN n % 32 = 0 THEN 32 ELSE n % 32 END AS min_seg_len,
+       n AS total_samples
+FROM m
+"""
+
+
+_prev_queries_q89 = queries
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    out = _prev_queries_q89()
+    out["q88_trim_silence"] = q88_trim_silence
+    out["q89_segment"] = q89_segment
+    return out
+
+
+_prev_oracles_q89 = oracle_sql
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = _prev_oracles_q89()
+    out["q88_trim_silence"] = _Q88_SQL
+    out["q89_segment"] = _Q89_SQL
+    return out

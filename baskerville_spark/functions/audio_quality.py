@@ -266,3 +266,83 @@ def audio_downmix(clips: DataFrame, n_channels: int = 2) -> DataFrame:
             )
 
     return clips.mapInArrow(_mix, schema=clips.schema)
+
+
+def audio_trim_silence(clips: DataFrame, threshold: int = 100) -> DataFrame:
+    """Strip leading/trailing samples with |x| <= ``threshold`` (the
+    classic pre-ASR silence trim) in one decode→slice→encode Arrow pass.
+    All-silent clips are dropped (nothing left to keep). Interior silence
+    is untouched — this is an endpoint trim, not a VAD."""
+
+    def _trim(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            tbl = b.to_pydict()
+            keep, new_payloads = [], []
+            for i in range(len(b)):
+                payload, codec = tbl["bytes"][i], tbl["codec"][i]
+                pcm = audio.decode(payload, codec) if payload is not None else None
+                if pcm is None or len(pcm) == 0:
+                    continue
+                loud = np.flatnonzero(np.abs(pcm.astype(np.int32)) > threshold)
+                if len(loud) == 0:
+                    continue
+                trimmed = pcm[loud[0]: loud[-1] + 1]
+                keep.append(i)
+                new_payloads.append(audio.encode(trimmed, codec))
+            out = {
+                name: [tbl[name][i] for i in keep] for name in tbl if name != "bytes"
+            }
+            out["bytes"] = new_payloads
+            yield pa.RecordBatch.from_pydict(
+                {f.name: out[f.name] for f in b.schema}, schema=b.schema
+            )
+
+    return clips.mapInArrow(_trim, schema=clips.schema)
+
+
+SEGMENT_SCHEMA_SUFFIX = [
+    T.StructField("seg_idx", T.IntegerType(), False),
+    T.StructField("n_samples", T.LongType(), False),
+]
+
+
+def audio_segment(clips: DataFrame, segment_samples: int) -> DataFrame:
+    """Split each payload into fixed-length sample windows, one OUTPUT ROW
+    per segment (clip-side chunking, the audio analog of
+    packing.chunk_documents): all metadata columns are carried, plus
+    ``seg_idx`` and the segment's ``n_samples`` (the last segment may be
+    short). One decode pass; segments re-encode under the row's codec.
+    Fan-out is data-dependent (ceil(n/segment)) — still a narrow map-side
+    op, no shuffle."""
+
+    out_schema = T.StructType(clips.schema.fields + SEGMENT_SCHEMA_SUFFIX)
+
+    def _seg(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            tbl = b.to_pydict()
+            names = [f.name for f in b.schema]
+            rows: dict[str, list] = {n: [] for n in names}
+            rows["seg_idx"] = []
+            rows["n_samples"] = []
+            for i in range(len(b)):
+                payload, codec = tbl["bytes"][i], tbl["codec"][i]
+                pcm = audio.decode(payload, codec) if payload is not None else None
+                if pcm is None or len(pcm) == 0:
+                    continue
+                for s in range(0, len(pcm), segment_samples):
+                    seg = pcm[s: s + segment_samples]
+                    for n in names:
+                        rows[n].append(
+                            audio.encode(seg, codec) if n == "bytes" else tbl[n][i]
+                        )
+                    rows["seg_idx"].append(s // segment_samples)
+                    rows["n_samples"].append(len(seg))
+            schema = pa.schema(
+                list(b.schema)
+                + [pa.field("seg_idx", pa.int32()), pa.field("n_samples", pa.int64())]
+            )
+            yield pa.RecordBatch.from_pydict(
+                {f.name: rows[f.name] for f in schema}, schema=schema
+            )
+
+    return clips.mapInArrow(_seg, schema=out_schema)

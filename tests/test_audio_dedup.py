@@ -160,3 +160,40 @@ def test_audio_downmix(spark):
     for cid in ("s", "odd"):
         dec = audio.decode(bytes(out[cid]["bytes"]), "pcm_s16le")
         assert np.array_equal(dec, np.array([200, 0, -300, 32767], dtype=np.int16))
+
+
+def test_audio_trim_silence(spark):
+    from baskerville_spark.functions.audio_quality import audio_trim_silence
+
+    pcm = np.concatenate([
+        np.zeros(10, dtype=np.int16),
+        np.array([5000, 0, -5000], dtype=np.int16),   # interior silence kept
+        np.zeros(7, dtype=np.int16),
+    ])
+    rows = [
+        Row(part_id=0, clip_id="t", bytes=pcm.tobytes(), codec="pcm_s16le"),
+        Row(part_id=0, clip_id="allsilent",
+            bytes=np.zeros(50, dtype=np.int16).tobytes(), codec="pcm_s16le"),
+    ]
+    out = audio_trim_silence(spark.createDataFrame(rows), threshold=100).collect()
+    assert [r["clip_id"] for r in out] == ["t"]       # all-silent dropped
+    dec = audio.decode(bytes(out[0]["bytes"]), "pcm_s16le")
+    assert np.array_equal(dec, np.array([5000, 0, -5000], dtype=np.int16))
+
+
+def test_audio_segment(spark):
+    from baskerville_spark.functions.audio_quality import audio_segment
+
+    pcm = audio.synth_pcm("seg", 16000, 100)  # 1600 samples
+    rows = [Row(part_id=0, clip_id="seg",
+                bytes=bytes(audio.encode(pcm, "flac")), codec="flac")]
+    segs = audio_segment(spark.createDataFrame(rows), segment_samples=700).collect()
+    assert [(r["seg_idx"], r["n_samples"]) for r in
+            sorted(segs, key=lambda r: r["seg_idx"])] == [(0, 700), (1, 700), (2, 200)]
+    # reassembling the decoded segments reproduces the original exactly
+    joined = np.concatenate([
+        audio.decode(bytes(r["bytes"]), "flac")
+        for r in sorted(segs, key=lambda r: r["seg_idx"])
+    ])
+    assert np.array_equal(joined, pcm)
+    assert all(r["codec"] == "flac" for r in segs)    # metadata carried

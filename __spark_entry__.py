@@ -5136,3 +5136,266 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
     out["q88_trim_silence"] = _Q88_SQL
     out["q89_segment"] = _Q89_SQL
     return out
+
+
+# --------------------------------------------------------------------------
+# q90/q91/q92: gain normalization, overlay mixing, pitch detection —
+# closed-form PCM plants through the real decode->transform->encode passes
+# --------------------------------------------------------------------------
+
+
+def q90_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak-normalization gate: constant-amplitude plants (A_i closed-form,
+    one-in-13 silent and therefore dropped) through the real decode ->
+    gain -> round -> encode pass, alternating lossless codecs. The
+    normalized peak must equal the target EXACTLY (integer), and lengths
+    must survive unchanged — both rebuilt arithmetically by the oracle."""
+    import pandas as pd
+
+    from baskerville_spark.functions.audio_quality import audio_normalize
+
+    def synth(batches):
+        import numpy as np
+
+        from baskerville_spark import audio as au
+
+        for pdf in batches:
+            out = []
+            for i in pdf["id"]:
+                i = int(i)
+                amp = 0 if i % 13 == 5 else (i % 317) * 197 + 123
+                n = (i % 50) + 5
+                pcm = np.full(n, amp, dtype="<i2")
+                codec = "pcm_s16le" if i % 2 == 0 else "flac"
+                out.append(
+                    {
+                        "part_id": i % 4,
+                        "clip_id": f"nm_{i:06d}",
+                        "bytes": au.encode(pcm, codec),
+                        "codec": codec,
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    clips = spark.range(150).mapInPandas(
+        synth, schema="part_id int, clip_id string, bytes binary, codec string"
+    )
+    normed = audio_normalize(clips, target_peak=20000)
+
+    def measure(batches):
+        import pandas as pd
+
+        from baskerville_spark import audio as au
+
+        for pdf in batches:
+            peaks, ns = [], []
+            for bz, c in zip(pdf["bytes"], pdf["codec"]):
+                x = au.decode(bz, c)
+                peaks.append(int(abs(x.astype("int32")).max()))
+                ns.append(len(x))
+            yield pd.DataFrame(
+                {"clip_id": pdf["clip_id"], "n_samples": ns, "peak": peaks}
+            )
+
+    return normed.mapInPandas(
+        measure, schema="clip_id string, n_samples long, peak long"
+    )
+
+
+_Q90_SQL = """
+WITH idx AS (SELECT unnest(generate_series(0, 149)) AS i)
+SELECT printf('nm_%06d', i) AS clip_id,
+       CAST((i % 50) + 5 AS BIGINT) AS n_samples,
+       CAST(20000 AS BIGINT) AS peak
+FROM idx
+WHERE i % 13 <> 5
+"""
+
+
+def q91_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlay-mix gate: constant-amplitude base (A_i) + overlay (B_i)
+    plants with different lengths, one-in-5 overlays missing (inner-join
+    drop). Saturating int16 addition gives peak = LEAST(A+B, 32767) and
+    length = LEAST(n_a, n_b) — pure integers the oracle rebuilds. Runs the
+    real join -> decode both -> mix -> encode pipeline."""
+    import pandas as pd
+
+    from baskerville_spark.functions.audio_quality import audio_overlay
+
+    def synth_side(amp_fn, n_fn, keep_fn, prefix):
+        def synth(batches):
+            import numpy as np
+
+            from baskerville_spark import audio as au
+
+            for pdf in batches:
+                out = []
+                for i in pdf["id"]:
+                    i = int(i)
+                    if not keep_fn(i):
+                        continue
+                    pcm = np.full(n_fn(i), amp_fn(i), dtype="<i2")
+                    out.append(
+                        {
+                            "part_id": i % 4,
+                            "clip_id": f"{prefix}_{i:06d}",
+                            "bytes": au.encode(pcm, "pcm_s16le"),
+                            "codec": "pcm_s16le",
+                        }
+                    )
+                yield pd.DataFrame(out)
+
+        return synth
+
+    schema = "part_id int, clip_id string, bytes binary, codec string"
+    base = spark.range(150).mapInPandas(
+        synth_side(
+            lambda i: 25000 + (i % 8) * 1000, lambda i: (i % 40) + 10,
+            lambda i: True, "ov",
+        ),
+        schema=schema,
+    )
+    over = spark.range(150).mapInPandas(
+        synth_side(
+            lambda i: (i % 10) * 1000 + 500, lambda i: (i % 33) + 5,
+            lambda i: i % 5 != 2, "ov",
+        ),
+        schema=schema,
+    )
+    mixed = audio_overlay(base, over)
+
+    def measure(batches):
+        import pandas as pd
+
+        from baskerville_spark import audio as au
+
+        for pdf in batches:
+            peaks, ns = [], []
+            for bz, c in zip(pdf["bytes"], pdf["codec"]):
+                x = au.decode(bz, c)
+                peaks.append(int(abs(x.astype("int32")).max()))
+                ns.append(len(x))
+            yield pd.DataFrame(
+                {"clip_id": pdf["clip_id"], "n_samples": ns, "peak": peaks}
+            )
+
+    return mixed.mapInPandas(
+        measure, schema="clip_id string, n_samples long, peak long"
+    )
+
+
+_Q91_SQL = """
+WITH idx AS (SELECT unnest(generate_series(0, 149)) AS i)
+SELECT printf('ov_%06d', i) AS clip_id,
+       CAST(LEAST((i % 40) + 10, (i % 33) + 5) AS BIGINT) AS n_samples,
+       CAST(LEAST(25000 + (i % 8) * 1000 + (i % 10) * 1000 + 500, 32767)
+            AS BIGINT) AS peak
+FROM idx
+WHERE i % 5 <> 2
+"""
+
+
+def q92_pitch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pitch-detection gate: 512-sample square waves with planted even
+    periods p in [4, 42] — the exact-int64 autocorrelation argmax must
+    recover p itself (not a harmonic: ties break to the smallest lag, and
+    (W-p) > (W-2p) separates the fundamental from its multiples)."""
+    import pandas as pd
+
+    from baskerville_spark.functions.audio_quality import audio_pitch_period
+
+    def synth(batches):
+        import numpy as np
+
+        from baskerville_spark import audio as au
+
+        for pdf in batches:
+            out = []
+            for i in pdf["id"]:
+                i = int(i)
+                p = 2 * ((i % 20) + 2)
+                t = np.arange(512)
+                pcm = np.where((t % p) < p // 2, 8000, -8000).astype("<i2")
+                out.append(
+                    {
+                        "part_id": i % 4,
+                        "clip_id": f"pt_{i:06d}",
+                        "bytes": au.encode(pcm, "pcm_s16le"),
+                        "codec": "pcm_s16le",
+                        "planted_p": p,
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    clips = spark.range(150).mapInPandas(
+        synth,
+        schema="part_id int, clip_id string, bytes binary, codec string,"
+        " planted_p int",
+    )
+    periods = audio_pitch_period(clips, min_lag=2, max_lag=64, window=512)
+    return periods.join(clips.select("clip_id", "planted_p"), "clip_id").select(
+        "clip_id",
+        "period_samples",
+        (F.col("period_samples") == F.col("planted_p")).alias("ok_period"),
+    )
+
+
+_Q92_SQL = """
+WITH idx AS (SELECT unnest(generate_series(0, 149)) AS i)
+SELECT printf('pt_%06d', i) AS clip_id,
+       CAST(2 * ((i % 20) + 2) AS INT) AS period_samples,
+       TRUE AS ok_period
+FROM idx
+"""
+
+
+# --------------------------------------------------------------------------
+# q93: bloom-filter pre-filtered referential semi-join over testdata
+# --------------------------------------------------------------------------
+
+
+def q93_bloom_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom semi-join gate: orders restricted to a deterministic customer
+    subset (c_custkey % 7 == 0) through bloom-prune -> exact verify; the
+    composition must equal DuckDB's plain IN-subquery bit-for-bit (bloom
+    false positives all removed by the verify join)."""
+    from baskerville_spark.functions.bloom import bloom_semi_join
+
+    orders = _t(spark, sf_dir, "orders")
+    dim = _t(spark, sf_dir, "customer").where(F.col("c_custkey") % 7 == 0)
+    out = bloom_semi_join(
+        orders, dim, fact_key="o_custkey", dim_key="c_custkey",
+        m_bits=1 << 16, n_hashes=5,
+    )
+    return out.select("o_orderkey", "o_custkey")
+
+
+_Q93_SQL = """
+SELECT o_orderkey, o_custkey
+FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_custkey % 7 = 0)
+"""
+
+
+_prev_queries_q93 = queries
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    out = _prev_queries_q93()
+    out["q90_normalize"] = q90_normalize
+    out["q91_overlay"] = q91_overlay
+    out["q92_pitch"] = q92_pitch
+    out["q93_bloom_semi"] = q93_bloom_semi
+    return out
+
+
+_prev_oracles_q93 = oracle_sql
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = _prev_oracles_q93()
+    out["q90_normalize"] = _Q90_SQL
+    out["q91_overlay"] = _Q91_SQL
+    out["q92_pitch"] = _Q92_SQL
+    out["q93_bloom_semi"] = _Q93_SQL
+    return out

@@ -42,3 +42,22 @@ from baskerville_spark.functions.graph import (  # noqa: F401
 from baskerville_spark.functions.graph import (  # noqa: F401
     incremental_membership,
 )
+from baskerville_spark.functions.audio_quality import (  # noqa: F401
+    audio_downmix,
+    audio_loudness_stats,
+    audio_normalize,
+    audio_overlay,
+    audio_pitch_period,
+    audio_resample,
+    audio_segment,
+    audio_spectral_features,
+    audio_trim_silence,
+)
+from baskerville_spark.functions.audio_dedup import (  # noqa: F401
+    audio_content_fingerprints,
+    content_duplicate_pairs,
+)
+from baskerville_spark.functions.bloom import (  # noqa: F401
+    bloom_semi_join,
+    build_bloom_bitmap,
+)

@@ -20,6 +20,7 @@ from typing import Iterator
 import numpy as np
 import pyarrow as pa
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from baskerville_spark import audio
@@ -298,6 +299,179 @@ def audio_trim_silence(clips: DataFrame, threshold: int = 100) -> DataFrame:
             )
 
     return clips.mapInArrow(_trim, schema=clips.schema)
+
+
+def audio_normalize(clips: DataFrame, target_peak: int = 20000) -> DataFrame:
+    """Peak-normalize each payload to ``target_peak`` (gain staging before
+    training): decode -> gain = target/peak -> round -> clip -> re-encode,
+    one Arrow pass, schema preserved. All-silent clips (peak 0) are dropped
+    — there is no gain that normalizes silence. Peaks already at target are
+    re-encoded unchanged (gain 1.0 rounds to identity).
+
+    float64 gain keeps the round-trip exact where it matters: for any
+    sample at the old peak the output is exactly ``target_peak`` (relative
+    double error ~1e-12 « the 0.5 rounding window) — which is what the
+    q90 gate pins through the real decode→scale→encode pipeline.
+    """
+
+    def _norm(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            tbl = b.to_pydict()
+            keep, new_payloads = [], []
+            for i in range(len(b)):
+                payload, codec = tbl["bytes"][i], tbl["codec"][i]
+                pcm = audio.decode(payload, codec) if payload is not None else None
+                if pcm is None or len(pcm) == 0:
+                    continue
+                peak = int(np.abs(pcm.astype(np.int32)).max())
+                if peak == 0:
+                    continue
+                gain = float(target_peak) / peak
+                out_pcm = np.clip(
+                    np.rint(pcm.astype(np.float64) * gain), -32768, 32767
+                ).astype(np.int16)
+                keep.append(i)
+                new_payloads.append(audio.encode(out_pcm, codec))
+            out = {
+                name: [tbl[name][i] for i in keep] for name in tbl if name != "bytes"
+            }
+            out["bytes"] = new_payloads
+            yield pa.RecordBatch.from_pydict(
+                {f.name: out[f.name] for f in b.schema}, schema=b.schema
+            )
+
+    return clips.mapInArrow(_norm, schema=clips.schema)
+
+
+def audio_overlay(clips: DataFrame, overlays: DataFrame) -> DataFrame:
+    """Mix two payload tables sample-wise by ``clip_id`` (noise overlay /
+    data augmentation): inner-join, then one Arrow pass doing
+    decode(a) + decode(b) over the common prefix (min length), saturating
+    to int16, re-encoded under the base row's codec. Base metadata columns
+    are preserved; rows where either side fails to decode are dropped.
+
+    Scale shape: this is the one audio op where payloads legitimately meet
+    a join. Both sides hash-partition on clip_id — the payload shuffle is
+    unavoidable for arbitrary layouts, and disappears entirely when both
+    tables are bucketed / Iceberg-storage-partitioned on clip_id (the
+    design layout at 10^12 rows); the mix itself is map-side after the
+    join, same as every other decode pass.
+    """
+    base = clips.withColumnRenamed("bytes", "__bytes_a")
+    over = overlays.select(
+        F.col("clip_id"),
+        F.col("bytes").alias("__bytes_b"),
+    )
+    joined = base.join(over, "clip_id")
+
+    def _mix(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            tbl = b.to_pydict()
+            keep, new_payloads = [], []
+            for i in range(len(b)):
+                codec = tbl["codec"][i]
+                pa_bytes, pb_bytes = tbl["__bytes_a"][i], tbl["__bytes_b"][i]
+                xa = audio.decode(pa_bytes, codec) if pa_bytes is not None else None
+                xb = audio.decode(pb_bytes, codec) if pb_bytes is not None else None
+                if xa is None or xb is None or len(xa) == 0 or len(xb) == 0:
+                    continue
+                n = min(len(xa), len(xb))
+                mixed = np.clip(
+                    xa[:n].astype(np.int32) + xb[:n].astype(np.int32),
+                    -32768,
+                    32767,
+                ).astype(np.int16)
+                keep.append(i)
+                new_payloads.append(audio.encode(mixed, codec))
+            out = {
+                name: [tbl[name][i] for i in keep]
+                for name in tbl
+                if name not in ("__bytes_a", "__bytes_b")
+            }
+            out["bytes"] = new_payloads
+            out_schema = pa.schema(
+                [f for f in b.schema if f.name not in ("__bytes_a", "__bytes_b")]
+                + [pa.field("bytes", pa.binary())]
+            )
+            yield pa.RecordBatch.from_pydict(
+                {f.name: out[f.name] for f in out_schema}, schema=out_schema
+            )
+
+    out_fields = [f for f in joined.schema.fields if f.name not in ("__bytes_a", "__bytes_b")]
+    out_schema = T.StructType(out_fields + [T.StructField("bytes", T.BinaryType(), True)])
+    return joined.mapInArrow(_mix, schema=out_schema)
+
+
+PITCH_SCHEMA = T.StructType(
+    [
+        T.StructField("part_id", T.IntegerType(), True),
+        T.StructField("clip_id", T.StringType(), False),
+        T.StructField("decode_ok", T.BooleanType(), False),
+        T.StructField("period_samples", T.IntegerType(), True),
+    ]
+)
+
+_ARROW_PITCH = pa.schema(
+    [
+        pa.field("part_id", pa.int32()),
+        pa.field("clip_id", pa.string()),
+        pa.field("decode_ok", pa.bool_()),
+        pa.field("period_samples", pa.int32()),
+    ]
+)
+
+
+def audio_pitch_period(
+    clips: DataFrame, min_lag: int = 2, max_lag: int = 64, window: int = 512
+) -> DataFrame:
+    """Fundamental-period estimate per clip: exact int64 autocorrelation
+    over the first ``window`` samples, argmax lag in [min_lag, max_lag]
+    (ties -> smallest lag, i.e. the fundamental, not a harmonic multiple).
+    The screen for mislabeled sample rates and tone-like junk uploads.
+
+    Cost is O(window * max_lag) integer MACs per clip — constant per row,
+    independent of clip length; at scale the FFT form (O(W log W) via
+    rfft->|.|^2->irfft) is the drop-in when max_lag grows, same
+    decode-once Arrow pass either way. int64 exactness is what lets the
+    q92 gate pin the argmax against the planted square-wave period.
+    """
+
+    def _pitch(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            payloads = b.column(b.schema.get_field_index("bytes"))
+            codecs = b.column(b.schema.get_field_index("codec")).to_pylist()
+            clip_ids = b.column(b.schema.get_field_index("clip_id")).to_pylist()
+            part_ids = b.column(b.schema.get_field_index("part_id"))
+            n = len(b)
+            oks = [False] * n
+            periods: list[int | None] = [None] * n
+            for i in range(n):
+                pv = payloads[i]
+                payload = pv.as_py() if pv.is_valid else None
+                pcm = audio.decode(payload, codecs[i]) if payload is not None else None
+                if pcm is None or len(pcm) <= min_lag:
+                    continue
+                oks[i] = True
+                x = pcm[:window].astype(np.int64)
+                hi = min(max_lag, len(x) - 1)
+                best_lag, best_r = None, None
+                for lag in range(min_lag, hi + 1):
+                    r = int(np.dot(x[:-lag], x[lag:]))
+                    if best_r is None or r > best_r:
+                        best_r, best_lag = r, lag
+                periods[i] = best_lag
+            yield pa.RecordBatch.from_arrays(
+                [
+                    part_ids.cast(pa.int32()),
+                    pa.array(clip_ids, pa.string()),
+                    pa.array(oks, pa.bool_()),
+                    pa.array(periods, pa.int32()),
+                ],
+                schema=_ARROW_PITCH,
+            )
+
+    cols = [c for c in ("part_id", "clip_id", "bytes", "codec") if c in clips.columns]
+    return clips.select(*cols).mapInArrow(_pitch, schema=PITCH_SCHEMA)
 
 
 SEGMENT_SCHEMA_SUFFIX = [

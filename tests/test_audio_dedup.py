@@ -197,3 +197,75 @@ def test_audio_segment(spark):
     ])
     assert np.array_equal(joined, pcm)
     assert all(r["codec"] == "flac" for r in segs)    # metadata carried
+
+
+def test_audio_normalize(spark):
+    from baskerville_spark.functions.audio_quality import audio_normalize
+
+    rows = [
+        # attenuation: peak 30000 -> 20000; zero sample stays zero
+        Row(part_id=0, clip_id="down",
+            bytes=np.array([30000, -15000, 0], dtype=np.int16).tobytes(),
+            codec="pcm_s16le"),
+        # amplification: peak 100 -> 20000, sign preserved
+        Row(part_id=0, clip_id="up",
+            bytes=np.array([100, -50], dtype=np.int16).tobytes(),
+            codec="pcm_s16le"),
+        # silence: no gain normalizes it -> dropped
+        Row(part_id=0, clip_id="silent",
+            bytes=np.zeros(10, dtype=np.int16).tobytes(), codec="pcm_s16le"),
+        Row(part_id=0, clip_id="bad", bytes=b"x", codec="flac"),
+    ]
+    out = {r["clip_id"]: r for r in
+           audio_normalize(spark.createDataFrame(rows), target_peak=20000).collect()}
+    assert set(out) == {"down", "up"}
+    down = audio.decode(bytes(out["down"]["bytes"]), "pcm_s16le")
+    assert np.array_equal(down, np.array([20000, -10000, 0], dtype=np.int16))
+    up = audio.decode(bytes(out["up"]["bytes"]), "pcm_s16le")
+    assert np.array_equal(up, np.array([20000, -10000], dtype=np.int16))
+
+
+def test_audio_overlay(spark):
+    from baskerville_spark.functions.audio_quality import audio_overlay
+
+    base_rows = [
+        Row(part_id=0, clip_id="a",
+            bytes=np.array([30000, -30000, 5], dtype=np.int16).tobytes(),
+            codec="pcm_s16le"),
+        Row(part_id=0, clip_id="no_overlay",
+            bytes=np.array([1, 2], dtype=np.int16).tobytes(),
+            codec="pcm_s16le"),
+    ]
+    over_rows = [
+        # longer than base: mix truncates to the common prefix
+        Row(part_id=0, clip_id="a",
+            bytes=np.array([5000, -5000, 7, 9], dtype=np.int16).tobytes(),
+            codec="pcm_s16le"),
+        Row(part_id=0, clip_id="orphan",
+            bytes=np.array([1], dtype=np.int16).tobytes(), codec="pcm_s16le"),
+    ]
+    out = audio_overlay(
+        spark.createDataFrame(base_rows), spark.createDataFrame(over_rows)
+    ).collect()
+    # inner-join semantics: unmatched rows on either side are dropped
+    assert [r["clip_id"] for r in out] == ["a"]
+    mixed = audio.decode(bytes(out[0]["bytes"]), "pcm_s16le")
+    # saturating int16 add: 30000+5000 clips to 32767, -30000-5000 to -32768
+    assert np.array_equal(mixed, np.array([32767, -32768, 12], dtype=np.int16))
+
+
+def test_audio_pitch_period(spark):
+    from baskerville_spark.functions.audio_quality import audio_pitch_period
+
+    t = np.arange(512)
+    rows = []
+    for p in (4, 10, 42):
+        sq = np.where((t % p) < p // 2, 8000, -8000).astype(np.int16)
+        rows.append(Row(part_id=0, clip_id=f"p{p}", bytes=sq.tobytes(),
+                        codec="pcm_s16le"))
+    rows.append(Row(part_id=0, clip_id="bad", bytes=b"x", codec="flac"))
+    out = {r["clip_id"]: r for r in
+           audio_pitch_period(spark.createDataFrame(rows), max_lag=64).collect()}
+    for p in (4, 10, 42):
+        assert out[f"p{p}"]["decode_ok"] and out[f"p{p}"]["period_samples"] == p
+    assert out["bad"]["decode_ok"] is False and out["bad"]["period_samples"] is None

@@ -590,3 +590,61 @@ def test_pii_scrub(spark):
     # version strings and plain ints must NOT be flagged
     assert rows[2]["pii_total"] == 0 and rows[2]["scrubbed"].endswith("1.2")
     assert rows[3]["pii_total"] == 0 and rows[3]["scrubbed"] == ""
+
+
+def test_bloom_semi_join_equals_exact(spark):
+    from pyspark.sql import functions as F
+
+    from baskerville_spark.functions.bloom import bloom_semi_join
+
+    fact = spark.range(5000).select(
+        F.col("id").alias("rowid"), (F.col("id") % 700).alias("k")
+    )
+    dim = spark.range(120).select((F.col("id") * 3).alias("dk"))  # 0,3,..357
+    got = bloom_semi_join(
+        fact, dim, fact_key="k", dim_key="dk", m_bits=1 << 14, n_hashes=5
+    )
+    expect = fact.join(
+        dim.select(F.col("dk").alias("k")), "k", "left_semi"
+    )
+    assert sorted(r.rowid for r in got.collect()) == sorted(
+        r.rowid for r in expect.collect()
+    )
+
+
+def test_bloom_bitmap_bounds_and_pruning(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from baskerville_spark.functions.bloom import (
+        _positions,
+        build_bloom_bitmap,
+    )
+
+    m_bits, k = 1 << 14, 5
+    dim = spark.range(200).select((F.col("id") * 7).alias("dk"))
+    bm = build_bloom_bitmap(dim, "dk", m_bits=m_bits, n_hashes=k)
+    # the bitmap is bounded by construction and sparse at this fill factor
+    assert bm.shape == (m_bits,)
+    assert 0 < bm.sum() <= k * 200
+
+    # probing disjoint keys through the SAME JVM position pipeline must
+    # miss almost always (false positives exist but are rare at this fill)
+    probe = spark.range(2000).select((F.lit(10_000_000) + F.col("id")).alias("dk"))
+    pos = probe.select(
+        *[p.alias(f"p{j}") for j, p in enumerate(_positions(F.col("dk"), k, m_bits))]
+    ).toPandas()
+    hits = np.ones(len(pos), dtype=bool)
+    for j in range(k):
+        hits &= bm[pos[f"p{j}"].to_numpy(dtype=np.int64)]
+    fp_rate = hits.mean()
+    assert fp_rate < 0.05  # expected ~(1-e^{-kn/m})^k ~ 2e-4 here
+
+    # member keys must always hit (no false negatives, ever)
+    mpos = dim.select(
+        *[p.alias(f"p{j}") for j, p in enumerate(_positions(F.col("dk"), k, m_bits))]
+    ).toPandas()
+    member_hits = np.ones(len(mpos), dtype=bool)
+    for j in range(k):
+        member_hits &= bm[mpos[f"p{j}"].to_numpy(dtype=np.int64)]
+    assert member_hits.all()

@@ -685,9 +685,13 @@ def q21_clip_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-def _q21_sql() -> str:
-    """Closed-form expected verdicts for the q21 fixture (n_rows=1000,
-    n_parts=4 → 250 rows/part; partition 0 clean, partition 3 drifted).
+def _q21_sql(n_rows: int = 1000, n_parts: int = 4) -> str:
+    """Closed-form expected verdicts for a generated clip fixture
+    (default q21: n_rows=1000, n_parts=4 → 250 rows/part; partition 0
+    clean, the LAST partition drifted). Parametrized so protocol gates
+    over other fixture shapes (q95: 1250×5) reuse the same derivation —
+    the mod-class disjointness it relies on is re-asserted per shape in
+    tests/test_properties.py.
 
     Derivation is INDEPENDENT of the engine: each flag below restates the
     generator's injection rule (generator.py:46-52,101-135) over a
@@ -702,20 +706,23 @@ def _q21_sql() -> str:
     """
     import baskerville_spark.generator as g
 
+    last = n_parts - 1
+    p_of = f"least({last}, (i*{n_parts})//{n_rows})"
+    p_prev = f"least({last}, ((i-1)*{n_parts})//{n_rows})"
     return f"""
-WITH idx AS (SELECT unnest(generate_series(0, 999)) AS i),
+WITH idx AS (SELECT unnest(generate_series(0, {n_rows - 1})) AS i),
 fl AS (
   SELECT
-    CAST(least(3, (i*4)//1000) AS INT) AS part_id,
-    (least(3, (i*4)//1000) = 0) AS clean,
+    CAST({p_of} AS INT) AS part_id,
+    ({p_of} = 0) AS clean,
     (i > 0 AND i % {g.DUP_MOD} = {g.DUP_OFF}
-       AND least(3, (i*4)//1000) = least(3, ((i-1)*4)//1000)) AS dup,
+       AND {p_of} = {p_prev}) AS dup,
     (i % {g.SNR_MOD} = {g.SNR_OFF}) AS snr_m,
     (i % {g.TRANS_MOD} = {g.TRANS_OFF}) AS trans_m,
     (i % {g.NULL_MOD} = {g.NULL_OFF}) AS null_m,
     (i % {g.RANGE_MOD} = {g.RANGE_OFF}) AS range_m,
     (i % {g.RI_MOD} = {g.RI_OFF}) AS ri_m,
-    (least(3, (i*4)//1000) = 3 AND i % {g.SNR_MOD} <> {g.SNR_OFF}
+    ({p_of} = {last} AND i % {g.SNR_MOD} <> {g.SNR_OFF}
        AND i % {g.MP3_MOD} = {g.MP3_OFF}) AS mp3
   FROM idx),
 agg AS (
@@ -5398,4 +5405,194 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
     out["q91_overlay"] = _Q91_SQL
     out["q92_pitch"] = _Q92_SQL
     out["q93_bloom_semi"] = _Q93_SQL
+    return out
+
+
+# --------------------------------------------------------------------------
+# q94: snapshot content diff — which partitions changed between snapshots
+# --------------------------------------------------------------------------
+
+
+def q94_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-diff gate: snapshot B is events with deterministic edits —
+    two users' rows dropped (changes their partitions), one user's error
+    values bumped (changes its partition), one whole partition dropped
+    (removed), one synthetic partition appended (added). The signature diff
+    (count + xor + modular-sum of full-row xxhash64, one agg pass per
+    snapshot) must classify every partition exactly as DuckDB's literal
+    multiset comparison does."""
+    from baskerville_spark.checks.snapshot import snapshot_diff
+
+    e = _t(spark, sf_dir, "events").select(
+        F.pmod(F.col("user_id"), F.lit(12)).cast("int").alias("part"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+    a = e
+    bumped = (F.col("event_type") == "error") & (F.col("user_id") % 103 == 5)
+    b_mod = e.where(
+        (F.col("user_id") % 101 != 7) & (F.col("part") != 9)
+    ).withColumn(
+        "value", F.when(bumped, F.col("value") + 1).otherwise(F.col("value"))
+    )
+    b_new = e.where(F.col("user_id") % 97 == 11).withColumn(
+        "part", F.lit(12).cast("int")
+    )
+    b = b_mod.unionByName(b_new)
+    d = snapshot_diff(a, b, "part", hash_cols=["user_id", "event_type", "value"])
+    return d.select("partition", "status", "n_rows_a", "n_rows_b")
+
+
+_Q94_SQL = """
+WITH e AS (
+  SELECT CAST(user_id % 12 AS INT) AS part, user_id, event_type, value
+  FROM events),
+a AS (SELECT * FROM e),
+b AS (
+  SELECT part, user_id, event_type,
+         CASE WHEN event_type = 'error' AND user_id % 103 = 5
+              THEN value + 1 ELSE value END AS value
+  FROM e WHERE user_id % 101 <> 7 AND part <> 9
+  UNION ALL
+  SELECT CAST(12 AS INT) AS part, user_id, event_type, value
+  FROM e WHERE user_id % 97 = 11),
+u AS (
+  SELECT part, user_id, event_type, value, SUM(in_a) AS na, SUM(in_b) AS nb
+  FROM (
+    SELECT part, user_id, event_type, value, 1 AS in_a, 0 AS in_b FROM a
+    UNION ALL
+    SELECT part, user_id, event_type, value, 0 AS in_a, 1 AS in_b FROM b)
+  GROUP BY part, user_id, event_type, value),
+p AS (
+  SELECT part, SUM(na) AS tot_a, SUM(nb) AS tot_b,
+         SUM(CASE WHEN na <> nb THEN 1 ELSE 0 END) AS n_mismatch
+  FROM u GROUP BY part)
+SELECT part AS partition,
+       CASE WHEN tot_a = 0 THEN 'added'
+            WHEN tot_b = 0 THEN 'removed'
+            WHEN n_mismatch > 0 THEN 'changed'
+            ELSE 'unchanged' END AS status,
+       CASE WHEN tot_a = 0 THEN NULL ELSE CAST(tot_a AS BIGINT) END AS n_rows_a,
+       CASE WHEN tot_b = 0 THEN NULL ELSE CAST(tot_b AS BIGINT) END AS n_rows_b
+FROM p
+"""
+
+
+_prev_queries_q94 = queries
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    out = _prev_queries_q94()
+    out["q94_snapshot_diff"] = q94_snapshot_diff
+    return out
+
+
+_prev_oracles_q94 = oracle_sql
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = _prev_oracles_q94()
+    out["q94_snapshot_diff"] = _Q94_SQL
+    return out
+
+
+# --------------------------------------------------------------------------
+# q95: snapshot-diff-driven incremental revalidation (the 10^12-row story:
+# the table moved under a finished run; revalidate ONLY what changed)
+# --------------------------------------------------------------------------
+
+
+def q95_incremental_revalidation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Protocol gate composing snapshot_diff with the resumable runtime.
+
+    Snapshot A (1000 rows x 4 parts) is fully validated. Snapshot B is the
+    generator's output for 1250 rows x 5 parts — by the generator's
+    contiguous block partitioning, parts 0-2 are row-identical to A, part 3
+    changes (the drift flag moves from part 3 to the new last part), and
+    part 4 is new. The protocol:
+      1. full run over A (manifest marks 0-3),
+      2. snapshot_diff(A, B) -> revalidate exactly [3 changed, 4 added],
+      3. invalidate part 3's manifest mark, run_resumable over B ->
+         processes exactly [3, 4], dynamic partition overwrite replaces
+         part 3's stale verdicts,
+      4. idempotence: a third run finds nothing pending.
+    The combined verdict grid (parts 0-2 from run A + 3-4 from run B) must
+    equal the from-scratch closed-form oracle for snapshot B — incremental
+    revalidation loses nothing, duplicates nothing, and never re-reads the
+    unchanged 3/5 of the table (the diff itself is one narrow signature
+    agg per snapshot; no payload ever shuffles)."""
+    import tempfile
+
+    from baskerville_spark.checks.snapshot import partitions_to_revalidate
+    from baskerville_spark.generator import (
+        GenConfig,
+        write_clips,
+        write_transcript_ref,
+    )
+    from baskerville_spark.runtime import manifest as manifest_mod
+    from baskerville_spark.runtime.runner import ValidationConfig, run_resumable
+
+    cfg_a = GenConfig(n_rows=1000, n_parts=4)
+    cfg_b = GenConfig(n_rows=1250, n_parts=5)
+    tmp = tempfile.mkdtemp(prefix="bsk_q95_")
+    a_p, b_p = f"{tmp}/clips_a", f"{tmp}/clips_b"
+    tref_a, tref_b = f"{tmp}/tref_a", f"{tmp}/tref_b"
+    man_p, out_p = f"{tmp}/manifest", f"{tmp}/out"
+    write_clips(spark, a_p, cfg_a)
+    write_transcript_ref(spark, tref_a, cfg_a)
+    write_clips(spark, b_p, cfg_b)
+    write_transcript_ref(spark, tref_b, cfg_b)
+
+    run_a = run_resumable(spark, a_p, man_p, out_p, tref_a,
+                          cfg=ValidationConfig())
+    if run_a != [0, 1, 2, 3]:
+        raise RuntimeError(f"run A expected [0, 1, 2, 3], got {run_a}")
+
+    hash_cols = ["clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript"]
+    affected = partitions_to_revalidate(
+        spark.read.parquet(a_p), spark.read.parquet(b_p), "part_id", hash_cols
+    )
+    if affected != [3, 4]:
+        raise RuntimeError(f"diff expected [3, 4], got {affected}")
+
+    manifest_mod.invalidate_partitions(man_p, affected)
+    run_b = run_resumable(spark, b_p, man_p, out_p, tref_b,
+                          cfg=ValidationConfig())
+    if run_b != [3, 4]:
+        raise RuntimeError(f"run B expected [3, 4], got {run_b}")
+    run_c = run_resumable(spark, b_p, man_p, out_p, tref_b,
+                          cfg=ValidationConfig())
+    if run_c:
+        raise RuntimeError(f"run C expected [], got {run_c}")
+
+    verdicts = spark.read.parquet(f"{out_p}/verdicts")
+    return _gate_tmp_detach(verdicts.select(
+        F.col("part_id").cast("int").alias("part_id"),
+        "check_name",
+        F.col("passed").cast("int").alias("passed"),
+        F.when(
+            ~F.col("check_name").startswith("range:"),
+            F.round(F.col("metric_value"), 6),
+        ).alias("metric"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("n_violations").cast("long").alias("n_violations"),
+    ), tmp)
+
+
+_prev_queries_q95 = queries
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    out = _prev_queries_q95()
+    out["q95_incremental_revalidation"] = q95_incremental_revalidation
+    return out
+
+
+_prev_oracles_q95 = oracle_sql
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = _prev_oracles_q95()
+    out["q95_incremental_revalidation"] = _q21_sql(n_rows=1250, n_parts=5)
     return out

@@ -87,3 +87,16 @@ def commit_partition(
     final = os.path.join(path, f"part-{part_id:05d}.parquet")
     pq.write_table(table, tmp)
     os.replace(tmp, final)  # atomic on POSIX; Iceberg snapshot commit at scale
+
+
+def invalidate_partitions(path: str, part_ids: list[int]) -> None:
+    """Remove the done-marks for partitions whose data changed underneath a
+    finished run (snapshot diff said 'changed') so run_resumable picks them
+    up again. Missing marks are fine — an 'added' partition never had one.
+    Atomic per partition (unlink), same idempotence contract as commit."""
+    for p in part_ids:
+        mark = os.path.join(path, f"part-{int(p):05d}.parquet")
+        try:
+            os.remove(mark)
+        except FileNotFoundError:
+            pass

@@ -249,3 +249,57 @@ def test_duplicate_exemplars_reports_null_keys(spark):
     assert sorted(rows[None]["exemplar_ids"]) == [1, 2, 3]
     assert rows["a"]["dup_count"] == 2
     assert "b" not in rows
+
+
+def test_snapshot_diff_statuses(spark):
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from baskerville_spark.checks.snapshot import (
+        partitions_to_revalidate,
+        snapshot_diff,
+    )
+
+    a = spark.createDataFrame(
+        [
+            Row(part=0, k=1, v="x"), Row(part=0, k=2, v="y"),
+            Row(part=1, k=3, v="z"),
+            Row(part=2, k=4, v="w"),
+            # duplicate rows with even multiplicity: xor alone would cancel
+            # them; the modular sum must still mark the partition changed
+            # when one copy disappears
+            Row(part=3, k=5, v="d"), Row(part=3, k=5, v="d"),
+        ]
+    )
+    b = spark.createDataFrame(
+        [
+            Row(part=0, k=1, v="x"), Row(part=0, k=2, v="y"),  # unchanged
+            Row(part=1, k=3, v="Z"),                           # changed value
+            # part 2 removed
+            Row(part=3, k=5, v="d"),                           # one dup dropped
+            Row(part=4, k=9, v="new"),                         # added
+        ]
+    )
+    d = {r["partition"]: r for r in snapshot_diff(a, b, "part").collect()}
+    assert d[0]["status"] == "unchanged"
+    assert d[1]["status"] == "changed"
+    assert d[2]["status"] == "removed" and d[2]["n_rows_b"] is None
+    assert d[3]["status"] == "changed"  # count differs even though xor matches
+    assert d[4]["status"] == "added" and d[4]["n_rows_a"] is None
+    assert partitions_to_revalidate(a, b, "part") == [1, 3, 4]
+
+
+def test_manifest_invalidate_partitions(spark, tmp_path):
+    from datetime import datetime, timezone
+
+    from baskerville_spark.runtime import manifest as m
+
+    man = str(tmp_path / "man")
+    t0 = datetime.now(timezone.utc)
+    for p in (0, 1, 2):
+        m.commit_partition(man, p, 10, 0, t0)
+    assert m.done_partitions(spark, man) == {0, 1, 2}
+    # invalidating a changed part + a never-committed part is idempotent
+    m.invalidate_partitions(man, [1, 7])
+    m.invalidate_partitions(man, [1])
+    assert m.done_partitions(spark, man) == {0, 2}

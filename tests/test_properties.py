@@ -280,3 +280,33 @@ def test_resample_length_formula_property(n, sr, target):
             pcm[: new_n * step : step],
         )
     _ = au  # imported for parity with the operator's helpers
+
+
+def test_fixture_mod_classes_disjoint_for_gate_shapes():
+    """The q21/q61/q95 closed-form oracles count RI violations as
+    `ri_m AND NOT dup` and transcript violations as needing a ref row —
+    valid only if no duplicate row's predecessor is itself RI-skipped (the
+    dup would silently inherit the missing ref) and no dup chains occur.
+    Re-assert that for every fixture shape a gate uses."""
+    import baskerville_spark.generator as g
+
+    for n_rows, n_parts in ((1000, 4), (1250, 5)):
+        def part(i):
+            return min(n_parts - 1, i * n_parts // n_rows)
+
+        def dup(i):
+            return (
+                i > 0
+                and i % g.DUP_MOD == g.DUP_OFF
+                and part(i) != 0
+                and part(i) == part(i - 1)
+            )
+
+        for i in range(1, n_rows):
+            if not dup(i):
+                continue
+            j = i - 1
+            assert not dup(j), f"chained dup at {i} for {n_rows}x{n_parts}"
+            assert not (
+                j % g.RI_MOD == g.RI_OFF and part(j) != 0 and not dup(j)
+            ), f"dup {i} inherits RI-skipped ref for {n_rows}x{n_parts}"

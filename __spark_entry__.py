@@ -5596,3 +5596,87 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
     out = _prev_oracles_q95()
     out["q95_incremental_revalidation"] = _q21_sql(n_rows=1250, n_parts=5)
     return out
+
+
+# --------------------------------------------------------------------------
+# q96: window-over-window rolling PSI (drift vs the stream's own recent
+# past — no blessed baseline required)
+# --------------------------------------------------------------------------
+
+
+def q96_rolling_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-drift gate: day-of-month windows over the events table,
+    each day's value distribution PSI'd against the previous day. One scan
+    + one narrow shuffle (per-day conditional-sum buckets), then a
+    |days|-row self-join. The oracle restates the clamped PSI arithmetic
+    in SQL from the same literal edges (q44's proven recipe, but with BOTH
+    sides of the comparison data-derived)."""
+    from baskerville_spark.checks.drift import rolling_psi_verdicts
+
+    e = _t(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    v = rolling_psi_verdicts(
+        e, F.dayofmonth(F.col("ts")), "value", DRIFT_VALUE_EDGES
+    )
+    return v.select(
+        "window_id",
+        "prev_window_id",
+        "n_rows",
+        F.round("psi", 6).alias("psi"),
+        F.col("passed").cast("int").alias("passed"),
+    )
+
+
+def _q96_sql() -> str:
+    from baskerville_spark.checks.drift import EPS, PSI_THRESHOLD
+
+    inner = DRIFT_VALUE_EDGES[1:-1]
+    nb = len(inner) + 1
+    vbucket = " + ".join(
+        f"(CASE WHEN value >= {repr(e)} THEN 1 ELSE 0 END)" for e in inner
+    )
+    sums = ",\n    ".join(
+        f"SUM(CASE WHEN value IS NOT NULL AND ({vbucket}) = {i} THEN 1 ELSE 0 END) AS b{i}"
+        for i in range(nb)
+    )
+
+    def frac(side: str, i: int) -> str:
+        return f"GREATEST({side}.b{i} * 1.0 / GREATEST({side}.n, 1), {repr(EPS)})"
+
+    terms = " + ".join(
+        f"(({frac('cur', i)}) - ({frac('prv', i)}))"
+        f" * LN(({frac('cur', i)}) / ({frac('prv', i)}))"
+        for i in range(nb)
+    )
+    return f"""
+WITH c AS (
+  SELECT CAST(EXTRACT(day FROM ts) AS INT) AS window_id,
+    {sums},
+    COUNT(value) AS n
+  FROM events GROUP BY 1)
+SELECT cur.window_id AS window_id,
+       prv.window_id AS prev_window_id,
+       CAST(cur.n AS BIGINT) AS n_rows,
+       ROUND({terms}, 6) AS psi,
+       CASE WHEN ({terms}) <= {PSI_THRESHOLD} THEN 1 ELSE 0 END AS passed
+FROM c cur JOIN c prv ON cur.window_id = prv.window_id + 1
+"""
+
+
+_prev_queries_q96 = queries
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    out = _prev_queries_q96()
+    out["q96_rolling_psi"] = q96_rolling_psi
+    return out
+
+
+_prev_oracles_q96 = oracle_sql
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = _prev_oracles_q96()
+    out["q96_rolling_psi"] = _q96_sql()
+    return out

@@ -289,3 +289,67 @@ def psi_py(p: list[float], q: list[float]) -> float:
         pi, qi = max(pi, EPS), max(qi, EPS)
         s += (pi - qi) * math.log(pi / qi)
     return s
+
+
+def rolling_psi_verdicts(
+    df: DataFrame,
+    window_col: Column,
+    value_col: str,
+    bin_edges: list[float],
+    threshold: float = PSI_THRESHOLD,
+) -> DataFrame:
+    """Window-over-window drift: PSI of each time window's value
+    distribution against the PREVIOUS consecutive window (w vs w-1) — the
+    monitoring shape when there is no blessed baseline snapshot, only the
+    stream's own recent past (the reference's incident detector compares
+    a runtime window to trailing stats the same way,
+    incident_detector.py:240-289; this is that check generalized to a
+    whole distribution).
+
+    One scan + one narrow shuffle: per-window bucket counts are
+    conditional sums in a single groupBy(window); the w/w-1 pairing is a
+    self-join of two |windows|-row aggregates (tiny at any data scale —
+    windows are time-bounded). Windows without a consecutive predecessor
+    emit nothing (inner join), mirroring "no comparison possible".
+    """
+    inner = list(bin_edges)[1:-1]
+    nb = len(inner) + 1
+    bucket = _bucket_expr(F.col(value_col).cast("double"), inner)
+    notnull = F.col(value_col).isNotNull()
+    counts = df.groupBy(window_col.cast("int").alias("window_id")).agg(
+        *[
+            F.sum((notnull & (bucket == i)).cast("long")).alias(f"b{i}")
+            for i in range(nb)
+        ],
+        F.count(F.col(value_col)).alias("n"),
+    )
+
+    def fracs(side: str) -> Column:
+        return F.array(
+            *[
+                (
+                    F.col(f"{side}.b{i}")
+                    / F.greatest(F.col(f"{side}.n"), F.lit(1))
+                ).cast("double")
+                for i in range(nb)
+            ]
+        )
+
+    cur, prv = counts.alias("cur"), counts.alias("prv")
+    j = cur.join(
+        prv, on=F.col("cur.window_id") == F.col("prv.window_id") + 1, how="inner"
+    )
+    p = F.transform(fracs("cur"), lambda x: F.greatest(x, F.lit(EPS)))
+    q = F.transform(fracs("prv"), lambda x: F.greatest(x, F.lit(EPS)))
+    psi = F.aggregate(
+        F.zip_with(p, q, lambda a, b: (a - b) * F.log(a / b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return j.select(
+        F.col("cur.window_id").alias("window_id"),
+        F.col("prv.window_id").alias("prev_window_id"),
+        F.col("cur.n").cast("long").alias("n_rows"),
+        psi.cast("double").alias("psi"),
+        (psi <= F.lit(float(threshold))).alias("passed"),
+    )

@@ -84,3 +84,29 @@ def test_capture_baseline_categorical_single_job(spark, monkeypatch):
     # c2: y=3, x=1, null excluded from categories but ranked
     assert by_col["c2"]["categories"] == ["y", "x"]
     assert by_col["c2"]["bin_fractions"] == [0.75, 0.25, 0.0]
+
+
+def test_rolling_psi_verdicts(spark):
+    from pyspark.sql import functions as F
+
+    from baskerville_spark.checks.drift import rolling_psi_verdicts
+
+    # windows 1,2: identical uniform-ish values; window 3: hard shift into
+    # the top bucket; window 5 has no consecutive predecessor -> no row
+    rows = []
+    for w in (1, 2):
+        rows += [(w, float(v)) for v in (1.0, 10.0, 50.0, 200.0) * 25]
+    rows += [(3, 900.0)] * 100
+    rows += [(5, 1.0)] * 100
+    df = spark.createDataFrame(rows, "w int, value double")
+    out = {
+        r["window_id"]: r
+        for r in rolling_psi_verdicts(
+            df, F.col("w"), "value", [0.0, 5.0, 25.0, 100.0, 500.0]
+        ).collect()
+    }
+    assert set(out) == {2, 3}            # w=1 has no predecessor; w=5 gap
+    assert out[2]["prev_window_id"] == 1
+    assert out[2]["psi"] < 1e-12 and out[2]["passed"]
+    assert out[3]["psi"] > 0.2 and not out[3]["passed"]
+    assert out[3]["n_rows"] == 100

@@ -5680,3 +5680,215 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
     out = _prev_oracles_q96()
     out["q96_rolling_psi"] = _q96_sql()
     return out
+
+
+# --------------------------------------------------------------------------
+# q97: window-over-window rolling binned KS (PSI's companion)
+# --------------------------------------------------------------------------
+
+
+def q97_rolling_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-KS gate: the q96 day-over-day windows, graded with the
+    binned two-sample KS statistic instead of PSI (max |CDF_w − CDF_{w−1}|
+    over bucket prefix sums; catches bulk CDF shifts PSI's EPS clamping
+    mutes). Same one-aggregate + |days|-row self-join plan."""
+    from baskerville_spark.checks.drift import rolling_ks_verdicts
+
+    e = _t(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    v = rolling_ks_verdicts(
+        e, F.dayofmonth(F.col("ts")), "value", DRIFT_VALUE_EDGES
+    )
+    return v.select(
+        "window_id",
+        "prev_window_id",
+        "n_rows",
+        F.round("ks", 6).alias("ks"),
+        F.col("passed").cast("int").alias("passed"),
+    )
+
+
+def _q97_sql() -> str:
+    from baskerville_spark.checks.drift import KS_THRESHOLD
+
+    inner = DRIFT_VALUE_EDGES[1:-1]
+    nb = len(inner) + 1
+    vbucket = " + ".join(
+        f"(CASE WHEN value >= {repr(e)} THEN 1 ELSE 0 END)" for e in inner
+    )
+    sums = ",\n    ".join(
+        f"SUM(CASE WHEN value IS NOT NULL AND ({vbucket}) = {i} THEN 1 ELSE 0 END) AS b{i}"
+        for i in range(nb)
+    )
+
+    def cdf(side: str, i: int) -> str:
+        return " + ".join(
+            f"{side}.b{j} * 1.0 / GREATEST({side}.n, 1)" for j in range(i)
+        )
+
+    diffs = ", ".join(
+        f"ABS(({cdf('cur', i)}) - ({cdf('prv', i)}))" for i in range(1, nb + 1)
+    )
+    ks = f"GREATEST({diffs})"
+    return f"""
+WITH c AS (
+  SELECT CAST(EXTRACT(day FROM ts) AS INT) AS window_id,
+    {sums},
+    COUNT(value) AS n
+  FROM events GROUP BY 1)
+SELECT cur.window_id AS window_id,
+       prv.window_id AS prev_window_id,
+       CAST(cur.n AS BIGINT) AS n_rows,
+       ROUND({ks}, 6) AS ks,
+       CASE WHEN ({ks}) <= {KS_THRESHOLD} THEN 1 ELSE 0 END AS passed
+FROM c cur JOIN c prv ON cur.window_id = prv.window_id + 1
+"""
+
+
+_prev_queries_q97 = queries
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    out = _prev_queries_q97()
+    out["q97_rolling_ks"] = q97_rolling_ks
+    return out
+
+
+_prev_oracles_q97 = oracle_sql
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = _prev_oracles_q97()
+    out["q97_rolling_ks"] = _q97_sql()
+    return out
+
+
+# --------------------------------------------------------------------------
+# q98: quarantine routing — clean/quarantine split with reason codes
+# --------------------------------------------------------------------------
+
+
+def q98_quarantine_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Routing gate over the q21 fixture: run the validation suite, split
+    the input into clean vs quarantine around the violations table, and
+    summarize per partition — n_clean + n_quarantined must exactly
+    partition the 250 rows (every physical copy of a duplicated key routes
+    to quarantine), and n_multi_reason counts quarantined rows whose key
+    violated ≥2 checks (mp3 rows always: pattern:codec + decode_error;
+    plus any mod-class overlaps). The oracle rebuilds the violating-id set
+    from the generator's mods, maps each physical row through the dup-id
+    aliasing (a dup row shares its predecessor's id, so it inherits that
+    id's reasons), and recounts."""
+    from baskerville_spark.generator import (
+        GenConfig,
+        generate_clips,
+        generate_transcript_ref,
+    )
+    from baskerville_spark.runtime.runner import (
+        ValidationConfig,
+        route_quarantine,
+        run_validation,
+    )
+
+    cfg = GenConfig(n_rows=1000, n_parts=4)
+    clips = generate_clips(spark, cfg).persist()
+    tref = generate_transcript_ref(spark, cfg).persist()
+    res = run_validation(spark, clips, tref, cfg=ValidationConfig())
+    clean, quar = route_quarantine(clips, res.violations)
+    summary = (
+        clean.groupBy("part_id").agg(F.count(F.lit(1)).alias("n_clean"))
+        .join(
+            quar.groupBy("part_id").agg(
+                F.count(F.lit(1)).alias("n_quarantined"),
+                F.sum((F.size("reasons") >= 2).cast("long")).alias("n_multi_reason"),
+            ),
+            "part_id",
+            "full_outer",
+        )
+        .select(
+            F.col("part_id").cast("int").alias("part_id"),
+            F.coalesce("n_clean", F.lit(0)).cast("long").alias("n_clean"),
+            F.coalesce("n_quarantined", F.lit(0)).cast("long").alias("n_quarantined"),
+            F.coalesce("n_multi_reason", F.lit(0)).cast("long").alias("n_multi_reason"),
+            (F.coalesce("n_clean", F.lit(0)) + F.coalesce("n_quarantined", F.lit(0)))
+            .cast("long")
+            .alias("n_rows"),
+        )
+    )
+    out = summary.persist()
+    out.count()
+    res.unpersist()
+    clips.unpersist()
+    tref.unpersist()
+    return out
+
+
+def _q98_sql() -> str:
+    """Violating-id set from the generator mods (same flag algebra as
+    _q21_sql), pushed through the dup-id aliasing to physical rows."""
+    import baskerville_spark.generator as g
+
+    return f"""
+WITH idx AS (SELECT unnest(generate_series(0, 999)) AS i),
+fl AS (
+  SELECT i,
+    CAST(least(3, (i*4)//1000) AS INT) AS part_id,
+    (least(3, (i*4)//1000) = 0) AS clean,
+    (i > 0 AND i % {g.DUP_MOD} = {g.DUP_OFF}
+       AND least(3, (i*4)//1000) <> 0
+       AND least(3, (i*4)//1000) = least(3, ((i-1)*4)//1000)) AS dup,
+    (i % {g.SNR_MOD} = {g.SNR_OFF}) AS snr_m,
+    (i % {g.TRANS_MOD} = {g.TRANS_OFF}) AS trans_m,
+    (i % {g.RI_MOD} = {g.RI_OFF}) AS ri_m,
+    (least(3, (i*4)//1000) = 3 AND i % {g.SNR_MOD} <> {g.SNR_OFF}
+       AND i % {g.MP3_MOD} = {g.MP3_OFF}) AS mp3
+  FROM idx),
+fl2 AS (
+  SELECT i, part_id,
+    CASE WHEN dup THEN i - 1 ELSE i END AS cid,
+    dup,
+    (NOT clean AND snr_m) AS snr_eff,
+    (NOT clean AND trans_m AND NOT (ri_m AND NOT dup)) AS trans_eff,
+    (NOT clean AND ri_m AND NOT dup) AS ri_eff,
+    mp3
+  FROM fl),
+ids AS (
+  SELECT part_id, cid,
+    MAX(CASE WHEN dup THEN 1 ELSE 0 END)
+      + MAX(CASE WHEN snr_eff THEN 1 ELSE 0 END)
+      + MAX(CASE WHEN trans_eff THEN 1 ELSE 0 END)
+      + MAX(CASE WHEN ri_eff THEN 1 ELSE 0 END)
+      + 2 * MAX(CASE WHEN mp3 THEN 1 ELSE 0 END) AS n_reasons
+  FROM fl2 GROUP BY part_id, cid),
+rows_q AS (
+  SELECT f.part_id,
+    (d.n_reasons > 0) AS quarantined,
+    (d.n_reasons >= 2) AS multi
+  FROM fl2 f JOIN ids d ON f.part_id = d.part_id AND f.cid = d.cid)
+SELECT part_id,
+       CAST(SUM(CASE WHEN NOT quarantined THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
+       CAST(SUM(CASE WHEN quarantined THEN 1 ELSE 0 END) AS BIGINT) AS n_quarantined,
+       CAST(SUM(CASE WHEN quarantined AND multi THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_multi_reason,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM rows_q GROUP BY part_id
+"""
+
+
+_prev_queries_q98 = queries
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    out = _prev_queries_q98()
+    out["q98_quarantine_routing"] = q98_quarantine_routing
+    return out
+
+
+_prev_oracles_q98 = oracle_sql
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = _prev_oracles_q98()
+    out["q98_quarantine_routing"] = _q98_sql()
+    return out

@@ -291,27 +291,15 @@ def psi_py(p: list[float], q: list[float]) -> float:
     return s
 
 
-def rolling_psi_verdicts(
-    df: DataFrame,
-    window_col: Column,
-    value_col: str,
-    bin_edges: list[float],
-    threshold: float = PSI_THRESHOLD,
-) -> DataFrame:
-    """Window-over-window drift: PSI of each time window's value
-    distribution against the PREVIOUS consecutive window (w vs w-1) — the
-    monitoring shape when there is no blessed baseline snapshot, only the
-    stream's own recent past (the reference's incident detector compares
-    a runtime window to trailing stats the same way,
-    incident_detector.py:240-289; this is that check generalized to a
-    whole distribution).
-
-    One scan + one narrow shuffle: per-window bucket counts are
-    conditional sums in a single groupBy(window); the w/w-1 pairing is a
-    self-join of two |windows|-row aggregates (tiny at any data scale —
-    windows are time-bounded). Windows without a consecutive predecessor
-    emit nothing (inner join), mirroring "no comparison possible".
-    """
+def _rolling_pairs(
+    df: DataFrame, window_col: Column, value_col: str, bin_edges: list[float]
+) -> tuple[DataFrame, Column, Column]:
+    """Shared machinery for window-over-window drift: per-window bucket
+    counts (one conditional-sum aggregate — one scan, one narrow shuffle)
+    self-joined w against w-1 (a |windows|-row join — tiny at any data
+    scale; windows are time-bounded). Returns (joined, cur_fracs,
+    prev_fracs); windows without a consecutive predecessor emit nothing
+    (inner join), mirroring "no comparison possible"."""
     inner = list(bin_edges)[1:-1]
     nb = len(inner) + 1
     bucket = _bucket_expr(F.col(value_col).cast("double"), inner)
@@ -339,17 +327,64 @@ def rolling_psi_verdicts(
     j = cur.join(
         prv, on=F.col("cur.window_id") == F.col("prv.window_id") + 1, how="inner"
     )
-    p = F.transform(fracs("cur"), lambda x: F.greatest(x, F.lit(EPS)))
-    q = F.transform(fracs("prv"), lambda x: F.greatest(x, F.lit(EPS)))
+    return j, fracs("cur"), fracs("prv")
+
+
+def _rolling_select(j: DataFrame, metric: Column, name: str, threshold: float) -> DataFrame:
+    return j.select(
+        F.col("cur.window_id").alias("window_id"),
+        F.col("prv.window_id").alias("prev_window_id"),
+        F.col("cur.n").cast("long").alias("n_rows"),
+        metric.cast("double").alias(name),
+        (metric <= F.lit(float(threshold))).alias("passed"),
+    )
+
+
+def rolling_psi_verdicts(
+    df: DataFrame,
+    window_col: Column,
+    value_col: str,
+    bin_edges: list[float],
+    threshold: float = PSI_THRESHOLD,
+) -> DataFrame:
+    """Window-over-window drift: PSI of each time window's value
+    distribution against the PREVIOUS consecutive window (w vs w-1) — the
+    monitoring shape when there is no blessed baseline snapshot, only the
+    stream's own recent past (the reference's incident detector compares
+    a runtime window to trailing stats the same way,
+    incident_detector.py:240-289; this is that check generalized to a
+    whole distribution). Plan shape: see _rolling_pairs."""
+    j, cur_fracs, prv_fracs = _rolling_pairs(df, window_col, value_col, bin_edges)
+    p = F.transform(cur_fracs, lambda x: F.greatest(x, F.lit(EPS)))
+    q = F.transform(prv_fracs, lambda x: F.greatest(x, F.lit(EPS)))
     psi = F.aggregate(
         F.zip_with(p, q, lambda a, b: (a - b) * F.log(a / b)),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    return j.select(
-        F.col("cur.window_id").alias("window_id"),
-        F.col("prv.window_id").alias("prev_window_id"),
-        F.col("cur.n").cast("long").alias("n_rows"),
-        psi.cast("double").alias("psi"),
-        (psi <= F.lit(float(threshold))).alias("passed"),
-    )
+    return _rolling_select(j, psi, "psi", threshold)
+
+
+def rolling_ks_verdicts(
+    df: DataFrame,
+    window_col: Column,
+    value_col: str,
+    bin_edges: list[float],
+    threshold: float = KS_THRESHOLD,
+) -> DataFrame:
+    """Window-over-window binned two-sample KS: max over bucket prefix sums
+    of |CDF_w − CDF_{w−1}| — PSI's companion (PSI weights tail moves by
+    log-ratio, KS catches bulk CDF shifts PSI's clamping mutes). Same
+    single-aggregate + |windows|-row self-join plan as rolling PSI; no
+    EPS clamping (CDFs, not ratios)."""
+    j, cur_fracs, prv_fracs = _rolling_pairs(df, window_col, value_col, bin_edges)
+    nb = len(list(bin_edges)) - 1
+
+    def cdf(arr: Column, i: int) -> Column:
+        return F.aggregate(
+            F.slice(arr, 1, i), F.lit(0.0), lambda acc, x: acc + x
+        )
+
+    diffs = [F.abs(cdf(cur_fracs, i) - cdf(prv_fracs, i)) for i in range(1, nb + 1)]
+    ks = F.greatest(*diffs) if len(diffs) > 1 else diffs[0]
+    return _rolling_select(j, ks, "ks", threshold)

@@ -381,3 +381,35 @@ def run_resumable(
         file=sys.stderr,
     )
     return [int(p) for p in pending]
+
+
+def route_quarantine(
+    clips: DataFrame,
+    violations: DataFrame,
+    key: str = "clip_id",
+    part_col: str = "part_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Split the input into (clean, quarantine) around the violations
+    table — the routing step that keeps bad rows out of a training corpus
+    while preserving them (with machine-readable reasons) for triage, the
+    engine-native form of the reference's anomalous-request quarantining
+    (its predictions mark rows for the challenge path rather than
+    deletion).
+
+    quarantine carries ``reasons`` = the sorted set of violated check
+    names per key (bounded by the check count — collect_set can't blow
+    up). Joins are on (part, key): violations are per-partition facts, and
+    keys are only guaranteed unique within a partition. The violations
+    side is tiny relative to the fact table (broadcast in practice), the
+    fact table never shuffles, and clean ∪ quarantine is an exact
+    partition of the input: every row whose key is listed is quarantined —
+    including ALL physical copies of a duplicated key.
+    """
+    reasons = violations.groupBy(part_col, key).agg(
+        F.sort_array(F.collect_set("check_name")).alias("reasons")
+    )
+    quarantine = clips.join(F.broadcast(reasons), [part_col, key], "inner")
+    clean = clips.join(
+        F.broadcast(reasons.select(part_col, key)), [part_col, key], "left_anti"
+    )
+    return clean, quarantine

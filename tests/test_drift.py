@@ -110,3 +110,23 @@ def test_rolling_psi_verdicts(spark):
     assert out[2]["psi"] < 1e-12 and out[2]["passed"]
     assert out[3]["psi"] > 0.2 and not out[3]["passed"]
     assert out[3]["n_rows"] == 100
+
+
+def test_rolling_ks_verdicts(spark):
+    from pyspark.sql import functions as F
+
+    from baskerville_spark.checks.drift import rolling_ks_verdicts
+
+    rows = [(1, float(v)) for v in (1.0, 10.0, 50.0, 200.0) * 25]
+    rows += [(2, float(v)) for v in (1.0, 10.0, 50.0, 200.0) * 25]
+    rows += [(3, 900.0)] * 100   # everything jumps to the top bucket
+    df = spark.createDataFrame(rows, "w int, value double")
+    out = {
+        r["window_id"]: r
+        for r in rolling_ks_verdicts(
+            df, F.col("w"), "value", [0.0, 5.0, 25.0, 100.0, 500.0]
+        ).collect()
+    }
+    assert out[2]["ks"] < 1e-12 and out[2]["passed"]
+    # CDF gap at every interior edge is 0.75 (uniform quarters vs all-top)
+    assert abs(out[3]["ks"] - 0.75) < 1e-9 and not out[3]["passed"]

@@ -90,3 +90,37 @@ def test_recommit_overwrites(tmp_path, spark):
     commit_partition(man_p, 7, 10, 1, now, attempt=2)  # retry same partition
     rows = spark.read.parquet(man_p).where("part_id = 7").collect()
     assert len(rows) == 1 and rows[0]["attempt"] == 2
+
+
+def test_route_quarantine_partitions_input(spark):
+    from pyspark.sql import Row
+
+    from baskerville_spark.runtime.runner import route_quarantine
+
+    clips = spark.createDataFrame(
+        [
+            Row(part_id=0, clip_id="a", codec="flac"),
+            Row(part_id=0, clip_id="dup", codec="flac"),
+            Row(part_id=0, clip_id="dup", codec="flac"),  # both copies route out
+            Row(part_id=0, clip_id="ok", codec="flac"),
+            Row(part_id=1, clip_id="a", codec="flac"),    # same id, other part: clean
+        ]
+    )
+    violations = spark.createDataFrame(
+        [
+            Row(part_id=0, clip_id="a", check_name="snr", detail=""),
+            Row(part_id=0, clip_id="a", check_name="decode_error", detail=""),
+            Row(part_id=0, clip_id="a", check_name="snr", detail="again"),
+            Row(part_id=0, clip_id="dup", check_name="uniqueness", detail=""),
+        ]
+    )
+    clean, quar = route_quarantine(clips, violations)
+    clean_rows = clean.collect()
+    quar_rows = quar.collect()
+    assert len(clean_rows) + len(quar_rows) == 5     # exact partition of input
+    assert sorted((r.part_id, r.clip_id) for r in clean_rows) == [
+        (0, "ok"), (1, "a"),
+    ]
+    by_id = {(r.part_id, r.clip_id): r for r in quar_rows}
+    assert list(by_id[(0, "a")]["reasons"]) == ["decode_error", "snr"]  # deduped, sorted
+    assert sum(1 for r in quar_rows if r.clip_id == "dup") == 2

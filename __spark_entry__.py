@@ -5892,3 +5892,105 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
     out = _prev_oracles_q98()
     out["q98_quarantine_routing"] = _q98_sql()
     return out
+
+
+# --------------------------------------------------------------------------
+# q99/q100: dedup survivor selection + deterministic corpus splits
+# --------------------------------------------------------------------------
+
+
+def q99_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-execution gate: every 10th document is cloned (+500000) with a
+    LONGER text (an appended tail), the corpus is clustered on a 32-char
+    prefix fingerprint, and keep_canonical must retain the highest-quality
+    copy per cluster — i.e. the CLONE beats its min-id original wherever a
+    clone exists, proving selection is quality-driven, not min-id. The
+    oracle re-derives every cluster (prefix groups) and its
+    length-then-min-id winner with a window."""
+    from baskerville_spark.functions.dedup import keep_canonical
+    from baskerville_spark.functions.graph import dedup_clusters
+
+    base = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull() & (F.length("text") >= 32))
+        .select("doc_id", "text")
+    )
+    clones = base.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 500000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzz extra quality tail")).alias("text"),
+    )
+    corpus = base.unionByName(clones)
+    membership = corpus.select(
+        F.col("doc_id").alias("id"),
+        F.xxhash64(F.substring("text", 1, 32)).alias("bucket"),
+    )
+    clusters = dedup_clusters(membership)
+    survivors, winners = keep_canonical(corpus, clusters, F.length("text"))
+    return survivors.join(
+        winners.select(F.col("keep_id").alias("doc_id"), "cluster_size"),
+        "doc_id",
+    ).select("doc_id", "cluster_size")
+
+
+_Q99_SQL = """
+WITH base AS (
+  SELECT doc_id, text FROM documents
+  WHERE text IS NOT NULL AND length(text) >= 32),
+corpus AS (
+  SELECT doc_id, text FROM base
+  UNION ALL
+  SELECT doc_id + 500000 AS doc_id, text || ' zzz extra quality tail' AS text
+  FROM base WHERE doc_id % 10 = 0),
+g AS (
+  SELECT doc_id, text, substr(text, 1, 32) AS pfx,
+         ROW_NUMBER() OVER (
+           PARTITION BY substr(text, 1, 32)
+           ORDER BY length(text) DESC, doc_id ASC) AS rk,
+         COUNT(*) OVER (PARTITION BY substr(text, 1, 32)) AS cluster_size
+  FROM corpus)
+SELECT doc_id, CAST(cluster_size AS BIGINT) AS cluster_size
+FROM g WHERE rk = 1
+"""
+
+
+def q100_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split gate: the full (doc_id -> train/val/test) assignment is under
+    the hash — deterministic md5-bucket thresholds (80/10/10), disjoint
+    and exhaustive by construction, reproducible across engines and
+    repartitionings (the leak-proofness property seedful randomSplit lacks)."""
+    from baskerville_spark.functions.sampling import train_val_test_split
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", train_val_test_split(d, "doc_id"))
+
+
+_Q100_SQL = """
+SELECT doc_id,
+       CASE WHEN b < 800 THEN 'train'
+            WHEN b < 900 THEN 'val'
+            ELSE 'test' END AS split
+FROM (
+  SELECT doc_id,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000 AS b
+  FROM documents)
+"""
+
+
+_prev_queries_q100 = queries
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    out = _prev_queries_q100()
+    out["q99_keep_canonical"] = q99_keep_canonical
+    out["q100_corpus_split"] = q100_corpus_split
+    return out
+
+
+_prev_oracles_q100 = oracle_sql
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = _prev_oracles_q100()
+    out["q99_keep_canonical"] = _Q99_SQL
+    out["q100_corpus_split"] = _Q100_SQL
+    return out

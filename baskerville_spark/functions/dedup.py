@@ -569,3 +569,40 @@ def decontaminate(
         .agg(F.count(F.lit(1)).alias("n_contaminated_shingles"))
         .select(F.col("id").alias(id_col), "n_contaminated_shingles")
     )
+
+
+def keep_canonical(
+    docs: DataFrame,
+    clusters: DataFrame,
+    quality: Column,
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Dedup EXECUTION: one survivor per cluster — argmax ``quality``
+    (evaluated over the doc columns), smallest-id tie-break — and the rest
+    drop. The step after detection/clustering that actually shrinks a
+    training corpus, keeping the best copy (longest text, highest quality
+    score, ...) rather than an arbitrary min-id one.
+
+    Returns (survivors, winners): survivors = docs rows that remain;
+    winners = one narrow row per cluster (cluster_id, keep_id,
+    cluster_size) for lineage. Plan: one join of docs with the narrow
+    cluster map (co-partitionable on id), one max_by aggregate per cluster
+    (single shuffle — the struct(quality, -id) ordering makes the
+    tie-break part of the same reduction, q43's min_by/max_by idiom), and
+    a broadcast semi-join back (winners is one row per cluster).
+    """
+    cmap = clusters.select(F.col("id").alias(id_col), "cluster_id")
+    j = docs.join(cmap, id_col)
+    winners = j.groupBy("cluster_id").agg(
+        F.max_by(
+            F.col(id_col),
+            F.struct(quality.alias("q"), (-F.col(id_col)).alias("neg_id")),
+        ).alias("keep_id"),
+        F.count(F.lit(1)).alias("cluster_size"),
+    )
+    survivors = docs.join(
+        F.broadcast(winners.select(F.col("keep_id").alias(id_col))),
+        id_col,
+        "left_semi",
+    )
+    return survivors, winners

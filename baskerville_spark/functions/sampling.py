@@ -84,3 +84,29 @@ def mixture_sample(
         F.col(group_col),
     )
     return df.where(hash_bucket(F.col(id_col)) < thr)
+
+
+def train_val_test_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    fracs: tuple[float, ...] = (0.8, 0.1, 0.1),
+    names: tuple[str, ...] = ("train", "val", "test"),
+    n_buckets: int = 1000,
+) -> Column:
+    """Split-assignment column: deterministic, engine-portable (the md5
+    hash_bucket variate), disjoint and exhaustive by construction —
+    cumulative bucket thresholds carve [0, n_buckets) into one interval
+    per split. Pure map-side expression: no shuffle, no state, stable
+    across runs/partitionings/engines, so a doc can never leak between
+    train and eval splits when the corpus is re-processed."""
+    if len(fracs) != len(names) or abs(sum(fracs) - 1.0) > 1e-9:
+        raise ValueError("fracs must match names and sum to 1")
+    b = hash_bucket(F.col(id_col), n_buckets)
+    cum = 0.0
+    expr = None
+    for frac, name in zip(fracs[:-1], names[:-1]):
+        cum += frac
+        thr = int(round(cum * n_buckets))
+        branch = F.when(b < F.lit(thr), F.lit(name))
+        expr = branch if expr is None else expr.when(b < F.lit(thr), F.lit(name))
+    return expr.otherwise(F.lit(names[-1])).alias("split")

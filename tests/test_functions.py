@@ -648,3 +648,54 @@ def test_bloom_bitmap_bounds_and_pruning(spark):
     for j in range(k):
         member_hits &= bm[mpos[f"p{j}"].to_numpy(dtype=np.int64)]
     assert member_hits.all()
+
+
+def test_keep_canonical_quality_and_tiebreak(spark):
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from baskerville_spark.functions.dedup import keep_canonical
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="short"),
+            Row(doc_id=2, text="the longest text wins"),   # quality winner
+            Row(doc_id=7, text="equal"),
+            Row(doc_id=3, text="equal"),                   # tie -> min id (3)
+            Row(doc_id=9, text="singleton"),
+        ]
+    )
+    clusters = spark.createDataFrame(
+        [
+            Row(id=1, cluster_id=1), Row(id=2, cluster_id=1),
+            Row(id=7, cluster_id=3), Row(id=3, cluster_id=3),
+            Row(id=9, cluster_id=9),
+        ]
+    )
+    survivors, winners = keep_canonical(docs, clusters, F.length("text"))
+    assert sorted(r.doc_id for r in survivors.collect()) == [2, 3, 9]
+    w = {r.cluster_id: r for r in winners.collect()}
+    assert w[1].keep_id == 2 and w[1].cluster_size == 2
+    assert w[3].keep_id == 3 and w[3].cluster_size == 2
+    assert w[9].cluster_size == 1
+
+
+def test_train_val_test_split_disjoint_exhaustive(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from baskerville_spark.functions.sampling import train_val_test_split
+
+    df = spark.range(5000).select(F.col("id").alias("doc_id"))
+    out = df.select("doc_id", train_val_test_split(df, "doc_id"))
+    counts = {r["split"]: r["cnt"] for r in
+              out.groupBy("split").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert set(counts) == {"train", "val", "test"}      # exhaustive
+    assert sum(counts.values()) == 5000                  # disjoint (no dup rows)
+    assert 0.75 < counts["train"] / 5000 < 0.85          # ~80/10/10
+    assert 0.07 < counts["val"] / 5000 < 0.13
+    # stability: same assignment regardless of partitioning
+    re = df.repartition(7).select("doc_id", train_val_test_split(df, "doc_id"))
+    assert out.exceptAll(re).count() == 0 and re.exceptAll(out).count() == 0
+    with pytest.raises(ValueError):
+        train_val_test_split(df, "doc_id", fracs=(0.5, 0.2), names=("a", "b", "c"))

@@ -5961,7 +5961,7 @@ def q100_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from baskerville_spark.functions.sampling import train_val_test_split
 
     d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", train_val_test_split(d, "doc_id"))
+    return d.select("doc_id", train_val_test_split("doc_id"))
 
 
 _Q100_SQL = """

@@ -585,14 +585,25 @@ def keep_canonical(
 
     Returns (survivors, winners): survivors = docs rows that remain;
     winners = one narrow row per cluster (cluster_id, keep_id,
-    cluster_size) for lineage. Plan: one join of docs with the narrow
-    cluster map (co-partitionable on id), one max_by aggregate per cluster
-    (single shuffle — the struct(quality, -id) ordering makes the
-    tie-break part of the same reduction, q43's min_by/max_by idiom), and
-    a broadcast semi-join back (winners is one row per cluster).
+    cluster_size) for lineage. Docs ABSENT from the cluster map survive as
+    their own singleton clusters (cluster_id = own id via coalesce after a
+    left join) — a fingerprint relation that drops rows (NULL text, short
+    docs) must never cause keep_canonical to delete unique documents. A
+    synthetic singleton label can't collide with a real cluster label: a
+    real cluster labeled X contains X, so X would be mapped, not synthetic.
+
+    Plan: one left join of docs with the narrow cluster map
+    (co-partitionable on id), one max_by aggregate per cluster (single
+    shuffle — the struct(quality, -id) ordering makes the tie-break part
+    of the same reduction, q43's min_by/max_by idiom), and a semi-join
+    back. winners is one row per cluster — O(distinct docs) once
+    singletons are counted, so it is NOT broadcast-hinted (a 100M-doc
+    corpus would blow the broadcast limit); AQE picks the join strategy.
     """
     cmap = clusters.select(F.col("id").alias(id_col), "cluster_id")
-    j = docs.join(cmap, id_col)
+    j = docs.join(cmap, id_col, "left").withColumn(
+        "cluster_id", F.coalesce(F.col("cluster_id"), F.col(id_col))
+    )
     winners = j.groupBy("cluster_id").agg(
         F.max_by(
             F.col(id_col),
@@ -601,7 +612,7 @@ def keep_canonical(
         F.count(F.lit(1)).alias("cluster_size"),
     )
     survivors = docs.join(
-        F.broadcast(winners.select(F.col("keep_id").alias(id_col))),
+        winners.select(F.col("keep_id").alias(id_col)),
         id_col,
         "left_semi",
     )

@@ -87,7 +87,6 @@ def mixture_sample(
 
 
 def train_val_test_split(
-    df: DataFrame,
     id_col: str = "doc_id",
     fracs: tuple[float, ...] = (0.8, 0.1, 0.1),
     names: tuple[str, ...] = ("train", "val", "test"),
@@ -96,17 +95,32 @@ def train_val_test_split(
     """Split-assignment column: deterministic, engine-portable (the md5
     hash_bucket variate), disjoint and exhaustive by construction —
     cumulative bucket thresholds carve [0, n_buckets) into one interval
-    per split. Pure map-side expression: no shuffle, no state, stable
-    across runs/partitionings/engines, so a doc can never leak between
-    train and eval splits when the corpus is re-processed."""
+    per split. A pure map-side expression over the id column alone (no
+    DataFrame parameter — nothing else feeds the assignment): no shuffle,
+    no state, stable across runs/partitionings/engines, so a doc can
+    never leak between train and eval splits when the corpus is
+    re-processed. Cumulative thresholds must be strictly increasing —
+    a nonzero frac that rounds to an empty bucket interval (frac <
+    ~0.5/n_buckets) is an error, not a silent empty split; raise
+    n_buckets instead."""
     if len(fracs) != len(names) or abs(sum(fracs) - 1.0) > 1e-9:
         raise ValueError("fracs must match names and sum to 1")
-    b = hash_bucket(F.col(id_col), n_buckets)
+    thresholds = []
     cum = 0.0
-    expr = None
-    for frac, name in zip(fracs[:-1], names[:-1]):
+    for frac in fracs[:-1]:
         cum += frac
-        thr = int(round(cum * n_buckets))
-        branch = F.when(b < F.lit(thr), F.lit(name))
-        expr = branch if expr is None else expr.when(b < F.lit(thr), F.lit(name))
+        thresholds.append(int(round(cum * n_buckets)))
+    if any(
+        t2 <= t1 for t1, t2 in zip([0] + thresholds, thresholds + [n_buckets])
+    ):
+        raise ValueError(
+            f"thresholds {thresholds} of {n_buckets} not strictly increasing: "
+            "some split would be empty; raise n_buckets"
+        )
+    if not thresholds:  # single split: everything gets the one name
+        return F.lit(names[-1]).alias("split")
+    b = hash_bucket(F.col(id_col), n_buckets)
+    expr = F.when(b < F.lit(thresholds[0]), F.lit(names[0]))
+    for thr, name in zip(thresholds[1:], names[1:-1]):
+        expr = expr.when(b < F.lit(thr), F.lit(name))
     return expr.otherwise(F.lit(names[-1])).alias("split")

@@ -399,17 +399,19 @@ def route_quarantine(
     quarantine carries ``reasons`` = the sorted set of violated check
     names per key (bounded by the check count — collect_set can't blow
     up). Joins are on (part, key): violations are per-partition facts, and
-    keys are only guaranteed unique within a partition. The violations
-    side is tiny relative to the fact table (broadcast in practice), the
-    fact table never shuffles, and clean ∪ quarantine is an exact
-    partition of the input: every row whose key is listed is quarantined —
-    including ALL physical copies of a duplicated key.
+    keys are only guaranteed unique within a partition. The reasons side
+    is O(violating keys) — usually tiny (AQE broadcasts it), but a
+    pathological table can have violations on most rows, so no broadcast
+    is FORCED; the joins degrade to co-partitioned sort-merge. clean ∪
+    quarantine is an exact partition of the input: every row whose key is
+    listed is quarantined — including ALL physical copies of a duplicated
+    key.
     """
     reasons = violations.groupBy(part_col, key).agg(
         F.sort_array(F.collect_set("check_name")).alias("reasons")
     )
-    quarantine = clips.join(F.broadcast(reasons), [part_col, key], "inner")
+    quarantine = clips.join(reasons, [part_col, key], "inner")
     clean = clips.join(
-        F.broadcast(reasons.select(part_col, key)), [part_col, key], "left_anti"
+        reasons.select(part_col, key), [part_col, key], "left_anti"
     )
     return clean, quarantine

@@ -687,7 +687,7 @@ def test_train_val_test_split_disjoint_exhaustive(spark):
     from baskerville_spark.functions.sampling import train_val_test_split
 
     df = spark.range(5000).select(F.col("id").alias("doc_id"))
-    out = df.select("doc_id", train_val_test_split(df, "doc_id"))
+    out = df.select("doc_id", train_val_test_split("doc_id"))
     counts = {r["split"]: r["cnt"] for r in
               out.groupBy("split").agg(F.count(F.lit(1)).alias("cnt")).collect()}
     assert set(counts) == {"train", "val", "test"}      # exhaustive
@@ -695,7 +695,50 @@ def test_train_val_test_split_disjoint_exhaustive(spark):
     assert 0.75 < counts["train"] / 5000 < 0.85          # ~80/10/10
     assert 0.07 < counts["val"] / 5000 < 0.13
     # stability: same assignment regardless of partitioning
-    re = df.repartition(7).select("doc_id", train_val_test_split(df, "doc_id"))
+    re = df.repartition(7).select("doc_id", train_val_test_split("doc_id"))
     assert out.exceptAll(re).count() == 0 and re.exceptAll(out).count() == 0
     with pytest.raises(ValueError):
-        train_val_test_split(df, "doc_id", fracs=(0.5, 0.2), names=("a", "b", "c"))
+        train_val_test_split("doc_id", fracs=(0.5, 0.2), names=("a", "b", "c"))
+
+
+def test_split_edge_contracts(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from baskerville_spark.functions.sampling import train_val_test_split
+
+    df = spark.range(100).select(F.col("id").alias("doc_id"))
+    # single split: constant assignment, no hash needed
+    one = df.select(train_val_test_split("doc_id", fracs=(1.0,), names=("all",)))
+    assert {r["split"] for r in one.collect()} == {"all"}
+    # a frac too small for the bucket resolution must raise, not go empty
+    with pytest.raises(ValueError, match="strictly increasing"):
+        train_val_test_split(
+            "doc_id", fracs=(0.0004, 0.0004, 0.9992), names=("a", "b", "c"),
+            n_buckets=1000,
+        )
+
+
+def test_keep_canonical_passes_through_unmapped_docs(spark):
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from baskerville_spark.functions.dedup import keep_canonical
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="aaaa"),
+            Row(doc_id=2, text="aaaa longer"),
+            Row(doc_id=5, text=None),        # dropped by the fingerprint relation
+        ]
+    )
+    clusters = spark.createDataFrame(
+        [Row(id=1, cluster_id=1), Row(id=2, cluster_id=1)]
+    )
+    survivors, winners = keep_canonical(
+        docs, clusters, F.coalesce(F.length("text"), F.lit(0))
+    )
+    # the unmapped doc survives as its own singleton — never silently deleted
+    assert sorted(r.doc_id for r in survivors.collect()) == [2, 5]
+    w = {r.cluster_id: r for r in winners.collect()}
+    assert w[5].keep_id == 5 and w[5].cluster_size == 1

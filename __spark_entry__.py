@@ -5628,9 +5628,11 @@ def q96_rolling_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q96_sql() -> str:
-    from baskerville_spark.checks.drift import EPS, PSI_THRESHOLD
-
+def _rolling_day_counts_cte() -> tuple[str, int]:
+    """The per-day bucket-count CTE shared by the q96 and q97 oracles —
+    ONE builder so the two can never bin differently from each other (or
+    from the _rolling_pairs aggregate they mirror; q62/q64's shared-fixture
+    rule applied to SQL)."""
     inner = DRIFT_VALUE_EDGES[1:-1]
     nb = len(inner) + 1
     vbucket = " + ".join(
@@ -5640,6 +5642,19 @@ def _q96_sql() -> str:
         f"SUM(CASE WHEN value IS NOT NULL AND ({vbucket}) = {i} THEN 1 ELSE 0 END) AS b{i}"
         for i in range(nb)
     )
+    cte = f"""
+WITH c AS (
+  SELECT CAST(EXTRACT(day FROM ts) AS INT) AS window_id,
+    {sums},
+    COUNT(value) AS n
+  FROM events GROUP BY 1)"""
+    return cte, nb
+
+
+def _q96_sql() -> str:
+    from baskerville_spark.checks.drift import EPS, PSI_THRESHOLD
+
+    cte, nb = _rolling_day_counts_cte()
 
     def frac(side: str, i: int) -> str:
         return f"GREATEST({side}.b{i} * 1.0 / GREATEST({side}.n, 1), {repr(EPS)})"
@@ -5649,12 +5664,7 @@ def _q96_sql() -> str:
         f" * LN(({frac('cur', i)}) / ({frac('prv', i)}))"
         for i in range(nb)
     )
-    return f"""
-WITH c AS (
-  SELECT CAST(EXTRACT(day FROM ts) AS INT) AS window_id,
-    {sums},
-    COUNT(value) AS n
-  FROM events GROUP BY 1)
+    return f"""{cte}
 SELECT cur.window_id AS window_id,
        prv.window_id AS prev_window_id,
        CAST(cur.n AS BIGINT) AS n_rows,
@@ -5712,15 +5722,7 @@ def q97_rolling_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q97_sql() -> str:
     from baskerville_spark.checks.drift import KS_THRESHOLD
 
-    inner = DRIFT_VALUE_EDGES[1:-1]
-    nb = len(inner) + 1
-    vbucket = " + ".join(
-        f"(CASE WHEN value >= {repr(e)} THEN 1 ELSE 0 END)" for e in inner
-    )
-    sums = ",\n    ".join(
-        f"SUM(CASE WHEN value IS NOT NULL AND ({vbucket}) = {i} THEN 1 ELSE 0 END) AS b{i}"
-        for i in range(nb)
-    )
+    cte, nb = _rolling_day_counts_cte()
 
     def cdf(side: str, i: int) -> str:
         return " + ".join(
@@ -5731,12 +5733,7 @@ def _q97_sql() -> str:
         f"ABS(({cdf('cur', i)}) - ({cdf('prv', i)}))" for i in range(1, nb + 1)
     )
     ks = f"GREATEST({diffs})"
-    return f"""
-WITH c AS (
-  SELECT CAST(EXTRACT(day FROM ts) AS INT) AS window_id,
-    {sums},
-    COUNT(value) AS n
-  FROM events GROUP BY 1)
+    return f"""{cte}
 SELECT cur.window_id AS window_id,
        prv.window_id AS prev_window_id,
        CAST(cur.n AS BIGINT) AS n_rows,

@@ -175,17 +175,33 @@ def load_baseline(spark: SparkSession, path: str) -> list[Row]:
 # Drift evaluation
 # --------------------------------------------------------------------------
 
-def _psi_ks_from_fracs(cur_fracs: Column, base_fracs: list[float]) -> tuple[Column, Column]:
-    """PSI and binned-KS between a current fractions array column and a
-    literal baseline fractions array — computed with array built-ins
-    (zip_with/aggregate), fully JVM-side."""
-    base = F.array(*[F.lit(float(x)) for x in base_fracs])
+def _clamped_psi(cur_fracs: Column, base_fracs: Column) -> Column:
+    """PSI between two fraction array columns: EPS-clamp both sides,
+    zip_with the (p−q)·ln(p/q) terms, left-fold sum — the ONE copy of
+    this arithmetic; every oracle mirrors its evaluation order."""
     clamped_p = F.transform(cur_fracs, lambda x: F.greatest(x, F.lit(EPS)))
-    clamped_q = F.transform(base, lambda x: F.greatest(x, F.lit(EPS)))
+    clamped_q = F.transform(base_fracs, lambda x: F.greatest(x, F.lit(EPS)))
     terms = F.zip_with(
         clamped_p, clamped_q, lambda p, q: (p - q) * F.log(p / q)
     )
-    psi = F.aggregate(terms, F.lit(0.0), lambda acc, x: acc + x)
+    return F.aggregate(terms, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _cdf_at(fracs: Column, i: int) -> Column:
+    """CDF prefix sum of the first i buckets (left fold, matching the SQL
+    oracles' `b0 + b1 + ...` evaluation order)."""
+    return F.aggregate(F.slice(fracs, 1, i), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _psi_ks_from_fracs(cur_fracs: Column, base_fracs: list[float]) -> tuple[Column, Column]:
+    """PSI and binned-KS between a current fractions array column and a
+    LITERAL baseline fractions array — computed with array built-ins
+    (zip_with/aggregate), fully JVM-side. The baseline CDF is folded in
+    Python (constant per bucket) — q44's oracle mirrors exactly that fold,
+    so this literal path must NOT be collapsed into the column-vs-column
+    one (_clamped_psi + _cdf_at), which folds both sides at runtime."""
+    base = F.array(*[F.lit(float(x)) for x in base_fracs])
+    psi = _clamped_psi(cur_fracs, base)
 
     n = len(base_fracs)
     # binned KS: max over prefix sums |P_cdf - Q_cdf|
@@ -193,10 +209,7 @@ def _psi_ks_from_fracs(cur_fracs: Column, base_fracs: list[float]) -> tuple[Colu
     base_cdf = 0.0
     for i in range(1, n + 1):
         base_cdf = sum(base_fracs[:i])
-        cur_cdf = F.aggregate(
-            F.slice(cur_fracs, 1, i), F.lit(0.0), lambda acc, x: acc + x
-        )
-        diffs.append(F.abs(cur_cdf - F.lit(float(base_cdf))))
+        diffs.append(F.abs(_cdf_at(cur_fracs, i) - F.lit(float(base_cdf))))
     ks = F.greatest(*diffs) if len(diffs) > 1 else diffs[0]
     return psi, ks
 
@@ -355,14 +368,9 @@ def rolling_psi_verdicts(
     incident_detector.py:240-289; this is that check generalized to a
     whole distribution). Plan shape: see _rolling_pairs."""
     j, cur_fracs, prv_fracs = _rolling_pairs(df, window_col, value_col, bin_edges)
-    p = F.transform(cur_fracs, lambda x: F.greatest(x, F.lit(EPS)))
-    q = F.transform(prv_fracs, lambda x: F.greatest(x, F.lit(EPS)))
-    psi = F.aggregate(
-        F.zip_with(p, q, lambda a, b: (a - b) * F.log(a / b)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    return _rolling_select(
+        j, _clamped_psi(cur_fracs, prv_fracs), "psi", threshold
     )
-    return _rolling_select(j, psi, "psi", threshold)
 
 
 def rolling_ks_verdicts(
@@ -379,12 +387,9 @@ def rolling_ks_verdicts(
     EPS clamping (CDFs, not ratios)."""
     j, cur_fracs, prv_fracs = _rolling_pairs(df, window_col, value_col, bin_edges)
     nb = len(list(bin_edges)) - 1
-
-    def cdf(arr: Column, i: int) -> Column:
-        return F.aggregate(
-            F.slice(arr, 1, i), F.lit(0.0), lambda acc, x: acc + x
-        )
-
-    diffs = [F.abs(cdf(cur_fracs, i) - cdf(prv_fracs, i)) for i in range(1, nb + 1)]
+    diffs = [
+        F.abs(_cdf_at(cur_fracs, i) - _cdf_at(prv_fracs, i))
+        for i in range(1, nb + 1)
+    ]
     ks = F.greatest(*diffs) if len(diffs) > 1 else diffs[0]
     return _rolling_select(j, ks, "ks", threshold)

@@ -5991,3 +5991,112 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
     out["q99_keep_canonical"] = _Q99_SQL
     out["q100_corpus_split"] = _Q100_SQL
     return out
+
+
+# --------------------------------------------------------------------------
+# q101/q102: data-layout operators — min/max file skipping, z-order values
+# --------------------------------------------------------------------------
+
+
+def q101_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-skipping gate: lineitem split into 50 synthetic 'files'
+    (l_orderkey mod 50), per-file min/max(l_extendedprice) stats, then the
+    skip/scan plan for BETWEEN 20000 AND 30000 — with the SOUNDNESS
+    invariant in the result: every file's actual in-range match count
+    rides along, and a skipped file must show zero (the oracle recomputes
+    stats, plan, and counts from the raw rows)."""
+    from baskerville_spark.functions.layout import file_skip_plan
+
+    lo, hi = 20000.0, 30000.0
+    li = _t(spark, sf_dir, "lineitem")
+    stats = li.groupBy((F.col("l_orderkey") % 50).alias("file_id")).agg(
+        F.min("l_extendedprice").alias("min_v"),
+        F.max("l_extendedprice").alias("max_v"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.col("l_extendedprice").between(lo, hi).cast("long")
+        ).alias("n_matching"),
+    )
+    plan = file_skip_plan(stats, lo, hi)
+    return plan.select(
+        "file_id",
+        "action",
+        "reason",
+        "n_rows",
+        "n_matching",
+        ((F.col("action") == "scan") | (F.col("n_matching") == 0)).alias("sound"),
+    )
+
+
+_Q101_SQL = """
+WITH s AS (
+  SELECT l_orderkey % 50 AS file_id,
+         MIN(l_extendedprice) AS min_v,
+         MAX(l_extendedprice) AS max_v,
+         COUNT(*) AS n_rows,
+         SUM(CASE WHEN l_extendedprice BETWEEN 20000 AND 30000
+                  THEN 1 ELSE 0 END) AS n_matching
+  FROM lineitem GROUP BY 1)
+SELECT file_id,
+       CASE WHEN max_v < 20000 OR min_v > 30000 THEN 'skip'
+            ELSE 'scan' END AS action,
+       CASE WHEN max_v < 20000 THEN 'entirely_below'
+            WHEN min_v > 30000 THEN 'entirely_above'
+            ELSE 'overlaps' END AS reason,
+       CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(n_matching AS BIGINT) AS n_matching,
+       (NOT (max_v < 20000 OR min_v > 30000)) OR n_matching = 0 AS sound
+FROM s
+"""
+
+
+def q102_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order gate: interleaved-bits z-values over two bucketed customer
+    dimensions (custkey mod 256, nationkey — both < 2^8), plus the
+    per-z-octant counts a range repartition would use. The oracle rebuilds
+    the interleave with the same shift/AND arithmetic in SQL — bit-exact,
+    and the octant histogram pins the clustering behavior, not just the
+    per-row math."""
+    from baskerville_spark.functions.layout import z_value
+
+    c = _t(spark, sf_dir, "customer")
+    z = z_value(F.col("c_custkey") % 256, F.col("c_nationkey"), bits=8)
+    return c.select(
+        "c_custkey",
+        z.alias("z"),
+        F.shiftright(z, 13).alias("z_octant"),
+    )
+
+
+_Q102_SQL = """
+SELECT c_custkey,
+       CAST({z} AS BIGINT) AS z,
+       CAST({z} AS BIGINT) >> 13 AS z_octant
+FROM customer
+""".format(
+    z=" + ".join(
+        f"((((c_custkey % 256) >> {i}) & 1) << {2 * i})"
+        f" + (((c_nationkey >> {i}) & 1) << {2 * i + 1})"
+        for i in range(8)
+    )
+)
+
+
+_prev_queries_q102 = queries
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    out = _prev_queries_q102()
+    out["q101_file_skipping"] = q101_file_skipping
+    out["q102_zorder"] = q102_zorder
+    return out
+
+
+_prev_oracles_q102 = oracle_sql
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = _prev_oracles_q102()
+    out["q101_file_skipping"] = _Q101_SQL
+    out["q102_zorder"] = _Q102_SQL
+    return out

@@ -742,3 +742,46 @@ def test_keep_canonical_passes_through_unmapped_docs(spark):
     assert sorted(r.doc_id for r in survivors.collect()) == [2, 5]
     w = {r.cluster_id: r for r in winners.collect()}
     assert w[5].keep_id == 5 and w[5].cluster_size == 1
+
+
+def test_file_skip_plan_soundness_and_null_stats(spark):
+    from pyspark.sql import Row
+
+    from baskerville_spark.functions.layout import file_skip_plan
+
+    stats = spark.createDataFrame(
+        [
+            Row(file_id=0, min_v=1.0, max_v=9.0),      # entirely below [10,20]
+            Row(file_id=1, min_v=25.0, max_v=40.0),    # entirely above
+            Row(file_id=2, min_v=5.0, max_v=15.0),     # overlaps -> scan
+            Row(file_id=3, min_v=None, max_v=None),    # no stats -> must scan
+            Row(file_id=4, min_v=10.0, max_v=20.0),    # boundary-inclusive scan
+        ]
+    )
+    out = {r.file_id: r for r in file_skip_plan(stats, 10.0, 20.0).collect()}
+    assert (out[0].action, out[0].reason) == ("skip", "entirely_below")
+    assert (out[1].action, out[1].reason) == ("skip", "entirely_above")
+    assert (out[2].action, out[2].reason) == ("scan", "overlaps")
+    assert (out[3].action, out[3].reason) == ("scan", "no_stats")
+    assert out[4].action == "scan"
+
+
+def test_z_value_bit_interleave(spark):
+    from pyspark.sql import functions as F
+
+    from baskerville_spark.functions.layout import z_value
+
+    df = spark.createDataFrame(
+        [(0, 0), (3, 5), (255, 255), (1, 0), (0, 1)], "x int, y int"
+    )
+    out = {
+        (r.x, r.y): r.z
+        for r in df.select("x", "y", z_value(F.col("x"), F.col("y"), bits=8).alias("z")).collect()
+    }
+    def interleave(x, y):
+        return sum(((x >> i) & 1) << (2 * i) | ((y >> i) & 1) << (2 * i + 1)
+                   for i in range(8))
+    for (x, y), z in out.items():
+        assert z == interleave(x, y), (x, y, z)
+    assert out[(0, 0)] == 0 and out[(255, 255)] == 65535
+    assert out[(1, 0)] == 1 and out[(0, 1)] == 2

@@ -6100,3 +6100,146 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
     out["q101_file_skipping"] = _Q101_SQL
     out["q102_zorder"] = _Q102_SQL
     return out
+
+
+# --------------------------------------------------------------------------
+# q103: small-file compaction planning (Iceberg maintenance shape)
+# --------------------------------------------------------------------------
+
+
+def q103_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction-plan gate: lineitem as a 7-partition × ~50-file layout
+    with synthetic per-file byte sizes (row count × 100, every 9th file
+    ×100 bigger — the planted 'already big' files that must come out with
+    a NULL group). The contiguous prefix-sum grouping must match DuckDB's
+    window-cumsum restatement exactly, per partition."""
+    from baskerville_spark.functions.layout import plan_compaction
+
+    li = _t(spark, sf_dir, "lineitem")
+    files = li.groupBy(
+        (F.col("l_orderkey") % 7).alias("partition"),
+        (F.col("l_orderkey") % 50).alias("file_id"),
+    ).agg(
+        (
+            F.count(F.lit(1))
+            * F.when(F.col("file_id") % 9 == 0, 10000).otherwise(100)
+        ).alias("bytes")
+    )
+    plan = plan_compaction(files, target_bytes=40_000)
+    return plan.select(
+        "partition", "file_id", "bytes", "is_small", "compaction_group"
+    )
+
+
+_Q103_SQL = """
+WITH f AS (
+  SELECT l_orderkey % 7 AS partition, l_orderkey % 50 AS file_id,
+         COUNT(*) * (CASE WHEN (l_orderkey % 50) % 9 = 0
+                          THEN 10000 ELSE 100 END) AS bytes
+  FROM lineitem GROUP BY 1, 2),
+p AS (
+  SELECT partition, file_id, bytes,
+         (bytes < 40000) AS is_small,
+         COALESCE(SUM(CASE WHEN bytes < 40000 THEN bytes END) OVER (
+             PARTITION BY partition ORDER BY file_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before_b
+  FROM f)
+SELECT partition, file_id, CAST(bytes AS BIGINT) AS bytes, is_small,
+       CASE WHEN is_small
+            THEN CAST(before_b // 40000 AS BIGINT) END AS compaction_group
+FROM p
+"""
+
+
+_prev_queries_q103 = queries
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    out = _prev_queries_q103()
+    out["q103_compaction_plan"] = q103_compaction_plan
+    return out
+
+
+_prev_oracles_q103 = oracle_sql
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = _prev_oracles_q103()
+    out["q103_compaction_plan"] = _Q103_SQL
+    return out
+
+
+# --------------------------------------------------------------------------
+# q104: STREAMING rolling PSI — the q96 monitor as a live stream
+# --------------------------------------------------------------------------
+
+
+def q104_streaming_rolling_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming form of the q96 rolling-drift monitor: the events table
+    streams through a watermarked 1-day tumbling-window aggregate whose
+    exprs are the SAME rolling_bucket_aggs the batch path uses
+    (conditional sums compose under micro-batch partial aggregation), then
+    the day-over-day pairing + clamped PSI run on the (tiny) materialized
+    counts. Must equal the batch q96 oracle exactly — streaming
+    incrementality cannot change the numbers."""
+    from baskerville_spark.checks.drift import (
+        PSI_THRESHOLD,
+        _clamped_psi,
+        pair_window_counts,
+        rolling_bucket_aggs,
+    )
+
+    e_schema = _t(spark, sf_dir, "events").schema
+    name = f"q104_out_{uuid.uuid4().hex[:8]}"
+    stream = (
+        spark.readStream.schema(e_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "1 day"))
+        .agg(*rolling_bucket_aggs("value", DRIFT_VALUE_EDGES))
+    )
+    q = (
+        stream.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    counts = spark.table(name).select(
+        F.dayofmonth(F.col("window.start")).cast("int").alias("window_id"),
+        *[c for c in spark.table(name).columns if c != "window"],
+    )
+    j, cur_fracs, prv_fracs = pair_window_counts(
+        counts, len(DRIFT_VALUE_EDGES) - 1
+    )
+    psi = _clamped_psi(cur_fracs, prv_fracs)
+    return j.select(
+        F.col("cur_window_id").alias("window_id"),
+        F.col("prv_window_id").alias("prev_window_id"),
+        F.col("cur_n").cast("long").alias("n_rows"),
+        F.round(psi, 6).alias("psi"),
+        (psi <= F.lit(float(PSI_THRESHOLD))).cast("int").alias("passed"),
+    )
+
+
+_prev_queries_q104 = queries
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    out = _prev_queries_q104()
+    out["q104_streaming_rolling_psi"] = q104_streaming_rolling_psi
+    return out
+
+
+_prev_oracles_q104 = oracle_sql
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = _prev_oracles_q104()
+    out["q104_streaming_rolling_psi"] = _q96_sql()
+    return out

@@ -304,50 +304,74 @@ def psi_py(p: list[float], q: list[float]) -> float:
     return s
 
 
-def _rolling_pairs(
-    df: DataFrame, window_col: Column, value_col: str, bin_edges: list[float]
-) -> tuple[DataFrame, Column, Column]:
-    """Shared machinery for window-over-window drift: per-window bucket
-    counts (one conditional-sum aggregate — one scan, one narrow shuffle)
-    self-joined w against w-1 (a |windows|-row join — tiny at any data
-    scale; windows are time-bounded). Returns (joined, cur_fracs,
-    prev_fracs); windows without a consecutive predecessor emit nothing
-    (inner join), mirroring "no comparison possible"."""
+def rolling_bucket_aggs(value_col: str, bin_edges: list[float]) -> list[Column]:
+    """The per-window bucket-count aggregate expressions (b0..b{nb-1}, n)
+    shared by the batch rolling verdicts and their streaming counterpart
+    (the exprs are incremental-safe: conditional sums compose under
+    micro-batch partial aggregation)."""
     inner = list(bin_edges)[1:-1]
     nb = len(inner) + 1
     bucket = _bucket_expr(F.col(value_col).cast("double"), inner)
     notnull = F.col(value_col).isNotNull()
-    counts = df.groupBy(window_col.cast("int").alias("window_id")).agg(
-        *[
-            F.sum((notnull & (bucket == i)).cast("long")).alias(f"b{i}")
-            for i in range(nb)
-        ],
-        F.count(F.col(value_col)).alias("n"),
-    )
+    return [
+        F.sum((notnull & (bucket == i)).cast("long")).alias(f"b{i}")
+        for i in range(nb)
+    ] + [F.count(F.col(value_col)).alias("n")]
 
-    def fracs(side: str) -> Column:
+
+def pair_window_counts(
+    counts: DataFrame, n_buckets: int
+) -> tuple[DataFrame, Column, Column]:
+    """Self-join a (window_id, b0.., n) counts table w against w-1 (a
+    |windows|-row join — tiny at any data scale; windows are
+    time-bounded). Returns (joined, cur_fracs, prev_fracs); windows
+    without a consecutive predecessor emit nothing (inner join),
+    mirroring "no comparison possible"."""
+
+    def fracs(pfx: str) -> Column:
         return F.array(
             *[
                 (
-                    F.col(f"{side}.b{i}")
-                    / F.greatest(F.col(f"{side}.n"), F.lit(1))
+                    F.col(f"{pfx}b{i}")
+                    / F.greatest(F.col(f"{pfx}n"), F.lit(1))
                 ).cast("double")
-                for i in range(nb)
+                for i in range(n_buckets)
             ]
         )
 
-    cur, prv = counts.alias("cur"), counts.alias("prv")
-    j = cur.join(
-        prv, on=F.col("cur.window_id") == F.col("prv.window_id") + 1, how="inner"
+    # column-rename pairing, not DataFrame aliases: alias-scoped self-joins
+    # fail to resolve on frames derived from memory-sink tables (the q104
+    # streaming path), and renamed columns are unambiguous everywhere
+    cur = counts.select(
+        [F.col(c).alias(f"cur_{c}") for c in counts.columns]
     )
-    return j, fracs("cur"), fracs("prv")
+    prv = counts.select(
+        [F.col(c).alias(f"prv_{c}") for c in counts.columns]
+    )
+    j = cur.join(
+        prv,
+        on=F.col("cur_window_id") == F.col("prv_window_id") + 1,
+        how="inner",
+    )
+    return j, fracs("cur_"), fracs("prv_")
+
+
+def _rolling_pairs(
+    df: DataFrame, window_col: Column, value_col: str, bin_edges: list[float]
+) -> tuple[DataFrame, Column, Column]:
+    """Batch path: one conditional-sum aggregate (one scan, one narrow
+    shuffle) then the w/w-1 pairing."""
+    counts = df.groupBy(window_col.cast("int").alias("window_id")).agg(
+        *rolling_bucket_aggs(value_col, bin_edges)
+    )
+    return pair_window_counts(counts, len(list(bin_edges)) - 1)
 
 
 def _rolling_select(j: DataFrame, metric: Column, name: str, threshold: float) -> DataFrame:
     return j.select(
-        F.col("cur.window_id").alias("window_id"),
-        F.col("prv.window_id").alias("prev_window_id"),
-        F.col("cur.n").cast("long").alias("n_rows"),
+        F.col("cur_window_id").alias("window_id"),
+        F.col("prv_window_id").alias("prev_window_id"),
+        F.col("cur_n").cast("long").alias("n_rows"),
         metric.cast("double").alias(name),
         (metric <= F.lit(float(threshold))).alias("passed"),
     )

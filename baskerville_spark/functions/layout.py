@@ -67,3 +67,42 @@ def z_value(x: Column, y: Column, bits: int = 16) -> Column:
         yb = F.shiftright(y.cast("long"), i).bitwiseAND(F.lit(1))
         z = z + F.shiftleft(xb, 2 * i) + F.shiftleft(yb, 2 * i + 1)
     return z
+
+
+def plan_compaction(
+    file_stats: DataFrame,
+    target_bytes: int,
+    small_threshold: int | None = None,
+    part_col: str = "partition",
+    file_col: str = "file_id",
+    bytes_col: str = "bytes",
+) -> DataFrame:
+    """Small-file compaction plan (the Iceberg `rewrite_data_files` binpack
+    maintenance op): within each partition, files under ``small_threshold``
+    (default: target) are grouped CONTIGUOUSLY in file order into
+    ~target-byte rewrite groups — group = floor(preceding-small-bytes /
+    target), the same prefix-sum binning as pack_sequences but keyed by
+    partition, so the window is `partitionBy(partition)` and every stage
+    stays parallel (no SinglePartition global sort; a 10^6-partition table
+    plans in one shuffle of its file-stats rows). Files at or over the
+    threshold keep ``compaction_group`` NULL — already big enough, leave
+    them alone. Contiguity in file order preserves whatever clustering
+    (z-order, time) the files already have."""
+    from pyspark.sql import Window
+
+    small_threshold = small_threshold or target_bytes
+    is_small = F.col(bytes_col) < F.lit(small_threshold)
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(file_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = F.coalesce(
+        F.sum(F.when(is_small, F.col(bytes_col))).over(w), F.lit(0)
+    )
+    return file_stats.select(
+        "*",
+        is_small.alias("is_small"),
+        F.when(is_small, (before / F.lit(target_bytes)).cast("long"))
+        .alias("compaction_group"),
+    )

@@ -785,3 +785,33 @@ def test_z_value_bit_interleave(spark):
         assert z == interleave(x, y), (x, y, z)
     assert out[(0, 0)] == 0 and out[(255, 255)] == 65535
     assert out[(1, 0)] == 1 and out[(0, 1)] == 2
+
+
+def test_plan_compaction_groups_and_large_passthrough(spark):
+    from pyspark.sql import Row
+
+    from baskerville_spark.functions.layout import plan_compaction
+
+    files = spark.createDataFrame(
+        [
+            # partition 0: smalls 30+30 fill group 0 (>=40 at file 3's start),
+            # then 30+30 fill group 1; the 50000 file is large -> NULL group
+            Row(partition=0, file_id=1, bytes=30),
+            Row(partition=0, file_id=2, bytes=30),
+            Row(partition=0, file_id=3, bytes=30),
+            Row(partition=0, file_id=4, bytes=50000),
+            Row(partition=0, file_id=5, bytes=30),
+            # partition 1 plans independently
+            Row(partition=1, file_id=1, bytes=10),
+        ]
+    )
+    out = {
+        (r.partition, r.file_id): r
+        for r in plan_compaction(files, target_bytes=40).collect()
+    }
+    assert out[(0, 1)].compaction_group == 0
+    assert out[(0, 2)].compaction_group == 0   # 30 preceding < 40
+    assert out[(0, 3)].compaction_group == 1   # 60 preceding -> group 1
+    assert out[(0, 4)].is_small is False and out[(0, 4)].compaction_group is None
+    assert out[(0, 5)].compaction_group == 2   # 90 small-bytes preceding (large excluded)
+    assert out[(1, 1)].compaction_group == 0   # fresh prefix sum per partition

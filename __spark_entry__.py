@@ -6243,3 +6243,127 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
     out = _prev_oracles_q104()
     out["q104_streaming_rolling_psi"] = _q96_sql()
     return out
+
+
+# --------------------------------------------------------------------------
+# q105/q106: interior silence splitting + edit-distance transcript QA
+# --------------------------------------------------------------------------
+
+
+def q105_split_on_silence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VAD-split gate: planted (lead | tone a | gap g | tone b | tail)
+    clips — when g >= min_gap (64) the clip must split into exactly the
+    two tones with exact lengths; when g < 64 the interior pause stays
+    inside one segment of length a+g+b. Pure integers from the plant mods,
+    through the real decode → split → encode pipeline."""
+    import pandas as pd
+
+    from baskerville_spark.functions.audio_quality import audio_split_on_silence
+
+    def synth(batches):
+        import numpy as np
+
+        from baskerville_spark import audio as au
+
+        for pdf in batches:
+            out = []
+            for i in pdf["id"]:
+                i = int(i)
+                lead, a, g, b, tail = (
+                    i % 30, (i % 40) + 5, (i % 90) + 20, (i % 25) + 3, i % 50,
+                )
+                pcm = np.concatenate([
+                    np.zeros(lead, dtype="<i2"),
+                    np.full(a, 5000, dtype="<i2"),
+                    np.zeros(g, dtype="<i2"),
+                    np.full(b, 5000, dtype="<i2"),
+                    np.zeros(tail, dtype="<i2"),
+                ])
+                out.append({
+                    "part_id": i % 4,
+                    "clip_id": f"vd_{i:06d}",
+                    "bytes": au.encode(pcm, "pcm_s16le"),
+                    "codec": "pcm_s16le",
+                })
+            yield pd.DataFrame(out)
+
+    clips = spark.range(150).mapInPandas(
+        synth, schema="part_id int, clip_id string, bytes binary, codec string"
+    )
+    segs = audio_split_on_silence(clips, threshold=100, min_gap=64)
+    return segs.groupBy("clip_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_segments"),
+        F.min("n_samples").cast("long").alias("min_len"),
+        F.max("n_samples").cast("long").alias("max_len"),
+        F.sum("n_samples").cast("long").alias("voiced_total"),
+    )
+
+
+_Q105_SQL = """
+WITH idx AS (SELECT unnest(generate_series(0, 149)) AS i),
+m AS (
+  SELECT i, CAST((i % 40) + 5 AS BIGINT) AS a,
+         CAST((i % 90) + 20 AS BIGINT) AS g,
+         CAST((i % 25) + 3 AS BIGINT) AS b
+  FROM idx)
+SELECT printf('vd_%06d', i) AS clip_id,
+       CASE WHEN g >= 64 THEN 2 ELSE 1 END AS n_segments,
+       CASE WHEN g >= 64 THEN LEAST(a, b) ELSE a + g + b END AS min_len,
+       CASE WHEN g >= 64 THEN GREATEST(a, b) ELSE a + g + b END AS max_len,
+       CASE WHEN g >= 64 THEN a + b ELSE a + g + b END AS voiced_total
+FROM m
+"""
+
+
+def q106_transcript_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance transcript QA: the graded form of the reference's
+    exact transcript equality (a near-miss ASR transcript scores a small
+    CER instead of a binary fail). Two deterministic corruption channels
+    over the documents table — substitutions (e→a) and a 10-char prefix
+    deletion — scored with the native JVM levenshtein (no Python) and
+    normalized to a character error rate; DuckDB's levenshtein must agree
+    on every row."""
+    d = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    sub = F.regexp_replace(F.col("text"), "e", "a")
+    cut = F.substring(F.col("text"), 11, 1_000_000)
+    ref_len = F.greatest(F.length("text"), F.lit(1))
+    return d.select(
+        "doc_id",
+        F.levenshtein(F.col("text"), sub).cast("long").alias("dist_sub"),
+        F.levenshtein(F.col("text"), cut).cast("long").alias("dist_cut"),
+        F.round(F.levenshtein(F.col("text"), sub) / ref_len, 6).alias("cer_sub"),
+        (F.levenshtein(F.col("text"), sub) <= ref_len * 0.3).cast("int").alias("pass_sub"),
+    )
+
+
+_Q106_SQL = """
+SELECT doc_id,
+       CAST(levenshtein(text, replace(text, 'e', 'a')) AS BIGINT) AS dist_sub,
+       CAST(levenshtein(text, substring(text, 11)) AS BIGINT) AS dist_cut,
+       ROUND(levenshtein(text, replace(text, 'e', 'a'))
+             * 1.0 / GREATEST(length(text), 1), 6) AS cer_sub,
+       CASE WHEN levenshtein(text, replace(text, 'e', 'a'))
+                 <= GREATEST(length(text), 1) * 0.3
+            THEN 1 ELSE 0 END AS pass_sub
+FROM documents WHERE text IS NOT NULL
+"""
+
+
+_prev_queries_q106 = queries
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    out = _prev_queries_q106()
+    out["q105_split_on_silence"] = q105_split_on_silence
+    out["q106_transcript_edit_distance"] = q106_transcript_edit_distance
+    return out
+
+
+_prev_oracles_q106 = oracle_sql
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = _prev_oracles_q106()
+    out["q105_split_on_silence"] = _Q105_SQL
+    out["q106_transcript_edit_distance"] = _Q106_SQL
+    return out

@@ -520,3 +520,55 @@ def audio_segment(clips: DataFrame, segment_samples: int) -> DataFrame:
             )
 
     return clips.mapInArrow(_seg, schema=out_schema)
+
+
+def audio_split_on_silence(
+    clips: DataFrame, threshold: int = 100, min_gap: int = 64
+) -> DataFrame:
+    """Interior silence splitting (VAD-style utterance segmentation, the
+    step past audio_trim_silence): endpoints are trimmed, then the clip
+    splits at every interior silence run of >= ``min_gap`` samples;
+    shorter interior pauses stay inside their segment. One output row per
+    voiced segment (seg_idx, n_samples appended, payload re-encoded under
+    the row's codec); all-silent clips drop. Same decode-once, map-side,
+    data-dependent-fan-out shape as audio_segment."""
+
+    out_schema = T.StructType(clips.schema.fields + SEGMENT_SCHEMA_SUFFIX)
+
+    def _split(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            tbl = b.to_pydict()
+            names = [f.name for f in b.schema]
+            rows: dict[str, list] = {n: [] for n in names}
+            rows["seg_idx"] = []
+            rows["n_samples"] = []
+            for i in range(len(b)):
+                payload, codec = tbl["bytes"][i], tbl["codec"][i]
+                pcm = audio.decode(payload, codec) if payload is not None else None
+                if pcm is None or len(pcm) == 0:
+                    continue
+                voiced = np.flatnonzero(np.abs(pcm.astype(np.int32)) > threshold)
+                if len(voiced) == 0:
+                    continue
+                # split between consecutive voiced samples separated by a
+                # qualifying silence run; segments span voiced-to-voiced
+                gaps = np.flatnonzero(np.diff(voiced) - 1 >= min_gap)
+                starts = np.concatenate([[0], gaps + 1])
+                ends = np.concatenate([gaps, [len(voiced) - 1]])
+                for k, (s, e) in enumerate(zip(starts, ends)):
+                    seg = pcm[voiced[s]: voiced[e] + 1]
+                    for n in names:
+                        rows[n].append(
+                            audio.encode(seg, codec) if n == "bytes" else tbl[n][i]
+                        )
+                    rows["seg_idx"].append(k)
+                    rows["n_samples"].append(len(seg))
+            schema = pa.schema(
+                list(b.schema)
+                + [pa.field("seg_idx", pa.int32()), pa.field("n_samples", pa.int64())]
+            )
+            yield pa.RecordBatch.from_pydict(
+                {f.name: rows[f.name] for f in schema}, schema=schema
+            )
+
+    return clips.mapInArrow(_split, schema=out_schema)

@@ -269,3 +269,35 @@ def test_audio_pitch_period(spark):
     for p in (4, 10, 42):
         assert out[f"p{p}"]["decode_ok"] and out[f"p{p}"]["period_samples"] == p
     assert out["bad"]["decode_ok"] is False and out["bad"]["period_samples"] is None
+
+
+def test_audio_split_on_silence(spark):
+    from baskerville_spark.functions.audio_quality import audio_split_on_silence
+
+    tone = np.full(10, 5000, dtype=np.int16)
+    gap = np.zeros(64, dtype=np.int16)      # qualifying break
+    pause = np.zeros(63, dtype=np.int16)    # sub-threshold pause: kept inside
+    rows = [
+        # three utterances separated by qualifying gaps
+        Row(part_id=0, clip_id="three",
+            bytes=np.concatenate([gap, tone, gap, tone, gap, tone, gap]).tobytes(),
+            codec="pcm_s16le"),
+        # short interior pause -> ONE segment spanning it
+        Row(part_id=0, clip_id="pause",
+            bytes=np.concatenate([tone, pause, tone]).tobytes(),
+            codec="pcm_s16le"),
+        Row(part_id=0, clip_id="silent",
+            bytes=np.zeros(200, dtype=np.int16).tobytes(), codec="pcm_s16le"),
+    ]
+    segs = audio_split_on_silence(
+        spark.createDataFrame(rows), threshold=100, min_gap=64
+    ).collect()
+    by_clip = {}
+    for r in segs:
+        by_clip.setdefault(r["clip_id"], []).append((r["seg_idx"], r["n_samples"]))
+    assert "silent" not in by_clip
+    assert sorted(by_clip["three"]) == [(0, 10), (1, 10), (2, 10)]
+    assert sorted(by_clip["pause"]) == [(0, 10 + 63 + 10)]
+    # decoded segment content is the voiced span exactly
+    three0 = next(r for r in segs if r["clip_id"] == "three" and r["seg_idx"] == 0)
+    assert np.array_equal(audio.decode(bytes(three0["bytes"]), "pcm_s16le"), tone)

@@ -6367,3 +6367,69 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
     out["q105_split_on_silence"] = _Q105_SQL
     out["q106_transcript_edit_distance"] = _Q106_SQL
     return out
+
+
+# --------------------------------------------------------------------------
+# q107: segment -> reassemble round trip (grouped payload shuffle)
+# --------------------------------------------------------------------------
+
+
+def q107_concat_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reassembly gate: the q88 closed-form clips are segmented into
+    32-sample windows, shuffled apart, and reassembled via the grouped
+    applyInPandas concat — the round trip must be LOSSLESS: reassembled
+    length equals the closed-form original length, and the decoded content
+    hash equals the original's (compared clip-by-clip through a join of
+    the two fingerprint passes; `content_ok` must be all-true under the
+    hash gate, lengths rebuilt arithmetically by the oracle)."""
+    from baskerville_spark.functions.audio_dedup import audio_content_fingerprints
+    from baskerville_spark.functions.audio_quality import (
+        audio_concat_segments,
+        audio_segment,
+    )
+
+    clips = _q88_q89_clips(spark)
+    rebuilt = audio_concat_segments(audio_segment(clips, segment_samples=32))
+    fp_orig = audio_content_fingerprints(clips).select(
+        "clip_id", F.col("content_md5").alias("md5_orig")
+    )
+    fp_re = audio_content_fingerprints(
+        rebuilt.withColumn("part_id", F.lit(0))
+    ).select("clip_id", F.col("content_md5").alias("md5_re"))
+    return (
+        rebuilt.select("clip_id", "n_samples")
+        .join(fp_orig, "clip_id")
+        .join(fp_re, "clip_id")
+        .select(
+            "clip_id",
+            "n_samples",
+            (F.col("md5_orig") == F.col("md5_re")).alias("content_ok"),
+        )
+    )
+
+
+_Q107_SQL = """
+WITH idx AS (SELECT unnest(generate_series(0, 149)) AS i)
+SELECT printf('tr_%06d', i) AS clip_id,
+       CAST(i % 40 + (i % 50) + 1 + i % 25 AS BIGINT) AS n_samples,
+       TRUE AS content_ok
+FROM idx
+"""
+
+
+_prev_queries_q107 = queries
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    out = _prev_queries_q107()
+    out["q107_concat_roundtrip"] = q107_concat_roundtrip
+    return out
+
+
+_prev_oracles_q107 = oracle_sql
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = _prev_oracles_q107()
+    out["q107_concat_roundtrip"] = _Q107_SQL
+    return out

@@ -572,3 +572,45 @@ def audio_split_on_silence(
             )
 
     return clips.mapInArrow(_split, schema=out_schema)
+
+
+def audio_concat_segments(segs: DataFrame) -> DataFrame:
+    """Reassemble segmented clips (the inverse of audio_segment /
+    audio_split_on_silence, and the training-time concat step): group by
+    clip_id, order by seg_idx, decode each piece, concatenate, re-encode
+    under the group's codec. The one audio op with a GROUPED payload
+    shuffle — segments of a clip must meet — expressed as applyInPandas so
+    each group is reassembled vectorized in one worker call; output is one
+    row per clip. At 10^12 scale the shuffle carries exactly the payload
+    bytes once (no amplification), and clips segmented by the same job are
+    usually still partition-local (same input split), so AQE sees a
+    near-no-op exchange."""
+    import pandas as pd
+
+    meta_cols = [
+        c for c in segs.columns if c not in ("bytes", "seg_idx", "n_samples")
+    ]
+    out_schema = T.StructType(
+        [f for f in segs.schema.fields if f.name in meta_cols]
+        + [
+            T.StructField("bytes", T.BinaryType(), True),
+            T.StructField("n_samples", T.LongType(), False),
+        ]
+    )
+
+    def _concat(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("seg_idx")
+        codec = pdf["codec"].iloc[0]
+        pieces = [
+            audio.decode(bz, codec) for bz in pdf["bytes"] if bz is not None
+        ]
+        pieces = [p for p in pieces if p is not None]
+        if not pieces:
+            return pd.DataFrame(columns=[f.name for f in out_schema.fields])
+        whole = np.concatenate(pieces)
+        row = {c: [pdf[c].iloc[0]] for c in meta_cols}
+        row["bytes"] = [audio.encode(whole, codec)]
+        row["n_samples"] = [len(whole)]
+        return pd.DataFrame(row)
+
+    return segs.groupBy("clip_id").applyInPandas(_concat, schema=out_schema)

@@ -301,3 +301,21 @@ def test_audio_split_on_silence(spark):
     # decoded segment content is the voiced span exactly
     three0 = next(r for r in segs if r["clip_id"] == "three" and r["seg_idx"] == 0)
     assert np.array_equal(audio.decode(bytes(three0["bytes"]), "pcm_s16le"), tone)
+
+
+def test_audio_concat_segments_roundtrip(spark):
+    from baskerville_spark.functions.audio_quality import (
+        audio_concat_segments,
+        audio_segment,
+    )
+
+    pcm = audio.synth_pcm("rt", 16000, 100)  # 1600 samples
+    rows = [Row(part_id=0, clip_id="rt",
+                bytes=bytes(audio.encode(pcm, "flac")), codec="flac")]
+    rebuilt = audio_concat_segments(
+        audio_segment(spark.createDataFrame(rows), segment_samples=700)
+    ).collect()
+    assert len(rebuilt) == 1
+    r = rebuilt[0]
+    assert r["n_samples"] == 1600 and r["codec"] == "flac"
+    assert np.array_equal(audio.decode(bytes(r["bytes"]), "flac"), pcm)

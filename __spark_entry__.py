@@ -5628,11 +5628,14 @@ def q96_rolling_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _rolling_day_counts_cte() -> tuple[str, int]:
-    """The per-day bucket-count CTE shared by the q96 and q97 oracles —
-    ONE builder so the two can never bin differently from each other (or
+def _rolling_day_counts_cte(
+    window_expr: str = "CAST(EXTRACT(day FROM ts) AS INT)",
+) -> tuple[str, int]:
+    """The per-day bucket-count CTE shared by the q96/q97/q104 oracles —
+    ONE builder so they can never bin differently from each other (or
     from the _rolling_pairs aggregate they mirror; q62/q64's shared-fixture
-    rule applied to SQL)."""
+    rule applied to SQL). ``window_expr``: day-of-month for the batch
+    gates, epoch-day for the streaming gate (month-boundary-safe)."""
     inner = DRIFT_VALUE_EDGES[1:-1]
     nb = len(inner) + 1
     vbucket = " + ".join(
@@ -5644,17 +5647,17 @@ def _rolling_day_counts_cte() -> tuple[str, int]:
     )
     cte = f"""
 WITH c AS (
-  SELECT CAST(EXTRACT(day FROM ts) AS INT) AS window_id,
+  SELECT {window_expr} AS window_id,
     {sums},
     COUNT(value) AS n
   FROM events GROUP BY 1)"""
     return cte, nb
 
 
-def _q96_sql() -> str:
+def _q96_sql(window_expr: str = "CAST(EXTRACT(day FROM ts) AS INT)") -> str:
     from baskerville_spark.checks.drift import EPS, PSI_THRESHOLD
 
-    cte, nb = _rolling_day_counts_cte()
+    cte, nb = _rolling_day_counts_cte(window_expr)
 
     def frac(side: str, i: int) -> str:
         return f"GREATEST({side}.b{i} * 1.0 / GREATEST({side}.n, 1), {repr(EPS)})"
@@ -6180,7 +6183,10 @@ def q104_streaming_rolling_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     exprs are the SAME rolling_bucket_aggs the batch path uses
     (conditional sums compose under micro-batch partial aggregation), then
     the day-over-day pairing + clamped PSI run on the (tiny) materialized
-    counts. Must equal the batch q96 oracle exactly — streaming
+    counts. Windows key on EPOCH DAY (datediff from 1970-01-01), not
+    day-of-month — tumbling windows are true calendar days, so a fixture
+    spanning a month boundary must not alias Jan 5 onto Feb 5. The oracle
+    is the q96 arithmetic over the same epoch-day windows — streaming
     incrementality cannot change the numbers."""
     from baskerville_spark.checks.drift import (
         PSI_THRESHOLD,
@@ -6211,7 +6217,9 @@ def q104_streaming_rolling_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     counts = spark.table(name).select(
-        F.dayofmonth(F.col("window.start")).cast("int").alias("window_id"),
+        F.datediff(F.col("window.start"), F.lit("1970-01-01"))
+        .cast("int")
+        .alias("window_id"),
         *[c for c in spark.table(name).columns if c != "window"],
     )
     j, cur_fracs, prv_fracs = pair_window_counts(
@@ -6241,7 +6249,10 @@ _prev_oracles_q104 = oracle_sql
 
 def oracle_sql() -> dict[str, str]:  # noqa: F811
     out = _prev_oracles_q104()
-    out["q104_streaming_rolling_psi"] = _q96_sql()
+    out["q104_streaming_rolling_psi"] = _q96_sql(
+        window_expr="CAST(date_diff('day', DATE '1970-01-01',"
+        " CAST(ts AS DATE)) AS INT)"
+    )
     return out
 
 

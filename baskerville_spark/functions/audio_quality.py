@@ -480,18 +480,19 @@ SEGMENT_SCHEMA_SUFFIX = [
 ]
 
 
-def audio_segment(clips: DataFrame, segment_samples: int) -> DataFrame:
-    """Split each payload into fixed-length sample windows, one OUTPUT ROW
-    per segment (clip-side chunking, the audio analog of
-    packing.chunk_documents): all metadata columns are carried, plus
-    ``seg_idx`` and the segment's ``n_samples`` (the last segment may be
-    short). One decode pass; segments re-encode under the row's codec.
-    Fan-out is data-dependent (ceil(n/segment)) — still a narrow map-side
-    op, no shuffle."""
+def _emit_spans(clips: DataFrame, span_fn) -> DataFrame:
+    """Shared fan-out machinery for clip-side segmentation ops: decode each
+    payload once, let ``span_fn(pcm) -> [(start, end_exclusive), ...]``
+    choose the spans, and emit one OUTPUT ROW per span — metadata carried,
+    ``seg_idx``/``n_samples`` appended, each span re-encoded under the
+    row's codec. Undecodable rows and empty span lists drop. Data-dependent
+    fan-out, still a narrow map-side op, no shuffle. ONE copy of the Arrow
+    emission scaffolding so segmenters can't diverge on schema/null
+    handling."""
 
     out_schema = T.StructType(clips.schema.fields + SEGMENT_SCHEMA_SUFFIX)
 
-    def _seg(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    def _emit(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for b in batches:
             tbl = b.to_pydict()
             names = [f.name for f in b.schema]
@@ -503,60 +504,8 @@ def audio_segment(clips: DataFrame, segment_samples: int) -> DataFrame:
                 pcm = audio.decode(payload, codec) if payload is not None else None
                 if pcm is None or len(pcm) == 0:
                     continue
-                for s in range(0, len(pcm), segment_samples):
-                    seg = pcm[s: s + segment_samples]
-                    for n in names:
-                        rows[n].append(
-                            audio.encode(seg, codec) if n == "bytes" else tbl[n][i]
-                        )
-                    rows["seg_idx"].append(s // segment_samples)
-                    rows["n_samples"].append(len(seg))
-            schema = pa.schema(
-                list(b.schema)
-                + [pa.field("seg_idx", pa.int32()), pa.field("n_samples", pa.int64())]
-            )
-            yield pa.RecordBatch.from_pydict(
-                {f.name: rows[f.name] for f in schema}, schema=schema
-            )
-
-    return clips.mapInArrow(_seg, schema=out_schema)
-
-
-def audio_split_on_silence(
-    clips: DataFrame, threshold: int = 100, min_gap: int = 64
-) -> DataFrame:
-    """Interior silence splitting (VAD-style utterance segmentation, the
-    step past audio_trim_silence): endpoints are trimmed, then the clip
-    splits at every interior silence run of >= ``min_gap`` samples;
-    shorter interior pauses stay inside their segment. One output row per
-    voiced segment (seg_idx, n_samples appended, payload re-encoded under
-    the row's codec); all-silent clips drop. Same decode-once, map-side,
-    data-dependent-fan-out shape as audio_segment."""
-
-    out_schema = T.StructType(clips.schema.fields + SEGMENT_SCHEMA_SUFFIX)
-
-    def _split(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        for b in batches:
-            tbl = b.to_pydict()
-            names = [f.name for f in b.schema]
-            rows: dict[str, list] = {n: [] for n in names}
-            rows["seg_idx"] = []
-            rows["n_samples"] = []
-            for i in range(len(b)):
-                payload, codec = tbl["bytes"][i], tbl["codec"][i]
-                pcm = audio.decode(payload, codec) if payload is not None else None
-                if pcm is None or len(pcm) == 0:
-                    continue
-                voiced = np.flatnonzero(np.abs(pcm.astype(np.int32)) > threshold)
-                if len(voiced) == 0:
-                    continue
-                # split between consecutive voiced samples separated by a
-                # qualifying silence run; segments span voiced-to-voiced
-                gaps = np.flatnonzero(np.diff(voiced) - 1 >= min_gap)
-                starts = np.concatenate([[0], gaps + 1])
-                ends = np.concatenate([gaps, [len(voiced) - 1]])
-                for k, (s, e) in enumerate(zip(starts, ends)):
-                    seg = pcm[voiced[s]: voiced[e] + 1]
+                for k, (s, e) in enumerate(span_fn(pcm)):
+                    seg = pcm[s:e]
                     for n in names:
                         rows[n].append(
                             audio.encode(seg, codec) if n == "bytes" else tbl[n][i]
@@ -571,7 +520,52 @@ def audio_split_on_silence(
                 {f.name: rows[f.name] for f in schema}, schema=schema
             )
 
-    return clips.mapInArrow(_split, schema=out_schema)
+    return clips.mapInArrow(_emit, schema=out_schema)
+
+
+def audio_segment(clips: DataFrame, segment_samples: int) -> DataFrame:
+    """Split each payload into fixed-length sample windows, one OUTPUT ROW
+    per segment (clip-side chunking, the audio analog of
+    packing.chunk_documents): all metadata columns are carried, plus
+    ``seg_idx`` and the segment's ``n_samples`` (the last segment may be
+    short). One decode pass; segments re-encode under the row's codec.
+    Fan-out is data-dependent (ceil(n/segment)) — still a narrow map-side
+    op, no shuffle."""
+
+    def spans(pcm):
+        return [
+            (s, min(s + segment_samples, len(pcm)))
+            for s in range(0, len(pcm), segment_samples)
+        ]
+
+    return _emit_spans(clips, spans)
+
+
+def audio_split_on_silence(
+    clips: DataFrame, threshold: int = 100, min_gap: int = 64
+) -> DataFrame:
+    """Interior silence splitting (VAD-style utterance segmentation, the
+    step past audio_trim_silence): endpoints are trimmed, then the clip
+    splits at every interior silence run of >= ``min_gap`` samples;
+    shorter interior pauses stay inside their segment. One output row per
+    voiced segment (seg_idx, n_samples appended, payload re-encoded under
+    the row's codec); all-silent clips drop. Same decode-once, map-side,
+    data-dependent-fan-out shape as audio_segment."""
+
+    def spans(pcm):
+        voiced = np.flatnonzero(np.abs(pcm.astype(np.int32)) > threshold)
+        if len(voiced) == 0:
+            return []
+        # split between consecutive voiced samples separated by a
+        # qualifying silence run; segments span voiced-to-voiced
+        gaps = np.flatnonzero(np.diff(voiced) - 1 >= min_gap)
+        starts = np.concatenate([[0], gaps + 1])
+        ends = np.concatenate([gaps, [len(voiced) - 1]])
+        return [
+            (int(voiced[a]), int(voiced[b]) + 1) for a, b in zip(starts, ends)
+        ]
+
+    return _emit_spans(clips, spans)
 
 
 def audio_concat_segments(segs: DataFrame) -> DataFrame:

@@ -593,21 +593,25 @@ def keep_canonical(
     real cluster labeled X contains X, so X would be mapped, not synthetic.
 
     Plan: one left join of docs with the narrow cluster map
-    (co-partitionable on id), one max_by aggregate per cluster (single
-    shuffle — the struct(quality, -id) ordering makes the tie-break part
-    of the same reduction, q43's min_by/max_by idiom), and a semi-join
-    back. winners is one row per cluster — O(distinct docs) once
-    singletons are counted, so it is NOT broadcast-hinted (a 100M-doc
-    corpus would blow the broadcast limit); AQE picks the join strategy.
+    (co-partitionable on id), one min_by aggregate per cluster (single
+    shuffle — the struct(-quality, id) ordering makes the tie-break part
+    of the same reduction, q43's min_by/max_by idiom: minimal NEGATED
+    quality = maximal quality, then minimal id — the negation lives on
+    the numeric quality, never on the id, so string ids work (negating a
+    string id would cast-fail under ANSI); ``quality`` must be numeric.
+    Then a semi-join back. winners is one row per cluster — O(distinct
+    docs) once singletons are counted, so it is NOT broadcast-hinted (a
+    100M-doc corpus would blow the broadcast limit); AQE picks the join
+    strategy.
     """
     cmap = clusters.select(F.col("id").alias(id_col), "cluster_id")
     j = docs.join(cmap, id_col, "left").withColumn(
         "cluster_id", F.coalesce(F.col("cluster_id"), F.col(id_col))
     )
     winners = j.groupBy("cluster_id").agg(
-        F.max_by(
+        F.min_by(
             F.col(id_col),
-            F.struct(quality.alias("q"), (-F.col(id_col)).alias("neg_id")),
+            F.struct((-quality).alias("neg_q"), F.col(id_col).alias("id")),
         ).alias("keep_id"),
         F.count(F.lit(1)).alias("cluster_size"),
     )

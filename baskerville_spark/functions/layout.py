@@ -90,7 +90,8 @@ def plan_compaction(
     (z-order, time) the files already have."""
     from pyspark.sql import Window
 
-    small_threshold = small_threshold or target_bytes
+    if small_threshold is None:  # explicit 0 must mean 'compact nothing'
+        small_threshold = target_bytes
     is_small = F.col(bytes_col) < F.lit(small_threshold)
     w = (
         Window.partitionBy(part_col)

@@ -815,3 +815,35 @@ def test_plan_compaction_groups_and_large_passthrough(spark):
     assert out[(0, 4)].is_small is False and out[(0, 4)].compaction_group is None
     assert out[(0, 5)].compaction_group == 2   # 90 small-bytes preceding (large excluded)
     assert out[(1, 1)].compaction_group == 0   # fresh prefix sum per partition
+
+
+def test_keep_canonical_string_ids(spark):
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from baskerville_spark.functions.dedup import keep_canonical
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id="clip_b", text="xx"),
+            Row(doc_id="clip_a", text="xx"),   # tie -> lexicographic min id
+            Row(doc_id="clip_c", text="xxxx"), # quality winner of its cluster
+            Row(doc_id="clip_d", text="x"),
+        ]
+    )
+    clusters = spark.createDataFrame(
+        [Row(id="clip_b", cluster_id="clip_a"), Row(id="clip_a", cluster_id="clip_a"),
+         Row(id="clip_c", cluster_id="clip_c"), Row(id="clip_d", cluster_id="clip_c")]
+    )
+    survivors, _ = keep_canonical(docs, clusters, F.length("text"))
+    assert sorted(r.doc_id for r in survivors.collect()) == ["clip_a", "clip_c"]
+
+
+def test_plan_compaction_zero_threshold_means_compact_nothing(spark):
+    from pyspark.sql import Row
+
+    from baskerville_spark.functions.layout import plan_compaction
+
+    files = spark.createDataFrame([Row(partition=0, file_id=1, bytes=10)])
+    out = plan_compaction(files, target_bytes=40, small_threshold=0).collect()[0]
+    assert out.is_small is False and out.compaction_group is None

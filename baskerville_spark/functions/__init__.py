@@ -61,3 +61,14 @@ from baskerville_spark.functions.bloom import (  # noqa: F401
     bloom_semi_join,
     build_bloom_bitmap,
 )
+from baskerville_spark.functions.layout import (  # noqa: F401
+    file_skip_plan,
+    plan_compaction,
+    z_value,
+)
+from baskerville_spark.functions.dedup import (  # noqa: F401
+    keep_canonical,
+)
+from baskerville_spark.functions.sampling import (  # noqa: F401
+    train_val_test_split,
+)

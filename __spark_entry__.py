@@ -2145,8 +2145,8 @@ WITH d AS (
 f AS (
   SELECT COALESCE(lang, 'und') AS lang, n_chars, 1 AS ingest_flag
   FROM d WHERE text IS NOT NULL)
-SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars,
-       SUM(ingest_flag) AS n_flag
+SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(SUM(ingest_flag) AS BIGINT) AS n_flag
 FROM f GROUP BY lang
 """
 
@@ -4239,8 +4239,8 @@ SELECT part_id, 'speaking_rate' AS check_name,
        ROUND(SUM(CASE WHEN violated THEN 1 ELSE 0 END)
              / greatest(SUM(CASE WHEN checkable THEN 1 ELSE 0 END), 1) * 1.0,
              6) AS violation_rate,
-       SUM(CASE WHEN checkable THEN 1 ELSE 0 END) AS n_rows,
-       SUM(CASE WHEN violated THEN 1 ELSE 0 END) AS n_violations
+       CAST(SUM(CASE WHEN checkable THEN 1 ELSE 0 END) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN violated THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
 FROM flags GROUP BY part_id
 """
 
@@ -4296,9 +4296,9 @@ c AS (
                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
            - n_tokens AS start_offset
   FROM t)
-SELECT start_offset // 512 AS bin_id,
+SELECT CAST(start_offset // 512 AS BIGINT) AS bin_id,
        COUNT(*) AS n_docs,
-       SUM(n_tokens) AS n_tokens,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
        MIN(doc_id) AS first_doc,
        MAX(doc_id) AS last_doc
 FROM c GROUP BY 1
@@ -4444,7 +4444,7 @@ vocab AS (
   ORDER BY cnt DESC, token ASC LIMIT 500)
 SELECT t.doc_id,
        COUNT(*) AS n_tokens,
-       SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS n_oov,
+       CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
        ROUND(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) * 1.0
              / COUNT(*), 6) AS oov_ratio
 FROM tok2 t LEFT JOIN vocab v USING (token)
@@ -6443,4 +6443,89 @@ _prev_oracles_q107 = oracle_sql
 def oracle_sql() -> dict[str, str]:  # noqa: F811
     out = _prev_oracles_q107()
     out["q107_concat_roundtrip"] = _Q107_SQL
+    return out
+
+
+# --------------------------------------------------------------------------
+# q108: enrich-with-state left-outer + per-column coalesce (the last §2.3
+# join family that was pytest-only — VERDICT r04 item #5)
+# --------------------------------------------------------------------------
+
+
+def q108_enrich_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State-enrichment gate (reference request_set_cache.py:207-251): the
+    batch (per-user aggregates over odd event_ids) is LEFT-joined to a
+    planted STALE cache (per-user aggregates over even event_ids, with
+    every user_id % 3 == 0 evicted so the NULL-state path is exercised),
+    state columns arriving old_*-prefixed, then the canonical per-column
+    coalesce folds prior state into running totals. Hash-gates both the
+    join's null semantics and the coalesce arithmetic."""
+    from baskerville_spark.runtime.state import enrich_with_state
+
+    ev = _t(spark, sf_dir, "events")
+    batch = (
+        ev.where(F.col("event_id") % 2 == 1)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+    )
+    stale = (
+        ev.where((F.col("event_id") % 2 == 0) & (F.col("user_id") % 3 != 0))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+    )
+    enriched = enrich_with_state(
+        batch, stale, keys=["user_id"], state_cols=["n_events", "sum_value"]
+    )
+    return enriched.select(
+        "user_id",
+        "n_events",
+        "old_n_events",
+        (F.col("n_events") + F.coalesce(F.col("old_n_events"), F.lit(0)))
+        .cast("long")
+        .alias("total_events"),
+        F.round(
+            F.col("sum_value") + F.coalesce(F.col("old_sum_value"), F.lit(0.0)), 6
+        ).alias("total_value"),
+    )
+
+
+_Q108_SQL = """
+WITH batch AS (
+  SELECT user_id, COUNT(*) AS n_events,
+         ROUND(SUM(value), 6) AS sum_value
+  FROM events WHERE event_id % 2 = 1 GROUP BY user_id),
+stale AS (
+  SELECT user_id, COUNT(*) AS n_events,
+         ROUND(SUM(value), 6) AS sum_value
+  FROM events WHERE event_id % 2 = 0 AND user_id % 3 <> 0 GROUP BY user_id)
+SELECT b.user_id,
+       b.n_events,
+       s.n_events AS old_n_events,
+       CAST(b.n_events + COALESCE(s.n_events, 0) AS BIGINT) AS total_events,
+       ROUND(b.sum_value + COALESCE(s.sum_value, 0.0), 6) AS total_value
+FROM batch b LEFT JOIN stale s USING (user_id)
+"""
+
+
+_prev_queries_q108 = queries
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    out = _prev_queries_q108()
+    out["q108_enrich_with_state"] = q108_enrich_with_state
+    return out
+
+
+_prev_oracles_q108 = oracle_sql
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = _prev_oracles_q108()
+    out["q108_enrich_with_state"] = _Q108_SQL
     return out

@@ -7,7 +7,8 @@ it) or re-encoded. These operators fingerprint the DECODED signal instead:
 - ``content_md5``: md5 of the decoded PCM sample stream — exact content
   identity, invariant across lossless containers (pcm_s16le <-> flac here).
 - ``envelope_fp``: a 64-bit robust fingerprint — sample count (exactly
-  preserved by any honest transcode) in the top 16 bits, plus 6 segments
+  preserved by any honest transcode) in bits 48-62 (15 bits, keeping the
+  int64 sign bit clear), plus 6 segments
   x (4-bit normalized RMS energy + 4-bit zero-crossing rate). Coarse
   enough to survive mild lossy re-encoding (the opus stand-in's 12-bit
   quantization perturbs samples by ~0.02%, far below a 4-bit bucket;
@@ -63,8 +64,14 @@ ENVELOPE_BITS = 4
 
 
 def envelope_fingerprint(pcm: np.ndarray) -> int:
-    """64-bit robust candidate key: 16-bit sample count (top bits) + 6
-    segments x (4-bit normalized RMS + 4-bit zero-crossing rate)."""
+    """64-bit robust candidate key: 15-bit sample count (bits 48-62) + 6
+    segments x (4-bit normalized RMS + 4-bit zero-crossing rate).
+
+    The count is masked to 15 bits (not 16) so bit 63 — the int64 sign
+    bit — is never set: a 16-bit mask made any clip with
+    ``n % 65536 >= 32768`` (e.g. 2.5 s @ 16 kHz) produce a Python int
+    >= 2**63 that pa.int64() cannot store, crashing the whole fingerprint
+    job on common clip lengths (round-4 advisor finding)."""
     x = pcm.astype(np.float64)
     n = len(x)
     if n == 0:
@@ -86,7 +93,7 @@ def envelope_fingerprint(pcm: np.ndarray) -> int:
     else:
         zc = np.zeros(N_SEGMENTS)  # 1-sample segments have no crossings
     qz = np.clip((zc * top).astype(np.int64), 0, top - 1)
-    fp = (n & 0xFFFF) << 48
+    fp = (n & 0x7FFF) << 48
     for i in range(N_SEGMENTS):
         fp |= int(qr[i]) << (i * 8)
         fp |= int(qz[i]) << (i * 8 + 4)

@@ -194,6 +194,14 @@ def audio_resample(clips: DataFrame, target_sr: int) -> DataFrame:
     and gated. Integer downsample ratios are EXACT (the grid hits original
     samples), which is what the q85 gate exploits.
     """
+    if "sr_hz" not in clips.columns:
+        # without this, a missing sr_hz column silently dropped EVERY row —
+        # a schema mistake read as "no data" (round-4 advisor finding).
+        # Silent drops remain only for genuinely undecodable/NULL-rate rows.
+        raise ValueError(
+            "audio_resample requires an 'sr_hz' column "
+            f"(got columns {clips.columns})"
+        )
 
     def _res(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for b in batches:
@@ -358,9 +366,17 @@ def audio_overlay(clips: DataFrame, overlays: DataFrame) -> DataFrame:
     join, same as every other decode pass.
     """
     base = clips.withColumnRenamed("bytes", "__bytes_a")
+    # the overlay's OWN codec rides through the join: decoding the overlay
+    # payload with the base row's codec mis-reads mixed-codec pairs (pcm
+    # base + flac overlay) into garbage with no error — round-4 advisor
+    # finding. Overlay tables without a codec column inherit the base's.
     over = overlays.select(
         F.col("clip_id"),
         F.col("bytes").alias("__bytes_b"),
+        (
+            F.col("codec") if "codec" in overlays.columns
+            else F.lit(None).cast("string")
+        ).alias("__codec_b"),
     )
     joined = base.join(over, "clip_id")
 
@@ -370,9 +386,10 @@ def audio_overlay(clips: DataFrame, overlays: DataFrame) -> DataFrame:
             keep, new_payloads = [], []
             for i in range(len(b)):
                 codec = tbl["codec"][i]
+                codec_b = tbl["__codec_b"][i] or codec
                 pa_bytes, pb_bytes = tbl["__bytes_a"][i], tbl["__bytes_b"][i]
                 xa = audio.decode(pa_bytes, codec) if pa_bytes is not None else None
-                xb = audio.decode(pb_bytes, codec) if pb_bytes is not None else None
+                xb = audio.decode(pb_bytes, codec_b) if pb_bytes is not None else None
                 if xa is None or xb is None or len(xa) == 0 or len(xb) == 0:
                     continue
                 n = min(len(xa), len(xb))
@@ -386,18 +403,22 @@ def audio_overlay(clips: DataFrame, overlays: DataFrame) -> DataFrame:
             out = {
                 name: [tbl[name][i] for i in keep]
                 for name in tbl
-                if name not in ("__bytes_a", "__bytes_b")
+                if name not in ("__bytes_a", "__bytes_b", "__codec_b")
             }
             out["bytes"] = new_payloads
             out_schema = pa.schema(
-                [f for f in b.schema if f.name not in ("__bytes_a", "__bytes_b")]
+                [f for f in b.schema
+                 if f.name not in ("__bytes_a", "__bytes_b", "__codec_b")]
                 + [pa.field("bytes", pa.binary())]
             )
             yield pa.RecordBatch.from_pydict(
                 {f.name: out[f.name] for f in out_schema}, schema=out_schema
             )
 
-    out_fields = [f for f in joined.schema.fields if f.name not in ("__bytes_a", "__bytes_b")]
+    out_fields = [
+        f for f in joined.schema.fields
+        if f.name not in ("__bytes_a", "__bytes_b", "__codec_b")
+    ]
     out_schema = T.StructType(out_fields + [T.StructField("bytes", T.BinaryType(), True)])
     return joined.mapInArrow(_mix, schema=out_schema)
 
@@ -489,6 +510,16 @@ def _emit_spans(clips: DataFrame, span_fn) -> DataFrame:
     fan-out, still a narrow map-side op, no shuffle. ONE copy of the Arrow
     emission scaffolding so segmenters can't diverge on schema/null
     handling."""
+    clash = {"seg_idx", "n_samples"} & set(clips.columns)
+    if clash:
+        # re-segmenting a segmenter's own output would otherwise build an
+        # Arrow schema with duplicate field names — failing confusingly or
+        # silently clobbering the originals (round-4 advisor finding).
+        # Rename/drop the prior segmentation columns first.
+        raise ValueError(
+            f"input already carries segmentation columns {sorted(clash)}; "
+            "rename or drop them before re-segmenting"
+        )
 
     out_schema = T.StructType(clips.schema.fields + SEGMENT_SCHEMA_SUFFIX)
 

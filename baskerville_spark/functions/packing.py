@@ -62,29 +62,61 @@ def pack_sequences(
         base.repartitionByRange(n_blocks, "id")
         .withColumn("block", F.spark_partition_id())
     )
-    # phase 1: per-block totals -> driver cumsum (P rows; bounded by
-    # parallelism, not data). Range partition order == id order, so the
-    # running total over block index is the global prefix.
-    totals = ranged.groupBy("block").agg(F.sum("n_tokens").alias("t")).collect()
-    offsets: dict[int, int] = {}
+    # phase 1: ONE job over the range exchange collects per-block totals AND
+    # per-block id upper bounds (P rows; bounded by parallelism, not data).
+    # RangePartitioner derives its sample seed from the RDD id, which differs
+    # per compiled plan — so at scale (partial sampling) running the exchange
+    # a second time for the returned frame could put a row near a boundary in
+    # a DIFFERENT block than the one whose offset it was credited to,
+    # silently corrupting start_offset (round-4 advisor finding). The
+    # collected max_id bounds make block membership a deterministic function
+    # of id, so the returned frame never re-runs the range exchange at all.
+    stats = sorted(
+        ranged.groupBy("block")
+        .agg(F.sum("n_tokens").alias("t"), F.max("id").alias("max_id"))
+        .collect(),
+        key=lambda r: r["block"],
+    )
+    if not stats:
+        return base.select(
+            F.col("id").alias(id_col),
+            "n_tokens",
+            F.lit(0).cast("bigint").alias("start_offset"),
+            F.lit(0).cast("bigint").alias("bin_id"),
+        )
+    offsets: list[int] = []
     acc = 0
-    for r in sorted(totals, key=lambda r: r["block"]):
-        offsets[r["block"]] = acc
+    for r in stats:
+        offsets.append(acc)
         acc += int(r["t"] or 0)
+    # block = number of collected block-max bounds strictly below this id —
+    # O(P) codegen work per row with P = parallelism; past a few thousand
+    # blocks, broadcast-join a tiny (block, offset) frame instead.
+    bounds = [r["max_id"] for r in stats[:-1]]
+    if bounds:
+        block = F.size(
+            F.filter(
+                F.array(*[F.lit(b) for b in bounds]),
+                lambda b: b < F.col("id"),
+            )
+        )
+    else:
+        block = F.lit(0)
     off = F.element_at(
         F.create_map(
-            *[F.lit(x) for kv in sorted(offsets.items()) for x in kv]
+            *[F.lit(x) for i, o in enumerate(offsets) for x in (i, o)]
         ),
         F.col("block"),
     )
-    # phase 2: within-block running sum — partitioned window, no global sort
+    # phase 2: within-block running sum — partitioned window (hash shuffle
+    # on block, the only exchange in the returned plan), no global sort
     w = (
         Window.partitionBy("block")
         .orderBy("id")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     start = (off + F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("bigint")
-    return ranged.select(
+    return base.withColumn("block", block).select(
         F.col("id").alias(id_col),
         "n_tokens",
         start.alias("start_offset"),

@@ -265,20 +265,51 @@ def run_default() -> None:
     total += clip["elapsed_s"]
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
+    # Round-4 lesson: the 107-entry per-query map made the metric line longer
+    # than the driver's stdout tail capture, truncating the leading
+    # '{"metric":...' and leaving BENCH_r04.json parsed:null. The fat map now
+    # goes to a FILE and the FINAL stdout line is a compact headline the
+    # driver can always capture whole.
+    detail_dir = os.environ.get(
+        "BENCH_DETAIL_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "docs", "bench_detail"),
+    )
+    detail_path = None
+    try:
+        os.makedirs(detail_dir, exist_ok=True)
+        detail_path = os.path.join(detail_dir, f"bench_{int(time.time())}.json")
+        with open(detail_path, "w") as fh:
+            json.dump(
+                {"queries": per_query, "clip_bench": clip, "sf": sf,
+                 "cpus": int(CPUS)},
+                fh, indent=1,
+            )
+    except OSError:
+        detail_path = None
+    slow5 = dict(
+        sorted(per_query.items(), key=lambda kv: -kv[1])[:5]
+    )
     print(
         json.dumps(
             {
                 "metric": "validation_suite_plus_queries_wall",
-                "metric_version": 2,
+                "metric_version": 3,
                 "value": round(total, 3),
                 "unit": "sec",
-                "queries": per_query,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "clips_per_sec": clip["clips_per_sec"],
-                "clip_bench": clip,
+                "clips_per_sec_min": clip["clips_per_sec_min"],
+                "clips_per_sec_max": clip["clips_per_sec_max"],
+                "n_queries": len(per_query),
+                "queries_failed": sorted(
+                    k for k, v in per_query.items() if v < 0
+                ),
+                "slowest5": slow5,
+                "per_query_file": detail_path,
                 "cpus": int(CPUS),
                 "loadavg": round(os.getloadavg()[0], 1),
-            }
+            },
+            separators=(",", ":"),
         )
     )
 

@@ -35,6 +35,26 @@ def test_envelope_fp_robust_and_selective():
     assert envelope_fingerprint(np.zeros(100, dtype=np.int16)) != 0  # length bits
 
 
+def test_envelope_fp_long_clip_int64_safe(spark):
+    """A clip with n % 65536 >= 32768 samples (2.5 s @ 16 kHz = 40000) used
+    to set bit 63 under the old 16-bit length mask and crash the Arrow pass
+    with OverflowError; the 15-bit mask keeps every fp in int64 range —
+    exercised end-to-end through mapInArrow, not just the pure function."""
+    import pyarrow as pa
+
+    pcm = audio.synth_pcm("long_clip", 16000, 2500)  # 40000 samples
+    assert len(pcm) % 65536 >= 32768
+    fp = envelope_fingerprint(pcm)
+    assert 0 <= fp < (1 << 63)
+    pa.array([fp], pa.int64())  # must not raise
+    rows = [
+        Row(part_id=0, clip_id="long_clip",
+            bytes=bytes(audio.encode(pcm, "pcm_s16le")), codec="pcm_s16le"),
+    ]
+    got = audio_content_fingerprints(spark.createDataFrame(rows)).collect()
+    assert got[0]["decode_ok"] is True and got[0]["envelope_fp"] == fp
+
+
 def test_content_pairs_cross_container(spark):
     pcm_a = audio.synth_pcm("a", 16000, 300)
     pcm_b = audio.synth_pcm("b", 16000, 300)
@@ -252,6 +272,66 @@ def test_audio_overlay(spark):
     mixed = audio.decode(bytes(out[0]["bytes"]), "pcm_s16le")
     # saturating int16 add: 30000+5000 clips to 32767, -30000-5000 to -32768
     assert np.array_equal(mixed, np.array([32767, -32768, 12], dtype=np.int16))
+
+
+def test_audio_overlay_mixed_codecs(spark):
+    """pcm base + flac overlay: the overlay must be decoded with ITS OWN
+    codec (the old code used the base row's codec, silently producing
+    garbage mixes for mixed-codec pairs — round-4 advisor finding)."""
+    from baskerville_spark.functions.audio_quality import audio_overlay
+
+    base_pcm = np.array([100, -200, 300], dtype=np.int16)
+    over_pcm = np.array([11, 22, -33], dtype=np.int16)
+    base_rows = [
+        Row(part_id=0, clip_id="m",
+            bytes=bytes(audio.encode(base_pcm, "pcm_s16le")), codec="pcm_s16le"),
+    ]
+    over_rows = [
+        Row(part_id=0, clip_id="m",
+            bytes=bytes(audio.encode(over_pcm, "flac")), codec="flac"),
+    ]
+    out = audio_overlay(
+        spark.createDataFrame(base_rows), spark.createDataFrame(over_rows)
+    ).collect()
+    assert len(out) == 1 and "__codec_b" not in out[0].asDict()
+    mixed = audio.decode(bytes(out[0]["bytes"]), "pcm_s16le")
+    assert np.array_equal(mixed, base_pcm + over_pcm)
+
+    # an overlay table WITHOUT a codec column inherits the base codec
+    out2 = audio_overlay(
+        spark.createDataFrame(base_rows),
+        spark.createDataFrame(
+            [Row(clip_id="m", bytes=bytes(audio.encode(over_pcm, "pcm_s16le")))]
+        ),
+    ).collect()
+    assert np.array_equal(
+        audio.decode(bytes(out2[0]["bytes"]), "pcm_s16le"), base_pcm + over_pcm
+    )
+
+
+def test_resample_requires_sr_column(spark):
+    from baskerville_spark.functions.audio_quality import audio_resample
+
+    df = spark.createDataFrame(
+        [Row(clip_id="x", bytes=b"\x00\x00", codec="pcm_s16le")]
+    )
+    import pytest
+
+    with pytest.raises(ValueError, match="sr_hz"):
+        audio_resample(df, target_sr=8000)
+
+
+def test_segment_rejects_already_segmented_input(spark):
+    from baskerville_spark.functions.audio_quality import audio_segment
+
+    pcm = audio.synth_pcm("seg", 16000, 150)
+    rows = [Row(part_id=0, clip_id="seg",
+                bytes=bytes(audio.encode(pcm, "pcm_s16le")), codec="pcm_s16le")]
+    segs = audio_segment(spark.createDataFrame(rows), segment_samples=700)
+    import pytest
+
+    with pytest.raises(ValueError, match="seg_idx"):
+        audio_segment(segs, segment_samples=100)
 
 
 def test_audio_pitch_period(spark):

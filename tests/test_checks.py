@@ -44,12 +44,19 @@ def test_duplicate_exemplars_bounded_under_skew(spark):
         ).alias("clip_id"),
         F.col("id").alias("row_id"),
     )
-    rows = duplicate_exemplars(df, key="clip_id", id_col="row_id", k=5).collect()
+    # hot_threshold below the planted 50k dup_count forces the three-level
+    # salted branch (the adaptive default would take the cold single-shuffle
+    # path at this size — both must agree exactly)
+    rows = duplicate_exemplars(
+        df, key="clip_id", id_col="row_id", k=5, hot_threshold=10_000
+    ).collect()
     assert len(rows) == 1
     r = rows[0]
     assert r["dup_count"] == 50_000
     assert r["exemplar_ids"] == [0, 1, 2, 3, 4]  # smallest k, exact
     assert len(r["exemplar_ids"]) == 5
+    cold = duplicate_exemplars(df, key="clip_id", id_col="row_id", k=5).collect()
+    assert [tuple(x) for x in cold] == [tuple(x) for x in rows]
 
 
 def test_salted_invariant_to_salt_count(t1_clips):
@@ -241,13 +248,18 @@ def test_duplicate_exemplars_reports_null_keys(spark):
         [(None, 1), (None, 2), (None, 3), ("a", 4), ("a", 5), ("b", 6)],
         "clip_id string, row_id long",
     )
-    rows = {
-        r["clip_id"]: r
-        for r in duplicate_exemplars(df, key="clip_id", id_col="row_id", k=5).collect()
-    }
-    assert rows[None]["dup_count"] == 3
-    assert sorted(rows[None]["exemplar_ids"]) == [1, 2, 3]
-    assert rows["a"]["dup_count"] == 2
+    # BOTH adaptive branches must report the NULL group: the cold path via
+    # plain groupBy, the hot path via the null-safe semi join
+    for thr in (200_000, 1):
+        rows = {
+            r["clip_id"]: r
+            for r in duplicate_exemplars(
+                df, key="clip_id", id_col="row_id", k=5, hot_threshold=thr
+            ).collect()
+        }
+        assert rows[None]["dup_count"] == 3
+        assert sorted(rows[None]["exemplar_ids"]) == [1, 2, 3]
+        assert rows["a"]["dup_count"] == 2
     assert "b" not in rows
 
 

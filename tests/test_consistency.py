@@ -275,7 +275,12 @@ def test_robust_outlier_violations(spark):
 def test_pack_sequences_plan_no_global_window(spark):
     """The scale property PLANS.md documents: the prefix sum must never
     plan a SinglePartition window (the naive Window.orderBy(id) form);
-    the window is partitioned by the range block."""
+    the window is partitioned by the block. Since the round-5 determinism
+    fix, block membership is a pure function of id (collected range-block
+    max-id bounds), so the RETURNED plan must contain NO rangepartitioning
+    exchange at all — re-running RangePartitioner's sampling for the output
+    was the round-4 boundary-drift hazard. The only exchange left is the
+    hash shuffle the block window needs."""
     from baskerville_spark.functions.packing import pack_sequences
 
     rows = [Row(doc_id=i, text="a b c") for i in range(100)]
@@ -283,7 +288,8 @@ def test_pack_sequences_plan_no_global_window(spark):
     plan = packed._jdf.queryExecution().executedPlan().toString()
     assert "Window" in plan
     assert "SinglePartition" not in plan
-    assert "rangepartitioning" in plan
+    assert "rangepartitioning" not in plan
+    assert "hashpartitioning(block" in plan
 
 
 def test_cosine_topk_batched(spark):

@@ -248,8 +248,10 @@ def test_audio_fingerprint_codec_invariance_property(samples):
         == hashlib.md5(pcm.astype("<i2").tobytes()).hexdigest()
     )
     assert envelope_fingerprint(back) == envelope_fingerprint(pcm)
-    # length rides in the top bits: any honest transcode preserves it
-    assert (envelope_fingerprint(pcm) >> 48) == (len(pcm) & 0xFFFF)
+    # length rides in bits 48-62: any honest transcode preserves it; the
+    # 15-bit mask keeps the value int64-storable for every clip length
+    assert (envelope_fingerprint(pcm) >> 48) == (len(pcm) & 0x7FFF)
+    assert 0 <= envelope_fingerprint(pcm) < (1 << 63)
 
 
 @given(

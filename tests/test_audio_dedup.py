@@ -399,3 +399,68 @@ def test_audio_concat_segments_roundtrip(spark):
     r = rebuilt[0]
     assert r["n_samples"] == 1600 and r["codec"] == "flac"
     assert np.array_equal(audio.decode(bytes(r["bytes"]), "flac"), pcm)
+
+
+def test_audio_align_offsets(spark):
+    """Offset recovery: delay copies at frame and NON-frame offsets, a
+    rescaled copy (exact rational ratio), a cross-codec twin, and the two
+    drop contracts (shorter twin, silent base)."""
+    from baskerville_spark.functions.audio_dedup import audio_align_offsets
+
+    base = np.r_[
+        np.full(100, 3000, dtype=np.int16),
+        np.full(100, -2000, dtype=np.int16),
+        np.full(120, 1000, dtype=np.int16),
+    ]  # non-constant so alignment is content-driven, not just run-overlap
+    rows = [
+        Row(clip_id="b_main", bytes=audio.encode(base, "pcm_s16le"),
+            codec="pcm_s16le"),
+        Row(clip_id="b_zero",
+            bytes=audio.encode(np.zeros(64, dtype=np.int16), "pcm_s16le"),
+            codec="pcm_s16le"),
+        # exact delay, frame multiple, stored as flac (per-side codec)
+        Row(clip_id="t_128",
+            bytes=audio.encode(
+                np.r_[np.zeros(128, dtype=np.int16), base], "flac"),
+            codec="flac"),
+        # exact delay, off-grid offset → refine stage must find it
+        Row(clip_id="t_37",
+            bytes=audio.encode(
+                np.r_[np.zeros(37, dtype=np.int16), base], "pcm_s16le"),
+            codec="pcm_s16le"),
+        # rescaled delay copy: ratio = 1.5 exactly (3000→4500 etc.)
+        Row(clip_id="t_scaled",
+            bytes=audio.encode(
+                np.r_[np.zeros(64, dtype=np.int16),
+                      (base.astype(np.int32) * 3 // 2).astype(np.int16)],
+                "pcm_s16le"),
+            codec="pcm_s16le"),
+        # shorter than base: no valid placement → dropped
+        Row(clip_id="t_short",
+            bytes=audio.encode(base[:100], "pcm_s16le"), codec="pcm_s16le"),
+        # twin for the silent base (ratio undefined) → dropped
+        Row(clip_id="t_forzero",
+            bytes=audio.encode(np.zeros(256, dtype=np.int16), "pcm_s16le"),
+            codec="pcm_s16le"),
+    ]
+    clips = spark.createDataFrame(rows)
+    cands = spark.createDataFrame(
+        [
+            Row(base_id="b_main", twin_id="t_128"),
+            Row(base_id="b_main", twin_id="t_37"),
+            Row(base_id="b_main", twin_id="t_scaled"),
+            Row(base_id="b_main", twin_id="t_short"),
+            Row(base_id="b_zero", twin_id="t_forzero"),
+        ]
+    )
+    got = {
+        r["twin_id"]: r
+        for r in audio_align_offsets(clips, cands, frame=64).collect()
+    }
+    assert set(got) == {"t_128", "t_37", "t_scaled"}
+    assert got["t_128"]["offset_samples"] == 128
+    assert got["t_128"]["match_ratio"] == 1.0
+    assert got["t_37"]["offset_samples"] == 37
+    assert got["t_37"]["match_ratio"] == 1.0
+    assert got["t_scaled"]["offset_samples"] == 64
+    assert got["t_scaled"]["match_ratio"] == 1.5

@@ -6644,6 +6644,84 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
 
 
 # --------------------------------------------------------------------------
+# q110: field-level AES-GCM crypto on sensitive columns (reference
+# util/crypto.py:17-72 via baskerville_tools.py:67-84) — Spark-native
+# aes_encrypt/aes_decrypt, gated through the decrypt∘encrypt identity plus
+# the GCM wire-shape (iv12‖ct‖tag16) and an AAD-tamper probe.
+# --------------------------------------------------------------------------
+
+_Q110_KEY = "0123456789abcdef0123456789abcdef"  # 32-byte AES-256 test key
+
+
+def q110_sensitive_crypto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crypto gate: a stand-in sensitive string per event is AES-GCM
+    encrypted bound to its event_id (AAD), then (a) decrypted back —
+    identity under the hash; (b) length-checked against the GCM wire shape
+    iv(12)‖ct(len)‖tag(16) — deterministic though the IV is random;
+    (c) tamper-probed — permissive decrypt under a DIFFERENT AAD must
+    yield NULL (ciphertexts cannot be replayed onto other rows)."""
+    from baskerville_spark.runtime.sensitive import (
+        decrypt_columns,
+        encrypt_columns,
+    )
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("event_id") % 20 == 0)
+        .select(
+            "event_id",
+            F.concat(F.lit("ip-10-0-"), F.col("user_id")).alias("secret"),
+        )
+    )
+    ev = ev.withColumn("__plain_len", F.octet_length("secret"))
+    enc = encrypt_columns(ev, ["secret"], _Q110_KEY, aad_col="event_id")
+    # GCM wire shape: iv(12) ‖ ciphertext(len(plain)) ‖ tag(16)
+    enc = enc.withColumn(
+        "len_ok", F.octet_length("secret") == F.col("__plain_len") + 28
+    ).drop("__plain_len")
+    tampered = decrypt_columns(
+        enc.withColumn("__wrong_aad", F.concat(F.lit("x"), "event_id")),
+        ["secret"],
+        _Q110_KEY,
+        aad_col="__wrong_aad",
+        permissive=True,
+    ).select("event_id", F.col("secret").isNull().alias("tamper_null"))
+    dec = decrypt_columns(enc, ["secret"], _Q110_KEY, aad_col="event_id")
+    return (
+        dec.select("event_id", F.col("secret").alias("secret_roundtrip"), "len_ok")
+        .join(tampered, "event_id")
+    )
+
+
+_Q110_SQL = """
+SELECT event_id,
+       'ip-10-0-' || CAST(user_id AS VARCHAR) AS secret_roundtrip,
+       TRUE AS len_ok,
+       TRUE AS tamper_null
+FROM events
+WHERE event_id % 20 = 0
+"""
+
+
+_prev_queries_q110 = queries
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    out = _prev_queries_q110()
+    out["q110_sensitive_crypto"] = q110_sensitive_crypto
+    return out
+
+
+_prev_oracles_q110 = oracle_sql
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = _prev_oracles_q110()
+    out["q110_sensitive_crypto"] = _Q110_SQL
+    return out
+
+
+# --------------------------------------------------------------------------
 # Driver-gate scheduling (VERDICT r04 "What's missing" #1): the correctness
 # driver consumes queries() in dict insertion order and verifies a bounded
 # prefix per round (r01:31, r02:42, r03:45, r04:50 — CORRECTNESS_r0*.json;
@@ -6690,7 +6768,7 @@ _DRIVER_UNPROVEN_FIRST = [
         (103, "compaction_plan"), (104, "streaming_rolling_psi"),
         (105, "split_on_silence"), (106, "transcript_edit_distance"),
         (107, "concat_roundtrip"), (108, "enrich_with_state"),
-        (109, "audio_align"),
+        (109, "audio_align"), (110, "sensitive_crypto"),
     ]
 ]
 

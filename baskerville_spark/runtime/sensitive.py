@@ -125,3 +125,80 @@ def merge_sensitive(
     if report:
         rep = MergeReport(before=predictions.count(), after=merged.count())
     return merged, rep
+
+
+# --------------------------------------------------------------------------
+# Field-level AES-GCM encryption of sensitive columns
+# --------------------------------------------------------------------------
+#
+# Reference: ``util/crypto.py:17-72`` (AES-GCM encrypt/decrypt with
+# associated data; random 96-bit IV per value) wired through
+# ``util/baskerville_tools.py:67-84`` to field-encrypt sensitive values
+# (IPs, hostnames) with ``database.encryption_key`` before they land in
+# storage. The reference runs this per value in driver-side Python; here it
+# is Spark's NATIVE aes_encrypt/aes_decrypt expressions (JVM, codegen,
+# zero Python in the path). Wire shape matches: GCM mode emits
+# iv(12) || ciphertext(len(plain)) || tag(16) — the same (iv, ct, tag)
+# triple the reference returns, concatenated.
+
+
+def encrypt_columns(
+    df: DataFrame,
+    cols: list[str],
+    key: str,
+    aad_col: str | None = None,
+) -> DataFrame:
+    """AES-GCM-encrypt ``cols`` in place (values become binary).
+
+    ``key`` must be 16/24/32 bytes (the reference derives a 32-byte key via
+    sha256(passphrase) — do the same upstream). ``aad_col`` optionally
+    binds each ciphertext to another column (e.g. the clip/run id): the
+    reference's ``associated_data`` — decryption then fails loudly if a
+    ciphertext is replayed onto a different row.
+    """
+    aad = F.col(aad_col) if aad_col else F.lit("")
+    out = df
+    for c in cols:
+        out = out.withColumn(
+            c,
+            F.aes_encrypt(
+                F.col(c).cast("string").cast("binary"),
+                F.lit(key),
+                F.lit("GCM"),
+                F.lit("DEFAULT"),
+                F.lit(b""),  # empty IV literal → random 96-bit IV per value
+                aad.cast("string"),
+            ),
+        )
+    return out
+
+
+def decrypt_columns(
+    df: DataFrame,
+    cols: list[str],
+    key: str,
+    aad_col: str | None = None,
+    permissive: bool = False,
+) -> DataFrame:
+    """Invert :func:`encrypt_columns` (values come back as string).
+
+    ``permissive=True`` uses try_aes_decrypt: wrong-key / tampered / AAD-
+    mismatched values decrypt to NULL instead of failing the job — the
+    quarantine-friendly mode; default is the reference's fail-loud
+    InvalidTag behavior (crypto.py:60-72).
+    """
+    fn = F.try_aes_decrypt if permissive else F.aes_decrypt
+    aad = F.col(aad_col) if aad_col else F.lit("")
+    out = df
+    for c in cols:
+        out = out.withColumn(
+            c,
+            fn(
+                F.col(c),
+                F.lit(key),
+                F.lit("GCM"),
+                F.lit("DEFAULT"),
+                aad.cast("string"),
+            ).cast("string"),
+        )
+    return out

@@ -502,3 +502,61 @@ def test_stateful_update_counts_batches_not_chunks():
     (row2,) = list(fn(("k",), iter([pd.DataFrame({"value": [9.0]})]), state))
     assert row2["n_batches"].iloc[0] == 2
     assert row2["n_total"].iloc[0] == 6
+
+
+def test_encrypt_decrypt_columns(spark):
+    """Field-level AES-GCM (reference util/crypto.py via Spark-native
+    expressions): round-trip identity, GCM wire shape, per-value IV
+    freshness, AAD binding, and the permissive NULL contract."""
+    from pyspark.sql import Row
+
+    from baskerville_spark.runtime.sensitive import (
+        decrypt_columns,
+        encrypt_columns,
+    )
+
+    key = "0123456789abcdef0123456789abcdef"
+    df = spark.createDataFrame(
+        [Row(rid="r1", ip="10.0.0.1"), Row(rid="r2", ip="10.0.0.1")]
+    )
+    enc = encrypt_columns(df, ["ip"], key, aad_col="rid").collect()
+    by_rid = {r["rid"]: r["ip"] for r in enc}
+    # wire shape iv(12) + ct(8) + tag(16); fresh IV → same plaintext,
+    # different ciphertext per row
+    assert all(len(v) == 36 for v in by_rid.values())
+    assert by_rid["r1"] != by_rid["r2"]
+
+    enc_df = spark.createDataFrame(
+        [Row(rid=k, ip=bytearray(v)) for k, v in by_rid.items()]
+    )
+    dec = decrypt_columns(enc_df, ["ip"], key, aad_col="rid").collect()
+    assert {r["ip"] for r in dec} == {"10.0.0.1"}
+
+    # AAD binding: r1's ciphertext replayed under r2's id must not decrypt
+    swapped = spark.createDataFrame([Row(rid="r2", ip=bytearray(by_rid["r1"]))])
+    out = decrypt_columns(swapped, ["ip"], key, aad_col="rid",
+                          permissive=True).collect()
+    assert out[0]["ip"] is None
+    # ... and the default mode fails loudly (reference InvalidTag behavior)
+    import pytest
+
+    with pytest.raises(Exception):
+        decrypt_columns(swapped, ["ip"], key, aad_col="rid").collect()
+
+
+def test_render_prometheus():
+    from baskerville_spark.runtime.metrics import render_prometheus
+
+    txt = render_prometheus(
+        {"n_violations": 5, "rate": 0.25, "empty": None, "bad": float("nan")},
+        labels={"run id": 'a"b\n', "part": 3},
+    )
+    lines = txt.strip().split("\n")
+    # skipped: None and NaN; rendered: sorted, prefixed, labeled, escaped
+    assert lines == [
+        "# TYPE baskerville_n_violations gauge",
+        'baskerville_n_violations{part="3",run_id="a\\"b\\n"} 5',
+        "# TYPE baskerville_rate gauge",
+        'baskerville_rate{part="3",run_id="a\\"b\\n"} 0.25',
+    ]
+    assert render_prometheus({}) == ""

@@ -6678,18 +6678,22 @@ def q110_sensitive_crypto(spark: SparkSession, sf_dir: str) -> DataFrame:
     # GCM wire shape: iv(12) ‖ ciphertext(len(plain)) ‖ tag(16)
     enc = enc.withColumn(
         "len_ok", F.octet_length("secret") == F.col("__plain_len") + 28
-    ).drop("__plain_len")
-    tampered = decrypt_columns(
-        enc.withColumn("__wrong_aad", F.concat(F.lit("x"), "event_id")),
-        ["secret"],
-        _Q110_KEY,
-        aad_col="__wrong_aad",
-        permissive=True,
-    ).select("event_id", F.col("secret").isNull().alias("tamper_null"))
+    )
+    # both decrypts ride the SAME linear plan (a second column, not a
+    # self-join): one scan, zero shuffles, whole-stage codegen end to end
+    enc = enc.withColumn(
+        "secret_tampered", F.col("secret")
+    ).withColumn("__wrong_aad", F.concat(F.lit("x"), "event_id"))
+    enc = decrypt_columns(
+        enc, ["secret_tampered"], _Q110_KEY,
+        aad_col="__wrong_aad", permissive=True,
+    )
     dec = decrypt_columns(enc, ["secret"], _Q110_KEY, aad_col="event_id")
-    return (
-        dec.select("event_id", F.col("secret").alias("secret_roundtrip"), "len_ok")
-        .join(tampered, "event_id")
+    return dec.select(
+        "event_id",
+        F.col("secret").alias("secret_roundtrip"),
+        "len_ok",
+        F.col("secret_tampered").isNull().alias("tamper_null"),
     )
 
 

@@ -283,3 +283,73 @@ def test_connector_sinks_reach_spark_with_exact_format(spark):
         assert needle in str(ei.value)
     with pytest.raises(ValueError):
         save_features(df, "mongodb")
+
+
+def test_iceberg_ddl_generation_and_execution(spark, tmp_path):
+    """The reference's month-partitioned results-store installer
+    (db/__init__.py:31-82: Postgres inheritance + insert triggers) as ONE
+    Iceberg DDL clause. Three contracts: (a) the rendered statement shape;
+    (b) the unpartitioned form EXECUTES against a real V2 catalog
+    (Derby-backed JDBCTableCatalog, same seam as write_table); (c) the
+    partitioned form parses and analyzes to the provider lookup — the
+    exact failure a cluster without Iceberg jars reports."""
+    import pytest
+    from pyspark.sql import types as T
+
+    from baskerville_spark.sources.ddl import iceberg_ddl
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("target", T.StringType(), True),
+            T.StructField("score", T.DoubleType(), True),
+            T.StructField("created_at", T.TimestampType(), True),
+        ]
+    )
+    ddl = iceberg_ddl(
+        "lake.APP.request_sets",
+        schema,
+        temporal_col="created_at",
+        granularity="month",
+        bucket_by=("target", 16),
+        table_props={"write.distribution-mode": "hash"},
+    )
+    assert "CREATE TABLE lake.APP.request_sets (" in ddl
+    assert "id bigint NOT NULL" in ddl
+    assert "PARTITIONED BY (months(created_at), bucket(16, target))" in ddl
+    assert "TBLPROPERTIES ('write.distribution-mode' = 'hash')" in ddl
+
+    with pytest.raises(ValueError, match="granularity"):
+        iceberg_ddl("t", schema, temporal_col="created_at", granularity="ms")
+    with pytest.raises(ValueError, match="not in schema"):
+        iceberg_ddl("t", schema, temporal_col="nope")
+
+    spark.conf.set(
+        "spark.sql.catalog.lake",
+        "org.apache.spark.sql.execution.datasources.v2.jdbc.JDBCTableCatalog",
+    )
+    spark.conf.set("spark.sql.catalog.lake.url",
+                   f"jdbc:derby:{tmp_path}/ddlcat;create=true")
+    spark.conf.set("spark.sql.catalog.lake.driver",
+                   "org.apache.derby.jdbc.EmbeddedDriver")
+    try:
+        # executable form: V2 catalogs ignore USING for their own storage;
+        # partition transforms need Iceberg, so execute the flat variant
+        flat = iceberg_ddl("lake.APP.request_sets", schema)
+        flat = flat.replace(" USING iceberg", "")
+        spark.sql(flat)
+        assert spark.table("lake.APP.request_sets").columns == [
+            "id", "target", "score", "created_at",
+        ]
+        # the full partitioned statement must parse+analyze up to the
+        # iceberg provider lookup (DATA_SOURCE_NOT_FOUND without the jar)
+        with pytest.raises(Exception, match="DATA_SOURCE_NOT_FOUND|Failed to find"):
+            spark.sql(
+                iceberg_ddl("spark_catalog.default.rs_part", schema,
+                            temporal_col="created_at")
+            )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS lake.APP.request_sets")
+        spark.conf.unset("spark.sql.catalog.lake")
+        spark.conf.unset("spark.sql.catalog.lake.url")
+        spark.conf.unset("spark.sql.catalog.lake.driver")

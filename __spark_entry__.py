@@ -6726,6 +6726,99 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
 
 
 # --------------------------------------------------------------------------
+# q111: spectral-rolloff band-limit QA — WHERE the energy stops, the
+# upsampled/lowpassed-junk screen q84's dominant-bin cannot express.
+# --------------------------------------------------------------------------
+
+
+def q111_bandwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band-limit gate over exact-bin sine plants (256-sample clips,
+    n_fft=256 — bin energies are closed-form, orthogonal bins don't leak):
+    (a) low-band signal (bin 5+i%4, amp 8000) + a 100× weaker top-band
+    component (bin 100, amp 80, 1e-4 of the energy) → rolloff must IGNORE
+    the trace hf and read the low bin; (b) two EQUAL components (bins
+    5+i%4 and 90+i%5) → 50% each, so the 0.99 threshold lands on the HIGH
+    bin; (c) high-band only (bin 80+i%8) → that bin. band_frac =
+    rolloff/128 exactly."""
+    import pandas as pd
+
+    from baskerville_spark.functions.audio_quality import audio_bandwidth
+
+    def synth(batches):
+        import numpy as np
+
+        from baskerville_spark import audio as au
+
+        t = np.arange(256)
+
+        def sine(k, amp):
+            return amp * np.sin(2 * np.pi * k * t / 256.0)
+
+        for pdf in batches:
+            out = []
+            for i in pdf["id"]:
+                i = int(i)
+                r = i % 3
+                if r == 0:
+                    x = sine(5 + i % 4, 8000) + sine(100, 80)
+                elif r == 1:
+                    x = sine(5 + i % 4, 6000) + sine(90 + i % 5, 6000)
+                else:
+                    x = sine(80 + i % 8, 7000)
+                pcm = np.rint(x).astype("<i2")
+                out.append(
+                    {
+                        "clip_id": f"bw_{i:06d}",
+                        "bytes": au.encode(pcm, "pcm_s16le"),
+                        "codec": "pcm_s16le",
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    clips = spark.range(150).mapInPandas(
+        synth, schema="clip_id string, bytes binary, codec string"
+    )
+    return audio_bandwidth(clips, n_fft=256, energy_frac=0.99).select(
+        "clip_id", "rolloff_bin", "band_frac"
+    )
+
+
+_Q111_SQL = """
+WITH idx AS (SELECT unnest(generate_series(0, 149)) AS i),
+r AS (
+  SELECT i,
+         CASE i % 3
+           WHEN 0 THEN 5 + i % 4
+           WHEN 1 THEN 90 + i % 5
+           ELSE 80 + i % 8
+         END AS rolloff_bin
+  FROM idx)
+SELECT printf('bw_%06d', i) AS clip_id,
+       CAST(rolloff_bin AS INT) AS rolloff_bin,
+       CAST(rolloff_bin AS DOUBLE) / 128 AS band_frac
+FROM r
+"""
+
+
+_prev_queries_q111 = queries
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    out = _prev_queries_q111()
+    out["q111_bandwidth"] = q111_bandwidth
+    return out
+
+
+_prev_oracles_q111 = oracle_sql
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = _prev_oracles_q111()
+    out["q111_bandwidth"] = _Q111_SQL
+    return out
+
+
+# --------------------------------------------------------------------------
 # Driver-gate scheduling (VERDICT r04 "What's missing" #1): the correctness
 # driver consumes queries() in dict insertion order and verifies a bounded
 # prefix per round (r01:31, r02:42, r03:45, r04:50 — CORRECTNESS_r0*.json;
@@ -6773,6 +6866,7 @@ _DRIVER_UNPROVEN_FIRST = [
         (105, "split_on_silence"), (106, "transcript_edit_distance"),
         (107, "concat_roundtrip"), (108, "enrich_with_state"),
         (109, "audio_align"), (110, "sensitive_crypto"),
+        (111, "bandwidth"),
     ]
 ]
 

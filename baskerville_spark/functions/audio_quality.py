@@ -639,3 +639,81 @@ def audio_concat_segments(segs: DataFrame) -> DataFrame:
         return pd.DataFrame(row)
 
     return segs.groupBy("clip_id").applyInPandas(_concat, schema=out_schema)
+
+
+BANDWIDTH_SCHEMA = T.StructType(
+    [
+        T.StructField("clip_id", T.StringType(), False),
+        T.StructField("decode_ok", T.BooleanType(), False),
+        T.StructField("rolloff_bin", T.IntegerType(), True),
+        T.StructField("band_frac", T.DoubleType(), True),
+    ]
+)
+
+_ARROW_BW = pa.schema(
+    [
+        pa.field("clip_id", pa.string()),
+        pa.field("decode_ok", pa.bool_()),
+        pa.field("rolloff_bin", pa.int32()),
+        pa.field("band_frac", pa.float64()),
+    ]
+)
+
+
+def audio_bandwidth(
+    clips: DataFrame, n_fft: int = 256, energy_frac: float = 0.99
+) -> DataFrame:
+    """Spectral rolloff per clip: the smallest rFFT bin (DC excluded) whose
+    cumulative energy reaches ``energy_frac`` of the total, over the first
+    ``n_fft`` samples (zero-padded). ``band_frac`` = rolloff/(n_fft/2) —
+    occupied fraction of the declared band.
+
+    The band-limit QA screen the spectral-features op doesn't give
+    (dominant_bin sees the loudest component; rolloff sees where the
+    energy STOPS): an 8 kHz recording upsampled and mislabeled 16 kHz
+    rolls off at ~half the declared Nyquist, lowpass-transcoded junk rolls
+    off early, genuine full-band content reaches the top bins. Same shape
+    as every decode op: one Arrow pass, one O(n_fft log n_fft) rFFT per
+    clip, narrow rows out; threshold/verdict joins stay Column algebra
+    downstream. Silent clips keep NULL rolloff (no energy to place).
+    """
+    half = n_fft // 2
+
+    def _bw(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            payloads = b.column(b.schema.get_field_index("bytes"))
+            codecs = b.column(b.schema.get_field_index("codec")).to_pylist()
+            clip_ids = b.column(b.schema.get_field_index("clip_id")).to_pylist()
+            n = len(b)
+            oks = [False] * n
+            roll: list[int | None] = [None] * n
+            frac: list[float | None] = [None] * n
+            for i in range(n):
+                pv = payloads[i]
+                payload = pv.as_py() if pv.is_valid else None
+                pcm = audio.decode(payload, codecs[i]) if payload is not None else None
+                if pcm is None or len(pcm) == 0:
+                    continue
+                oks[i] = True
+                x = pcm[:n_fft].astype(np.float64)
+                if len(x) < n_fft:
+                    x = np.concatenate([x, np.zeros(n_fft - len(x))])
+                e = np.abs(np.fft.rfft(x)[1:]) ** 2  # DC excluded
+                total = e.sum()
+                if total <= 0:
+                    continue  # silent: rolloff stays NULL
+                j = int(np.searchsorted(np.cumsum(e), energy_frac * total)) + 1
+                roll[i] = j
+                frac[i] = j / half
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(clip_ids, pa.string()),
+                    pa.array(oks, pa.bool_()),
+                    pa.array(roll, pa.int32()),
+                    pa.array(frac, pa.float64()),
+                ],
+                schema=_ARROW_BW,
+            )
+
+    cols = [c for c in ("clip_id", "bytes", "codec") if c in clips.columns]
+    return clips.select(*cols).mapInArrow(_bw, schema=BANDWIDTH_SCHEMA)

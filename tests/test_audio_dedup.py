@@ -464,3 +464,39 @@ def test_audio_align_offsets(spark):
     assert got["t_37"]["match_ratio"] == 1.0
     assert got["t_scaled"]["offset_samples"] == 64
     assert got["t_scaled"]["match_ratio"] == 1.5
+
+
+def test_audio_bandwidth(spark):
+    """Rolloff: full-band vs band-limited vs silent vs short (zero-pad)."""
+    from baskerville_spark.functions.audio_quality import audio_bandwidth
+
+    t = np.arange(256)
+
+    def sine(k, amp, n=256):
+        return np.rint(amp * np.sin(2 * np.pi * k * np.arange(n) / 256.0)).astype(
+            np.int16
+        )
+
+    rows = [
+        Row(clip_id="low", bytes=audio.encode(sine(10, 8000), "pcm_s16le"),
+            codec="pcm_s16le"),
+        Row(clip_id="high", bytes=audio.encode(sine(120, 8000), "pcm_s16le"),
+            codec="pcm_s16le"),
+        Row(clip_id="silent",
+            bytes=audio.encode(np.zeros(256, dtype=np.int16), "pcm_s16le"),
+            codec="pcm_s16le"),
+        # 128 samples: zero-padded to n_fft; a bin-10 sine over the first
+        # half leaks across bins but stays low-band — rolloff must remain
+        # far below Nyquist (the mislabeled-upsample signature)
+        Row(clip_id="short", bytes=audio.encode(sine(10, 8000, 128), "pcm_s16le"),
+            codec="pcm_s16le"),
+    ]
+    got = {
+        r["clip_id"]: r
+        for r in audio_bandwidth(spark.createDataFrame(rows)).collect()
+    }
+    assert got["low"]["rolloff_bin"] == 10
+    assert got["low"]["band_frac"] == 10 / 128
+    assert got["high"]["rolloff_bin"] == 120
+    assert got["silent"]["decode_ok"] and got["silent"]["rolloff_bin"] is None
+    assert got["short"]["rolloff_bin"] < 40  # leakage-bounded, still low-band

@@ -6819,6 +6819,87 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
 
 
 # --------------------------------------------------------------------------
+# q112: gap-fill to a regular grid — forward fill WITHOUT a calendar join
+# (each observation explodes its own fill span off one lead() window).
+# --------------------------------------------------------------------------
+
+
+def q112_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-fill gate: per-user 6-hour grid over the events table (slots =
+    epoch − epoch % 21600), latest-in-slot by event_id, gaps forward-filled
+    up to max_fill=8 slots (longer gaps stay absent — bounded row
+    amplification under the hash). value AND event_type carry; is_observed
+    marks real vs filled rows."""
+    from baskerville_spark.functions.timegrid import gap_fill
+
+    step = 21600
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "value",
+        "event_type",
+        (
+            F.unix_timestamp(F.col("ts").cast("timestamp"))
+            - F.unix_timestamp(F.col("ts").cast("timestamp")) % step
+        ).alias("slot"),
+    )
+    return gap_fill(
+        ev,
+        keys=["user_id"],
+        slot_col="slot",
+        value_cols=["value", "event_type"],
+        step=step,
+        order_col="event_id",
+        max_fill=8,
+    )
+
+
+_Q112_SQL = """
+WITH b AS (
+  SELECT user_id, event_id, value, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT)
+           - CAST(floor(epoch(ts)) AS BIGINT) % 21600 AS slot
+  FROM events),
+obs AS (
+  SELECT user_id, slot,
+         MAX_BY(value, event_id) AS value,
+         MAX_BY(event_type, event_id) AS event_type
+  FROM b GROUP BY user_id, slot),
+nx AS (
+  SELECT *, LEAD(slot) OVER (PARTITION BY user_id ORDER BY slot) AS nxt
+  FROM obs),
+sel AS (
+  SELECT user_id, value, event_type, slot,
+         unnest(generate_series(
+             slot,
+             LEAST(COALESCE(nxt - 21600, slot), slot + 8 * 21600),
+             21600)) AS grid_slot
+  FROM nx)
+SELECT user_id, grid_slot, value, event_type,
+       grid_slot = slot AS is_observed
+FROM sel
+"""
+
+
+_prev_queries_q112 = queries
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    out = _prev_queries_q112()
+    out["q112_gap_fill"] = q112_gap_fill
+    return out
+
+
+_prev_oracles_q112 = oracle_sql
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = _prev_oracles_q112()
+    out["q112_gap_fill"] = _Q112_SQL
+    return out
+
+
+# --------------------------------------------------------------------------
 # Driver-gate scheduling (VERDICT r04 "What's missing" #1): the correctness
 # driver consumes queries() in dict insertion order and verifies a bounded
 # prefix per round (r01:31, r02:42, r03:45, r04:50 — CORRECTNESS_r0*.json;
@@ -6866,7 +6947,7 @@ _DRIVER_UNPROVEN_FIRST = [
         (105, "split_on_silence"), (106, "transcript_edit_distance"),
         (107, "concat_roundtrip"), (108, "enrich_with_state"),
         (109, "audio_align"), (110, "sensitive_crypto"),
-        (111, "bandwidth"),
+        (111, "bandwidth"), (112, "gap_fill"),
     ]
 ]
 

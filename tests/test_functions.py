@@ -847,3 +847,44 @@ def test_plan_compaction_zero_threshold_means_compact_nothing(spark):
     files = spark.createDataFrame([Row(partition=0, file_id=1, bytes=10)])
     out = plan_compaction(files, target_bytes=40, small_threshold=0).collect()[0]
     assert out.is_small is False and out.compaction_group is None
+
+
+def test_gap_fill(spark):
+    """Forward fill without a calendar join: span emission, max_fill cap,
+    latest-in-slot collapse, and the single-exchange plan."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from baskerville_spark.functions.timegrid import gap_fill
+
+    rows = [
+        # key a: obs at 0 and 40 (gap of 3 slots), last obs 40
+        Row(k="a", slot=0, oid=1, v=1.0),
+        Row(k="a", slot=40, oid=2, v=2.0),
+        # duplicate in one slot: greatest oid wins
+        Row(k="a", slot=40, oid=3, v=3.0),
+        # key b: single observation → exactly one row out
+        Row(k="b", slot=100, oid=4, v=9.0),
+    ]
+    df = spark.createDataFrame(rows)
+    out = gap_fill(df, ["k"], "slot", ["v"], step=10, order_col="oid")
+    # one hash exchange serves the slot-collapse aggregate AND the window
+    # (asserted pre-action: an executed AQE plan string also embeds the
+    # initial plan, double-counting its exchange)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    got = {(r["k"], r["grid_slot"]): r for r in out.collect()}
+    assert len(got) == 6  # a: 0,10,20,30,40  b: 100
+    assert [got[("a", s)]["v"] for s in (0, 10, 20, 30)] == [1.0] * 4
+    assert got[("a", 40)]["v"] == 3.0            # max_by(oid) collapse
+    assert got[("a", 0)]["is_observed"] and not got[("a", 10)]["is_observed"]
+    assert got[("b", 100)]["is_observed"]
+
+    # max_fill bounds amplification: gap of 3 missing slots, cap at 1 —
+    # slots 20,30 stay ABSENT (downstream reads "no data", never a join)
+    capped = gap_fill(df, ["k"], "slot", ["v"], step=10, order_col="oid",
+                      max_fill=1)
+    slots_a = sorted(
+        r["grid_slot"] for r in capped.where(F.col("k") == "a").collect()
+    )
+    assert slots_a == [0, 10, 40]

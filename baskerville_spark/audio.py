@@ -45,7 +45,37 @@ SNR_THRESHOLD_DB = 30.0
 _FLAC_MAGIC = b"fLaC"
 _OPUS_MAGIC = b"OggS"
 
-KNOWN_CODECS = ("pcm_s16le", "flac", "opus")
+KNOWN_CODECS = ("pcm_s16le", "flac", "opus", "mulaw")
+
+# --------------------------------------------------------------------------
+# ITU-T G.711 mu-law — a REAL codec, not a stand-in (pure integer spec,
+# no external library): the telephony ingest format (RTP PCMU, .ul files,
+# call-center corpora). 1 byte/sample, headerless, 8 log segments.
+# --------------------------------------------------------------------------
+
+_G711_BIAS = 0x84  # 132
+_G711_CLIP = 32635
+
+
+def mulaw_compress(pcm: np.ndarray) -> np.ndarray:
+    """int16 PCM → uint8 G.711 mu-law (vectorized, bit-exact to the spec)."""
+    x = pcm.astype(np.int32)
+    sign = np.where(x < 0, 0x80, 0)
+    mag = np.minimum(np.abs(x), _G711_CLIP) + _G711_BIAS
+    # exponent = floor(log2(mag)) - 7 in [0, 7]; np.frexp is exact on
+    # integers (mag = m * 2^e, 0.5 <= m < 1 → e = floor(log2) + 1), unlike
+    # float log2 whose rounding can cross a power-of-two boundary
+    exp = np.clip(np.frexp(mag.astype(np.float64))[1] - 8, 0, 7)
+    mant = (mag >> (exp + 3)) & 0x0F
+    return (~(sign | (exp << 4) | mant) & 0xFF).astype(np.uint8)
+
+
+def mulaw_expand(u: np.ndarray) -> np.ndarray:
+    """uint8 G.711 mu-law → int16 PCM (exact inverse of the spec tables)."""
+    c = (~u.astype(np.int32)) & 0xFF
+    exp = (c >> 4) & 0x07
+    mag = (((c & 0x0F) << 3) + _G711_BIAS << exp) - _G711_BIAS
+    return np.where(c & 0x80, -mag, mag).astype(np.int16)
 
 
 def clip_seed(clip_id: str) -> int:
@@ -85,6 +115,9 @@ def encode(pcm: np.ndarray, codec: str) -> bytes:
         # above the 30 dB invariant for uncorrupted payloads.
         q = (pcm.astype(np.int32) >> 4).astype("<i2").tobytes()
         return _OPUS_MAGIC + struct.pack("<I", len(pcm)) + zlib.compress(q, 1)
+    if codec == "mulaw":
+        # real G.711: raw headerless stream, 1 byte/sample (RTP PCMU wire)
+        return mulaw_compress(pcm).tobytes()
     raise NotImplementedError(f"unknown codec {codec!r}")
 
 
@@ -111,6 +144,10 @@ def _decode_standin(payload: bytes, codec: str) -> np.ndarray | None:
             if len(q) != n:
                 return None
             return (q.astype(np.int32) << 4).astype(np.int16)
+        if codec == "mulaw":
+            # headerless by spec: every byte is a sample (no structure to
+            # validate — exactly like a raw PCMU capture)
+            return mulaw_expand(np.frombuffer(payload, dtype=np.uint8))
         return None
     except Exception:
         return None

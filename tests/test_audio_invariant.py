@@ -59,3 +59,38 @@ def test_invariant_goldens(spark, t1_clips, t1_tref, t1_cfg):
             assert r["transcript_ok"] is not False
             n_clean += 1
     assert n_clean == t1_cfg.n_rows // t1_cfg.n_parts
+
+
+def test_mulaw_codec_bit_exact_and_invariant():
+    """G.711 mu-law: bit-exact to a scalar spec reference over the FULL
+    int16 domain, quantization bounded by the top-segment half-step, and
+    the transcode clears the 30 dB SNR invariant (textbook ~38 dB)."""
+    import numpy as np
+
+    from baskerville_spark import audio
+
+    def ref_enc(x):
+        sign = 0x80 if x < 0 else 0
+        mag = min(abs(int(x)), 32635) + 0x84
+        exp = next(e for e in range(8) if mag < (1 << (e + 8)))
+        return ~(sign | (exp << 4) | ((mag >> (exp + 3)) & 0x0F)) & 0xFF
+
+    def ref_dec(u):
+        c = ~u & 0xFF
+        mag = ((((c & 0x0F) << 3) + 0x84) << ((c >> 4) & 7)) - 0x84
+        return -mag if c & 0x80 else mag
+
+    xs = np.arange(-32768, 32768, dtype=np.int16)
+    enc = audio.mulaw_compress(xs)
+    assert (enc == np.array([ref_enc(int(x)) for x in xs], np.uint8)).all()
+    dec = audio.mulaw_expand(enc)
+    assert (dec == np.array([ref_dec(int(u)) for u in enc], np.int16)).all()
+    err = np.abs(dec.astype(np.int32) - np.clip(xs, -32635, 32635).astype(np.int32))
+    assert err.max() <= 512  # half the segment-7 step
+
+    # codec-layer round trip: 1 byte/sample wire, >= 30 dB on speech-band
+    pcm = audio.synth_pcm("clip_000000000042", 8000, 500)
+    payload = audio.encode(pcm, "mulaw")
+    assert len(payload) == len(pcm)
+    back = audio.decode(payload, "mulaw")
+    assert audio.snr_db(pcm, back) >= audio.SNR_THRESHOLD_DB

@@ -312,3 +312,47 @@ def test_fixture_mod_classes_disjoint_for_gate_shapes():
             assert not (
                 j % g.RI_MOD == g.RI_OFF and part(j) != 0 and not dup(j)
             ), f"dup {i} inherits RI-skipped ref for {n_rows}x{n_parts}"
+
+
+@given(
+    obs=st.lists(
+        st.tuples(
+            st.integers(0, 2),          # key
+            st.integers(0, 12),         # slot index (x step)
+            st.floats(-10, 10, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+)
+@settings(max_examples=5, deadline=None)
+def test_gap_fill_matches_pandas_reference(spark, obs):
+    """Property: gap_fill == the pandas reindex+ffill textbook form, for
+    any observation multiset (per-key grids, latest-in-slot collapse,
+    forward-carried values, is_observed marking)."""
+    import pandas as pd
+
+    from baskerville_spark.functions.timegrid import gap_fill
+
+    step = 10
+    rows = [
+        {"k": k, "slot": s * step, "oid": i, "v": float(v)}
+        for i, (k, s, v) in enumerate(obs)
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    got = {
+        (r["k"], r["grid_slot"]): (r["v"], r["is_observed"])
+        for r in gap_fill(df, ["k"], "slot", ["v"], step, "oid").collect()
+    }
+
+    pdf = pd.DataFrame(rows)
+    expect = {}
+    for k, g in pdf.groupby("k"):
+        # latest oid wins per slot, then reindex to the full grid + ffill
+        g = g.sort_values("oid").drop_duplicates("slot", keep="last")
+        g = g.set_index("slot").sort_index()
+        grid = range(int(g.index.min()), int(g.index.max()) + step, step)
+        filled = g["v"].reindex(grid).ffill()
+        for slot, v in filled.items():
+            expect[(k, slot)] = (float(v), slot in g.index)
+    assert got == expect

@@ -107,18 +107,32 @@ def duplicate_exemplars(
     bench in docs/skew_r04 exercises exactly this branch via a 10%-hot
     key, far over any sane threshold).
     """
+    if df.isStreaming:
+        raise ValueError(
+            "duplicate_exemplars decides its physical form from an eager "
+            "pre-count and cannot run on a streaming DataFrame"
+        )
     group_final = [part_col, key] if part_col else [key]
     slim = df.select(*group_final, F.col(id_col).alias("__id"))
-    # one algebraic job (map-side combined, narrow rows) measures the worst
-    # group; the same pre-aggregate the r04 form already paid for, now also
-    # buying the plan decision
-    max_c = (
+    # ONE materialized pre-aggregate (map-side combined, narrow key+count
+    # rows — far smaller than the table) buys BOTH the plan decision and,
+    # on the hot path, the dup-key filter: the r05 review found the first
+    # cut paid this aggregation twice (eager max job + dup_keys in the
+    # returned plan) and could in principle DECIDE on different data than
+    # it EXECUTES on. Persisting the counts makes decision and filter read
+    # the same materialization. The input itself is assumed immutable
+    # between construction and execution (an Iceberg snapshot / parquet
+    # dir — true for every validation run; a source that grows a key from
+    # cold to hot mid-run would still execute the cold single-shuffle
+    # plan over the larger group).
+    counts = (
         slim.groupBy(*group_final)
         .agg(F.count(F.lit(1)).alias("__c"))
-        .agg(F.max("__c"))
-        .first()[0]
+        .persist()
     )
+    max_c = counts.agg(F.max("__c")).first()[0]
     if max_c is None or max_c <= hot_threshold:
+        counts.unpersist()
         return (
             slim.groupBy(*group_final)
             .agg(
@@ -130,11 +144,11 @@ def duplicate_exemplars(
             .where(F.col("dup_count") > 1)
             .select(*group_final, "dup_count", "exemplar_ids")
         )
-    dup_keys = (
-        slim.groupBy(*group_final)
-        .agg(F.count(F.lit(1)).alias("__c"))
-        .where("__c > 1")
-        .select(*[F.col(c).alias(f"__dk_{c}") for c in group_final])
+    # hot path: counts stays persisted — the returned plan's semi-join
+    # reads the SAME materialization the decision did (freed by the
+    # session's LRU / clearCache, as with every persisted intermediate)
+    dup_keys = counts.where("__c > 1").select(
+        *[F.col(c).alias(f"__dk_{c}") for c in group_final]
     )
     # NULL-SAFE semi join: groupBy treats NULL as one group (a duplicated
     # NULL key IS a violation this check must report), but a plain equi

@@ -43,6 +43,7 @@ from baskerville_spark.functions.graph import (  # noqa: F401
     incremental_membership,
 )
 from baskerville_spark.functions.audio_quality import (  # noqa: F401
+    audio_bandwidth,
     audio_downmix,
     audio_loudness_stats,
     audio_normalize,
@@ -54,8 +55,12 @@ from baskerville_spark.functions.audio_quality import (  # noqa: F401
     audio_trim_silence,
 )
 from baskerville_spark.functions.audio_dedup import (  # noqa: F401
+    audio_align_offsets,
     audio_content_fingerprints,
     content_duplicate_pairs,
+)
+from baskerville_spark.functions.timegrid import (  # noqa: F401
+    gap_fill,
 )
 from baskerville_spark.functions.bloom import (  # noqa: F401
     bloom_semi_join,

@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from baskerville_spark import audio
+from baskerville_spark.functions.audio_quality import _opt_part_ids, _require_cols
 
 FINGERPRINT_SCHEMA = T.StructType(
     [
@@ -107,7 +108,7 @@ def _fp_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         payloads = b.column(b.schema.get_field_index("bytes"))
         codecs = b.column(b.schema.get_field_index("codec")).to_pylist()
         clip_ids = b.column(b.schema.get_field_index("clip_id")).to_pylist()
-        part_ids = b.column(b.schema.get_field_index("part_id"))
+        part_ids = _opt_part_ids(b)
         n = len(b)
         oks = [False] * n
         md5s: list[str | None] = [None] * n
@@ -122,7 +123,7 @@ def _fp_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
                 fps[i] = envelope_fingerprint(pcm)
         yield pa.RecordBatch.from_arrays(
             [
-                part_ids.cast(pa.int32()),
+                part_ids,
                 pa.array(clip_ids, pa.string()),
                 pa.array(codecs, pa.string()),
                 pa.array(oks, pa.bool_()),
@@ -136,6 +137,7 @@ def _fp_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
 def audio_content_fingerprints(clips: DataFrame) -> DataFrame:
     """(part_id, clip_id, codec, decode_ok, content_md5, envelope_fp) —
     one decode per payload, narrow rows out."""
+    _require_cols(clips, ("clip_id", "bytes", "codec"))
     cols = [c for c in ("part_id", "clip_id", "bytes", "codec") if c in clips.columns]
     return clips.select(*cols).mapInArrow(_fp_batches, schema=FINGERPRINT_SCHEMA)
 

@@ -53,12 +53,32 @@ _ARROW_LOUD = pa.schema(
 )
 
 
+def _require_cols(df: DataFrame, names: tuple[str, ...]) -> None:
+    """Fail loudly on a missing payload column: pyarrow's
+    ``get_field_index`` returns -1 for unknown names and ``column(-1)``
+    silently binds the LAST column — a schema mistake must read as an
+    error, never as "no data" or cross-bound garbage (round-5 review)."""
+    missing = [n for n in names if n not in df.columns]
+    if missing:
+        raise ValueError(
+            f"missing required column(s) {missing}; frame has {df.columns}"
+        )
+
+
+def _opt_part_ids(b: pa.RecordBatch) -> pa.Array:
+    """part_id column if present, else typed NULLs (never column(-1))."""
+    idx = b.schema.get_field_index("part_id")
+    return b.column(idx).cast(pa.int32()) if idx >= 0 else pa.nulls(
+        len(b), pa.int32()
+    )
+
+
 def _loudness_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
     for b in batches:
         payloads = b.column(b.schema.get_field_index("bytes"))
         codecs = b.column(b.schema.get_field_index("codec")).to_pylist()
         clip_ids = b.column(b.schema.get_field_index("clip_id")).to_pylist()
-        part_ids = b.column(b.schema.get_field_index("part_id"))
+        part_ids = _opt_part_ids(b)
         n = len(b)
         oks = [False] * n
         n_samps: list[int | None] = [None] * n
@@ -83,7 +103,7 @@ def _loudness_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBa
             rmss[i] = 20.0 * np.log10(rms / FULL_SCALE) if rms > 0 else None
         yield pa.RecordBatch.from_arrays(
             [
-                part_ids.cast(pa.int32()),
+                part_ids,
                 pa.array(clip_ids, pa.string()),
                 pa.array(oks, pa.bool_()),
                 pa.array(n_samps, pa.int64()),
@@ -98,6 +118,7 @@ def _loudness_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBa
 def audio_loudness_stats(clips: DataFrame) -> DataFrame:
     """(part_id, clip_id, decode_ok, n_samples, n_clipped, peak_dbfs,
     rms_dbfs) — one decode per payload, narrow rows out."""
+    _require_cols(clips, ("clip_id", "bytes", "codec"))
     cols = [c for c in ("part_id", "clip_id", "bytes", "codec") if c in clips.columns]
     return clips.select(*cols).mapInArrow(_loudness_batches, schema=LOUDNESS_SCHEMA)
 
@@ -137,12 +158,14 @@ def audio_spectral_features(clips: DataFrame, n_fft: int = 256) -> DataFrame:
     constant per row, independent of clip length), narrow rows out.
     """
 
+    _require_cols(clips, ("clip_id", "bytes", "codec"))
+
     def _spec(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for b in batches:
             payloads = b.column(b.schema.get_field_index("bytes"))
             codecs = b.column(b.schema.get_field_index("codec")).to_pylist()
             clip_ids = b.column(b.schema.get_field_index("clip_id")).to_pylist()
-            part_ids = b.column(b.schema.get_field_index("part_id"))
+            part_ids = _opt_part_ids(b)
             n = len(b)
             oks = [False] * n
             n_samps: list[int | None] = [None] * n
@@ -167,7 +190,7 @@ def audio_spectral_features(clips: DataFrame, n_fft: int = 256) -> DataFrame:
                 cents[i] = float((k * mag).sum() / mag.sum())
             yield pa.RecordBatch.from_arrays(
                 [
-                    part_ids.cast(pa.int32()),
+                    part_ids,
                     pa.array(clip_ids, pa.string()),
                     pa.array(oks, pa.bool_()),
                     pa.array(n_samps, pa.int64()),
@@ -462,7 +485,7 @@ def audio_pitch_period(
             payloads = b.column(b.schema.get_field_index("bytes"))
             codecs = b.column(b.schema.get_field_index("codec")).to_pylist()
             clip_ids = b.column(b.schema.get_field_index("clip_id")).to_pylist()
-            part_ids = b.column(b.schema.get_field_index("part_id"))
+            part_ids = _opt_part_ids(b)
             n = len(b)
             oks = [False] * n
             periods: list[int | None] = [None] * n
@@ -483,7 +506,7 @@ def audio_pitch_period(
                 periods[i] = best_lag
             yield pa.RecordBatch.from_arrays(
                 [
-                    part_ids.cast(pa.int32()),
+                    part_ids,
                     pa.array(clip_ids, pa.string()),
                     pa.array(oks, pa.bool_()),
                     pa.array(periods, pa.int32()),
@@ -491,6 +514,7 @@ def audio_pitch_period(
                 schema=_ARROW_PITCH,
             )
 
+    _require_cols(clips, ("clip_id", "bytes", "codec"))
     cols = [c for c in ("part_id", "clip_id", "bytes", "codec") if c in clips.columns]
     return clips.select(*cols).mapInArrow(_pitch, schema=PITCH_SCHEMA)
 
@@ -677,6 +701,7 @@ def audio_bandwidth(
     clip, narrow rows out; threshold/verdict joins stay Column algebra
     downstream. Silent clips keep NULL rolloff (no energy to place).
     """
+    _require_cols(clips, ("clip_id", "bytes", "codec"))
     half = n_fft // 2
 
     def _bw(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:

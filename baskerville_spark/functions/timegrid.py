@@ -48,6 +48,13 @@ def gap_fill(
     within (keys, slot) for determinism — an event id, not a timestamp).
     Returns keys + ``grid_slot`` + value_cols + ``is_observed``.
     """
+    reserved = {"grid_slot", "is_observed", "__slot", "__end"}
+    clash = reserved & set([*keys, slot_col, *value_cols])
+    if clash:
+        # same contract as audio_quality._emit_spans: a name collision with
+        # the operator's own output must fail loudly, not build a plan with
+        # duplicate/ambiguous columns
+        raise ValueError(f"column name(s) {sorted(clash)} are reserved by gap_fill")
     part = df.repartition(*[F.col(k) for k in keys])
     obs = part.groupBy(*keys, slot_col).agg(
         *[F.max_by(c, order_col).alias(c) for c in value_cols]

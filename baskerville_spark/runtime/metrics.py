@@ -52,6 +52,7 @@ def render_prometheus(
     because a batch was empty.
     """
     import math
+    import numbers
     import re
 
     label_str = ""
@@ -70,8 +71,11 @@ def render_prometheus(
     lines = []
     for name in sorted(metrics):
         v = metrics[name]
-        if v is None or isinstance(v, bool) or not isinstance(v, (int, float)):
+        # numbers.Real (not int/float) so numpy int64/float32 scalars from
+        # toPandas()-derived dicts render instead of silently vanishing
+        if v is None or isinstance(v, bool) or not isinstance(v, numbers.Real):
             continue
+        v = v.item() if hasattr(v, "item") else v  # numpy scalar → python
         if isinstance(v, float) and (math.isnan(v) or math.isinf(v)):
             continue
         mname = re.sub(r"[^a-zA-Z0-9_:]", "_", f"{namespace}_{name}")

@@ -56,8 +56,10 @@ def iceberg_ddl(
         raise ValueError(
             f"granularity {granularity!r} not in {sorted(TEMPORAL_TRANSFORMS)}"
         )
+    # backtick-quote column names (reserved words, spaces) and escape any
+    # embedded backtick — schema field names are data here, not trusted SQL
     cols = ",\n  ".join(
-        f"{f.name} {_sql_type(f.dataType)}"
+        f"`{f.name.replace('`', '``')}` {_sql_type(f.dataType)}"
         + ("" if f.nullable else " NOT NULL")
         for f in schema.fields
     )
@@ -84,6 +86,10 @@ def iceberg_ddl(
         stmt.append("PARTITIONED BY (" + ", ".join(parts) + ")")
     props = dict(table_props or {})
     if props:
-        kv = ", ".join(f"'{k}' = '{v}'" for k, v in sorted(props.items()))
+        # single quotes in keys/values doubled per SQL string-literal rules
+        def q(s: str) -> str:
+            return "'" + str(s).replace("'", "''") + "'"
+
+        kv = ", ".join(f"{q(k)} = {q(v)}" for k, v in sorted(props.items()))
         stmt.append(f"TBLPROPERTIES ({kv})")
     return "\n".join(stmt)

@@ -500,3 +500,34 @@ def test_audio_bandwidth(spark):
     assert got["high"]["rolloff_bin"] == 120
     assert got["silent"]["decode_ok"] and got["silent"]["rolloff_bin"] is None
     assert got["short"]["rolloff_bin"] < 40  # leakage-bounded, still low-band
+
+
+def test_payload_ops_fail_loudly_on_missing_columns(spark):
+    """Round-5 review: pyarrow get_field_index(-1) + column(-1) silently
+    binds the LAST column — every payload op must instead raise on a
+    missing required column, and treat part_id as genuinely optional."""
+    import pytest
+
+    from baskerville_spark.functions.audio_dedup import audio_content_fingerprints
+    from baskerville_spark.functions.audio_quality import (
+        audio_bandwidth,
+        audio_loudness_stats,
+        audio_pitch_period,
+        audio_spectral_features,
+    )
+
+    pcm = audio.encode(np.full(64, 1000, dtype=np.int16), "pcm_s16le")
+    no_codec = spark.createDataFrame([("c1", bytearray(pcm))], "clip_id string, bytes binary")
+    for op in (audio_bandwidth, audio_loudness_stats,
+               audio_spectral_features, audio_pitch_period,
+               audio_content_fingerprints):
+        with pytest.raises(ValueError, match="missing required column"):
+            op(no_codec)
+
+    # part_id absent → typed NULLs, not a misbound column
+    ok = spark.createDataFrame(
+        [("c1", bytearray(pcm), "pcm_s16le")],
+        "clip_id string, bytes binary, codec string",
+    )
+    row = audio_loudness_stats(ok).collect()[0]
+    assert row["part_id"] is None and row["decode_ok"]

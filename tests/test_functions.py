@@ -888,3 +888,14 @@ def test_gap_fill(spark):
         r["grid_slot"] for r in capped.where(F.col("k") == "a").collect()
     )
     assert slots_a == [0, 10, 40]
+
+
+def test_gap_fill_rejects_reserved_names(spark):
+    import pytest
+    from pyspark.sql import Row
+
+    from baskerville_spark.functions.timegrid import gap_fill
+
+    df = spark.createDataFrame([Row(k="a", slot=0, oid=1, grid_slot=1.0)])
+    with pytest.raises(ValueError, match="reserved by gap_fill"):
+        gap_fill(df, ["k"], "slot", ["grid_slot"], 10, "oid")

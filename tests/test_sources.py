@@ -315,9 +315,12 @@ def test_iceberg_ddl_generation_and_execution(spark, tmp_path):
         table_props={"write.distribution-mode": "hash"},
     )
     assert "CREATE TABLE lake.APP.request_sets (" in ddl
-    assert "id bigint NOT NULL" in ddl
+    assert "`id` bigint NOT NULL" in ddl
     assert "PARTITIONED BY (months(created_at), bucket(16, target))" in ddl
     assert "TBLPROPERTIES ('write.distribution-mode' = 'hash')" in ddl
+    # round-5 review: quoting — props escape quotes, identifiers backticked
+    assert "'it''s monthly'" in iceberg_ddl(
+        "t", schema, table_props={"comment": "it's monthly"})
 
     with pytest.raises(ValueError, match="granularity"):
         iceberg_ddl("t", schema, temporal_col="created_at", granularity="ms")

@@ -560,3 +560,15 @@ def test_render_prometheus():
         'baskerville_rate{part="3",run_id="a\\"b\\n"} 0.25',
     ]
     assert render_prometheus({}) == ""
+
+
+def test_render_prometheus_numpy_scalars():
+    """Round-5 review: numpy int64/float32 metrics (toPandas-derived dicts)
+    must render, not silently vanish from the exposition output."""
+    import numpy as np
+
+    from baskerville_spark.runtime.metrics import render_prometheus
+
+    txt = render_prometheus({"n_rows": np.int64(5), "rate": np.float32(0.5)})
+    assert "baskerville_n_rows 5" in txt
+    assert "baskerville_rate 0.5" in txt

@@ -7009,6 +7009,65 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
 
 
 # --------------------------------------------------------------------------
+# q114: distributed BPE merge training — the tokenizer-TRAINING step
+# (functions/bpe.py): corpus → word-frequency table once, then per round
+# one pair aggregate + one pure-Column fold rewrite, _Ckpt-truncated.
+# --------------------------------------------------------------------------
+
+
+def q114_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE gate: 12 planted two-letter words over DISJOINT alphabets with
+    strictly decreasing frequencies (word j = chr(97+2j)chr(97+2j+1)
+    repeated 100−4j times) — merges must come out in exact frequency
+    order with exact pair counts; merged words collapse to one symbol and
+    stop producing pairs, so ranks never interfere."""
+    from baskerville_spark.functions.bpe import train_bpe_merges
+
+    docs = spark.range(12).select(
+        F.col("id").alias("doc_id"),
+        F.array_join(
+            F.array_repeat(
+                F.concat(
+                    F.char(97 + F.col("id") * 2),
+                    F.char(97 + F.col("id") * 2 + 1),
+                ),
+                (100 - F.col("id").cast("int") * 4),
+            ),
+            " ",
+        ).alias("text"),
+    )
+    return train_bpe_merges(docs, n_merges=12, min_freq=2)
+
+
+_Q114_SQL = """
+WITH idx AS (SELECT unnest(generate_series(0, 11)) AS j)
+SELECT CAST(j + 1 AS INT) AS merge_rank,
+       chr(CAST(97 + 2 * j AS INT)) AS lsym,
+       chr(CAST(97 + 2 * j + 1 AS INT)) AS rsym,
+       CAST(100 - 4 * j AS BIGINT) AS pair_count
+FROM idx
+"""
+
+
+_prev_queries_q114 = queries
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    out = _prev_queries_q114()
+    out["q114_bpe_merges"] = q114_bpe_merges
+    return out
+
+
+_prev_oracles_q114 = oracle_sql
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = _prev_oracles_q114()
+    out["q114_bpe_merges"] = _Q114_SQL
+    return out
+
+
+# --------------------------------------------------------------------------
 # Driver-gate scheduling (VERDICT r04 "What's missing" #1): the correctness
 # driver consumes queries() in dict insertion order and verifies a bounded
 # prefix per round (r01:31, r02:42, r03:45, r04:50 — CORRECTNESS_r0*.json;
@@ -7057,7 +7116,7 @@ _DRIVER_UNPROVEN_FIRST = [
         (107, "concat_roundtrip"), (108, "enrich_with_state"),
         (109, "audio_align"), (110, "sensitive_crypto"),
         (111, "bandwidth"), (112, "gap_fill"),
-        (113, "mulaw_roundtrip"),
+        (113, "mulaw_roundtrip"), (114, "bpe_merges"),
     ]
 ]
 

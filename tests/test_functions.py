@@ -899,3 +899,39 @@ def test_gap_fill_rejects_reserved_names(spark):
     df = spark.createDataFrame([Row(k="a", slot=0, oid=1, grid_slot=1.0)])
     with pytest.raises(ValueError, match="reserved by gap_fill"):
         gap_fill(df, ["k"], "slot", ["grid_slot"], 10, "oid")
+
+
+def test_bpe_merges(spark):
+    """BPE trainer: leftmost-non-overlapping fold (the 'aaa' classic),
+    min_freq stop, lexicographic tie-break, unicode symbols."""
+    from baskerville_spark.functions.bpe import train_bpe_merges
+
+    docs = spark.createDataFrame(
+        [(1, "aaa aaa aaa aaa aaa"), (2, "xy xy xy"), (3, "zz")],
+        "id int, text string",
+    )
+    got = [
+        (r["merge_rank"], r["lsym"], r["rsym"], r["pair_count"])
+        for r in train_bpe_merges(docs, n_merges=8, min_freq=2).collect()
+    ]
+    # 'aaa'×5: (a,a) appears twice per word → 10; after merging, [aa, a]
+    # yields (aa, a) at 5; (x,y) at 3; (z,z) at 1 is under min_freq → stop
+    assert got == [(1, "a", "a", 10), (2, "aa", "a", 5), (3, "x", "y", 3)]
+
+    # ties break lexicographically: (p,q) and (r,s) both at 2 → (p,q) first
+    tied = spark.createDataFrame(
+        [(1, "pq pq rs rs")], "id int, text string"
+    )
+    got2 = [
+        (r["lsym"], r["rsym"])
+        for r in train_bpe_merges(tied, n_merges=2, min_freq=2).collect()
+    ]
+    assert got2 == [("p", "q"), ("r", "s")]
+
+    # unicode: multibyte symbols merge like any other
+    uni = spark.createDataFrame([(1, "héé héé héé")], "id int, text string")
+    got3 = [
+        (r["lsym"], r["rsym"])
+        for r in train_bpe_merges(uni, n_merges=2, min_freq=2).collect()
+    ]
+    assert got3 == [("h", "é"), ("hé", "é")]

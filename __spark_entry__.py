@@ -7068,6 +7068,75 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
 
 
 # --------------------------------------------------------------------------
+# q115: BPE apply — tokenize with the trained merge table (train→apply
+# loop closed; the regex token_count_bpe of functions/text.py is the
+# approximation, this is the real rank-priority tokenizer).
+# --------------------------------------------------------------------------
+
+
+def q115_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train on the q114 corpus (12 disjoint pairs, strictly ordered
+    frequencies) + one rare word 'zq' whose pair count (2) never wins a
+    round — then tokenize: trained words collapse to ONE token each
+    (n_tokens = repeat count), the untrained word stays characters
+    (2 tokens per occurrence)."""
+    from baskerville_spark.functions.bpe import apply_bpe, train_bpe_merges
+
+    docs = spark.range(12).select(
+        F.col("id").alias("doc_id"),
+        F.array_join(
+            F.array_repeat(
+                F.concat(
+                    F.char(97 + F.col("id") * 2),
+                    F.char(97 + F.col("id") * 2 + 1),
+                ),
+                (100 - F.col("id").cast("int") * 4),
+            ),
+            " ",
+        ).alias("text"),
+    ).unionByName(
+        spark.createDataFrame([(12, "zq zq")], "doc_id long, text string")
+    )
+    merges = train_bpe_merges(docs, n_merges=12, min_freq=2)
+    toks = apply_bpe(docs, merges)
+    return toks.select(
+        "doc_id",
+        F.size("bpe_tokens").alias("n_tokens"),
+        F.element_at("bpe_tokens", 1).alias("first_token"),
+    )
+
+
+_Q115_SQL = """
+WITH idx AS (SELECT unnest(generate_series(0, 11)) AS j)
+SELECT CAST(j AS BIGINT) AS doc_id,
+       CAST(100 - 4 * j AS INT) AS n_tokens,
+       chr(CAST(97 + 2 * j AS INT)) || chr(CAST(97 + 2 * j + 1 AS INT))
+         AS first_token
+FROM idx
+UNION ALL
+SELECT 12, 4, 'z'
+"""
+
+
+_prev_queries_q115 = queries
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    out = _prev_queries_q115()
+    out["q115_bpe_tokenize"] = q115_bpe_tokenize
+    return out
+
+
+_prev_oracles_q115 = oracle_sql
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = _prev_oracles_q115()
+    out["q115_bpe_tokenize"] = _Q115_SQL
+    return out
+
+
+# --------------------------------------------------------------------------
 # Driver-gate scheduling (VERDICT r04 "What's missing" #1): the correctness
 # driver consumes queries() in dict insertion order and verifies a bounded
 # prefix per round (r01:31, r02:42, r03:45, r04:50 — CORRECTNESS_r0*.json;
@@ -7117,6 +7186,7 @@ _DRIVER_UNPROVEN_FIRST = [
         (109, "audio_align"), (110, "sensitive_crypto"),
         (111, "bandwidth"), (112, "gap_fill"),
         (113, "mulaw_roundtrip"), (114, "bpe_merges"),
+        (115, "bpe_tokenize"),
     ]
 ]
 

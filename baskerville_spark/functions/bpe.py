@@ -120,3 +120,70 @@ def train_bpe_merges(
             words = ckpt.lazy(_apply_merge(words, l, r))
             pending = True
     return spark.createDataFrame(merges, MERGES_SCHEMA)
+
+
+def apply_bpe(
+    docs: DataFrame,
+    merges: DataFrame,
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Tokenize with a trained merge table (the inference side of
+    :func:`train_bpe_merges`; functions/text.py's token_count_bpe is the
+    regex APPROXIMATION — this is the real thing).
+
+    The merge list is a model, not data: bounded by n_merges (32k for a
+    GPT-2-class vocab, ~1 MB), collected once and broadcast inside an
+    Arrow-batched pandas UDF that applies merges per word in rank order —
+    the standard tokenizer hot loop, genuinely per-row compute (like
+    decode), so the one sanctioned Python path. Word-level results are
+    memoized per batch (Zipf makes the hit rate high). Appends ``out_col``
+    (array<string>); whitespace splitting mirrors word_frequencies.
+    """
+    ranked = [
+        (r["lsym"], r["rsym"])
+        for r in merges.orderBy("merge_rank").collect()
+    ]
+    rank_of = {pair: i for i, pair in enumerate(ranked)}
+    docs_schema = docs.schema
+
+    import pandas as pd  # noqa: F401
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        docs_schema.fields
+        + [T.StructField(out_col, T.ArrayType(T.StringType()), True)]
+    )
+
+    def _tok(batches):
+        cache: dict[str, list[str]] = {}
+
+        def word_tokens(w: str) -> list[str]:
+            got = cache.get(w)
+            if got is not None:
+                return got
+            sym = list(w)
+            while len(sym) >= 2:
+                # lowest-rank adjacent pair present, leftmost occurrence
+                best_rank, best_i = None, None
+                for i in range(len(sym) - 1):
+                    rk = rank_of.get((sym[i], sym[i + 1]))
+                    if rk is not None and (best_rank is None or rk < best_rank):
+                        best_rank, best_i = rk, i
+                if best_i is None:
+                    break
+                sym[best_i:best_i + 2] = [sym[best_i] + sym[best_i + 1]]
+            cache[w] = sym
+            return sym
+
+        for pdf in batches:
+            toks = [
+                None
+                if t is None
+                else [s for w in t.split() for s in word_tokens(w)]
+                for t in pdf[text_col]
+            ]
+            pdf[out_col] = toks
+            yield pdf
+
+    return docs.mapInPandas(_tok, schema=out_schema)

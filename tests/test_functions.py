@@ -935,3 +935,32 @@ def test_bpe_merges(spark):
         for r in train_bpe_merges(uni, n_merges=2, min_freq=2).collect()
     ]
     assert got3 == [("h", "é"), ("hé", "é")]
+
+
+def test_apply_bpe(spark):
+    """Inference: rank-priority merging, unseen-word char fallback, null
+    text, memoized word reuse (same word twice → same tokens)."""
+    from pyspark.sql import Row
+
+    from baskerville_spark.functions.bpe import apply_bpe, train_bpe_merges
+
+    corpus = spark.createDataFrame(
+        [(1, "aaa aaa aaa aaa aaa"), (2, "xy xy xy")], "id int, text string"
+    )
+    merges = train_bpe_merges(corpus, n_merges=4, min_freq=2)
+    docs = spark.createDataFrame(
+        [
+            Row(id=1, text="aaa xy aaa"),
+            Row(id=2, text="qq"),       # untrained: stays characters
+            Row(id=3, text=None),       # null text → null tokens
+            Row(id=4, text="aaaa"),
+        ]
+    )
+    got = {r["id"]: r["bpe_tokens"] for r in apply_bpe(docs, merges).collect()}
+    assert got[1] == ["aaa", "xy", "aaa"]
+    assert got[2] == ["q", "q"]
+    assert got[3] is None
+    # rank priority, GPT-2 semantics: ALL occurrences of the min-rank pair
+    # (a,a) merge before the higher-rank (aa,a) is considered — so "aaaa"
+    # is [aa, aa], NOT [aaa, a]
+    assert got[4] == ["aa", "aa"]

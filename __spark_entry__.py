@@ -7137,6 +7137,68 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
 
 
 # --------------------------------------------------------------------------
+# q116: C4-style cross-document line dedup (boilerplate removal) — every
+# line keeps exactly one corpus-wide occurrence, min-(doc, line) owner.
+# --------------------------------------------------------------------------
+
+
+def q116_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-dedup gate: 40 docs share a header and footer line around two
+    unique lines each — the owner doc (0) keeps all 4 lines, every other
+    doc loses exactly the 2 boilerplate lines, and the reassembled text
+    preserves original line order (closed form in both engines)."""
+    from baskerville_spark.functions.dedup import dedup_lines
+
+    docs = spark.range(40).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            "\n",
+            F.lit("shared header boilerplate"),
+            F.format_string("unique line %d alpha", "id"),
+            F.lit("shared footer boilerplate"),
+            F.format_string("unique line %d beta", "id"),
+        ).alias("text"),
+    )
+    return dedup_lines(docs, min_line_chars=1)
+
+
+_Q116_SQL = """
+WITH idx AS (SELECT unnest(generate_series(0, 39)) AS i)
+SELECT CAST(i AS BIGINT) AS doc_id,
+       CASE WHEN i = 0 THEN
+         'shared header boilerplate' || chr(10) ||
+         printf('unique line %d alpha', i) || chr(10) ||
+         'shared footer boilerplate' || chr(10) ||
+         printf('unique line %d beta', i)
+       ELSE
+         printf('unique line %d alpha', i) || chr(10) ||
+         printf('unique line %d beta', i)
+       END AS text_out,
+       CAST(CASE WHEN i = 0 THEN 4 ELSE 2 END AS BIGINT) AS n_lines_kept,
+       CAST(CASE WHEN i = 0 THEN 0 ELSE 2 END AS BIGINT) AS n_lines_removed
+FROM idx
+"""
+
+
+_prev_queries_q116 = queries
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    out = _prev_queries_q116()
+    out["q116_dedup_lines"] = q116_dedup_lines
+    return out
+
+
+_prev_oracles_q116 = oracle_sql
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = _prev_oracles_q116()
+    out["q116_dedup_lines"] = _Q116_SQL
+    return out
+
+
+# --------------------------------------------------------------------------
 # Driver-gate scheduling (VERDICT r04 "What's missing" #1): the correctness
 # driver consumes queries() in dict insertion order and verifies a bounded
 # prefix per round (r01:31, r02:42, r03:45, r04:50 — CORRECTNESS_r0*.json;
@@ -7186,7 +7248,7 @@ _DRIVER_UNPROVEN_FIRST = [
         (109, "audio_align"), (110, "sensitive_crypto"),
         (111, "bandwidth"), (112, "gap_fill"),
         (113, "mulaw_roundtrip"), (114, "bpe_merges"),
-        (115, "bpe_tokenize"),
+        (115, "bpe_tokenize"), (116, "dedup_lines"),
     ]
 ]
 

@@ -8,6 +8,7 @@ Python appears only in Arrow-batched pandas UDFs (multimodal decode).
 
 from baskerville_spark.functions.dedup import (  # noqa: F401
     decontaminate,
+    dedup_lines,
     exact_duplicates,
     minhash_signatures,
     minhash_lsh_pairs,

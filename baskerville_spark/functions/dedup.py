@@ -621,3 +621,61 @@ def keep_canonical(
         "left_semi",
     )
     return survivors, winners
+
+
+def dedup_lines(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_line_chars: int = 1,
+) -> DataFrame:
+    """Cross-document line dedup (C4-style boilerplate removal): every
+    line keeps exactly ONE occurrence corpus-wide — the (smallest doc id,
+    smallest line number) one — and loses all others; lines shorter than
+    ``min_line_chars`` are exempt (blank separators and one-word lines
+    are structure, not boilerplate). Returns (id, text_out, n_lines_kept,
+    n_lines_removed); documents whose every line was owned elsewhere
+    disappear (the C4 empty-doc drop).
+
+    Shape: posexplode → ONE window keyed on the line text itself (the row
+    carries the line for reassembly anyway, so hashing the key would
+    shuffle the same bytes and add collision risk for zero savings) picks
+    the min-(id, line_no) owner; survivors re-assemble with ONE
+    groupBy(id) whose collect_list buffer is bounded by a single
+    document's line count. Two shuffles total, no joins, no driver state.
+    """
+    ln = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("line_no", "line"),
+    )
+    w = Window.partitionBy("line")
+    owner = F.min(F.struct(id_col, "line_no")).over(w)
+    keep = (F.length("line") < min_line_chars) | (
+        F.struct(F.col(id_col), F.col("line_no")) == owner
+    )
+    kept = ln.select(
+        id_col, "line_no", "line", keep.alias("__keep")
+    )
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("__keep"),
+                                F.struct("line_no", "line"),
+                            )
+                        )
+                    ),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias("text_out"),
+            F.sum(F.col("__keep").cast("long")).alias("n_lines_kept"),
+            F.sum((~F.col("__keep")).cast("long")).alias("n_lines_removed"),
+        )
+        .where(F.col("n_lines_kept") > 0)
+        .select(id_col, "text_out", "n_lines_kept", "n_lines_removed")
+    )

@@ -964,3 +964,27 @@ def test_apply_bpe(spark):
     # (a,a) merge before the higher-rank (aa,a) is considered — so "aaaa"
     # is [aa, aa], NOT [aaa, a]
     assert got[4] == ["aa", "aa"]
+
+
+def test_dedup_lines(spark):
+    """C4-style boilerplate removal: min-(doc,line) ownership, within-doc
+    dup collapse, short-line exemption, empty-doc drop, order preserved."""
+    from pyspark.sql import Row
+
+    from baskerville_spark.functions.dedup import dedup_lines
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="boiler\nkeep one\n\nboiler"),  # within-doc dup
+            Row(doc_id=2, text="boiler\nkeep two\n"),
+            Row(doc_id=3, text="boiler"),                      # fully owned away
+        ]
+    )
+    got = {r["doc_id"]: r for r in dedup_lines(docs, min_line_chars=1).collect()}
+    # doc 1 owns 'boiler' (first occurrence) and the empty line is exempt
+    # (< min_line_chars); its second 'boiler' occurrence is removed
+    assert got[1]["text_out"] == "boiler\nkeep one\n"
+    assert got[1]["n_lines_removed"] == 1
+    assert got[2]["text_out"] == "keep two\n"
+    assert got[2]["n_lines_removed"] == 1
+    assert 3 not in got  # every line owned elsewhere → dropped like C4

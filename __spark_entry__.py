@@ -7199,6 +7199,104 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
 
 
 # --------------------------------------------------------------------------
+# q117: per-clip VAD summary (speech fraction / utterance count / longest
+# gap) — the curator's sampling metrics without q105's per-segment fan-out.
+# --------------------------------------------------------------------------
+
+
+def q117_vad_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VAD-stats gate: (lead | tone m1 | gap g | tone m2 | tail) plants
+    with g sweeping 0..128 around min_gap=64 — g >= 64 splits (2
+    utterances, gap excluded from speech), 0 < g < 64 stays one utterance
+    WITH the pause counted as speech, g = 0 is one contiguous tone; all
+    integers closed-form, speech_frac = exact int/int IEEE division."""
+    import pandas as pd
+
+    from baskerville_spark.functions.audio_quality import audio_vad_stats
+
+    def synth(batches):
+        import numpy as np
+
+        from baskerville_spark import audio as au
+
+        for pdf in batches:
+            out = []
+            for i in pdf["id"]:
+                i = int(i)
+                lead, tail = 30 + i % 10, 20 + i % 7
+                m1, m2 = 150 + (i % 4) * 25, 100 + (i % 6) * 15
+                g = (i % 5) * 32
+                pcm = np.concatenate(
+                    [
+                        np.zeros(lead, dtype="<i2"),
+                        np.full(m1, 5000, dtype="<i2"),
+                        np.zeros(g, dtype="<i2"),
+                        np.full(m2, -4000, dtype="<i2"),
+                        np.zeros(tail, dtype="<i2"),
+                    ]
+                )
+                out.append(
+                    {
+                        "clip_id": f"vd_{i:06d}",
+                        "bytes": au.encode(pcm, "pcm_s16le"),
+                        "codec": "pcm_s16le",
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    clips = spark.range(150).mapInPandas(
+        synth, schema="clip_id string, bytes binary, codec string"
+    )
+    return audio_vad_stats(clips, threshold=100, min_gap=64).select(
+        "clip_id", "n_samples", "n_utterances", "speech_samples",
+        "speech_frac", "longest_gap",
+    )
+
+
+_Q117_SQL = """
+WITH idx AS (SELECT unnest(generate_series(0, 149)) AS i),
+p AS (
+  SELECT i,
+         30 + i % 10 AS lead_n, 20 + i % 7 AS tail_n,
+         150 + (i % 4) * 25 AS m1, 100 + (i % 6) * 15 AS m2,
+         (i % 5) * 32 AS g
+  FROM idx),
+s AS (
+  SELECT i, lead_n + m1 + g + m2 + tail_n AS n,
+         CASE WHEN g >= 64 THEN 2 ELSE 1 END AS utt,
+         CASE WHEN g >= 64 OR g = 0 THEN m1 + m2
+              ELSE m1 + g + m2 END AS sp,
+         CAST(g AS BIGINT) AS lg
+  FROM p)
+SELECT printf('vd_%06d', i) AS clip_id,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST(utt AS INT) AS n_utterances,
+       CAST(sp AS BIGINT) AS speech_samples,
+       CAST(sp AS DOUBLE) / CAST(n AS DOUBLE) AS speech_frac,
+       lg AS longest_gap
+FROM s
+"""
+
+
+_prev_queries_q117 = queries
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    out = _prev_queries_q117()
+    out["q117_vad_stats"] = q117_vad_stats
+    return out
+
+
+_prev_oracles_q117 = oracle_sql
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = _prev_oracles_q117()
+    out["q117_vad_stats"] = _Q117_SQL
+    return out
+
+
+# --------------------------------------------------------------------------
 # Driver-gate scheduling (VERDICT r04 "What's missing" #1): the correctness
 # driver consumes queries() in dict insertion order and verifies a bounded
 # prefix per round (r01:31, r02:42, r03:45, r04:50 — CORRECTNESS_r0*.json;
@@ -7249,6 +7347,7 @@ _DRIVER_UNPROVEN_FIRST = [
         (111, "bandwidth"), (112, "gap_fill"),
         (113, "mulaw_roundtrip"), (114, "bpe_merges"),
         (115, "bpe_tokenize"), (116, "dedup_lines"),
+        (117, "vad_stats"),
     ]
 ]
 

@@ -54,6 +54,7 @@ from baskerville_spark.functions.audio_quality import (  # noqa: F401
     audio_segment,
     audio_spectral_features,
     audio_trim_silence,
+    audio_vad_stats,
 )
 from baskerville_spark.functions.audio_dedup import (  # noqa: F401
     audio_align_offsets,

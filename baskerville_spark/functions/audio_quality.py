@@ -742,3 +742,96 @@ def audio_bandwidth(
 
     cols = [c for c in ("clip_id", "bytes", "codec") if c in clips.columns]
     return clips.select(*cols).mapInArrow(_bw, schema=BANDWIDTH_SCHEMA)
+
+
+VAD_SCHEMA = T.StructType(
+    [
+        T.StructField("clip_id", T.StringType(), False),
+        T.StructField("decode_ok", T.BooleanType(), False),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("n_utterances", T.IntegerType(), True),
+        T.StructField("speech_samples", T.LongType(), True),
+        T.StructField("speech_frac", T.DoubleType(), True),
+        T.StructField("longest_gap", T.LongType(), True),
+    ]
+)
+
+_ARROW_VAD = pa.schema(
+    [
+        pa.field("clip_id", pa.string()),
+        pa.field("decode_ok", pa.bool_()),
+        pa.field("n_samples", pa.int64()),
+        pa.field("n_utterances", pa.int32()),
+        pa.field("speech_samples", pa.int64()),
+        pa.field("speech_frac", pa.float64()),
+        pa.field("longest_gap", pa.int64()),
+    ]
+)
+
+
+def audio_vad_stats(
+    clips: DataFrame, threshold: int = 100, min_gap: int = 64
+) -> DataFrame:
+    """Per-clip VAD summary — the sampling/QA metrics WITHOUT the
+    segmentation fan-out: utterance count, speech sample count/fraction,
+    and the longest interior silence run. Semantics exactly shared with
+    :func:`audio_split_on_silence` (voiced = |x| > threshold; utterances
+    split at interior silence >= min_gap; an utterance span runs
+    voiced-to-voiced, so sub-min_gap pauses count as speech) — the
+    summary a corpus curator filters/samples on (speech_frac < 0.3 =
+    mostly silence; n_utterances = dialogue density) before paying the
+    per-segment row explosion. One decode pass, one narrow row per clip;
+    all-silent clips report zeros rather than dropping (unlike the
+    splitter, a summary must account for every clip).
+    """
+
+    def _vad(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            payloads = b.column(b.schema.get_field_index("bytes"))
+            codecs = b.column(b.schema.get_field_index("codec")).to_pylist()
+            clip_ids = b.column(b.schema.get_field_index("clip_id")).to_pylist()
+            n = len(b)
+            oks = [False] * n
+            ns: list[int | None] = [None] * n
+            utts: list[int | None] = [None] * n
+            speech: list[int | None] = [None] * n
+            frac: list[float | None] = [None] * n
+            gap: list[int | None] = [None] * n
+            for i in range(n):
+                pv = payloads[i]
+                payload = pv.as_py() if pv.is_valid else None
+                pcm = audio.decode(payload, codecs[i]) if payload is not None else None
+                if pcm is None or len(pcm) == 0:
+                    continue
+                oks[i] = True
+                ns[i] = len(pcm)
+                voiced = np.flatnonzero(np.abs(pcm.astype(np.int32)) > threshold)
+                if len(voiced) == 0:
+                    utts[i], speech[i], frac[i], gap[i] = 0, 0, 0.0, 0
+                    continue
+                runs = np.diff(voiced) - 1          # interior silence lengths
+                gap[i] = int(runs.max()) if len(runs) else 0
+                cuts = np.flatnonzero(runs >= min_gap)
+                starts = np.concatenate([[0], cuts + 1])
+                ends = np.concatenate([cuts, [len(voiced) - 1]])
+                utts[i] = len(starts)
+                speech[i] = int(
+                    sum(voiced[b_] - voiced[a_] + 1 for a_, b_ in zip(starts, ends))
+                )
+                frac[i] = speech[i] / ns[i]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(clip_ids, pa.string()),
+                    pa.array(oks, pa.bool_()),
+                    pa.array(ns, pa.int64()),
+                    pa.array(utts, pa.int32()),
+                    pa.array(speech, pa.int64()),
+                    pa.array(frac, pa.float64()),
+                    pa.array(gap, pa.int64()),
+                ],
+                schema=_ARROW_VAD,
+            )
+
+    _require_cols(clips, ("clip_id", "bytes", "codec"))
+    cols = [c for c in ("clip_id", "bytes", "codec") if c in clips.columns]
+    return clips.select(*cols).mapInArrow(_vad, schema=VAD_SCHEMA)

@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import numpy as np
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from baskerville_spark import audio
 from baskerville_spark.functions.audio_dedup import (
@@ -531,3 +532,40 @@ def test_payload_ops_fail_loudly_on_missing_columns(spark):
     )
     row = audio_loudness_stats(ok).collect()[0]
     assert row["part_id"] is None and row["decode_ok"]
+
+
+def test_audio_vad_stats(spark):
+    """VAD summary: split vs kept pause, all-silent zeros (reported, not
+    dropped), semantics shared with audio_split_on_silence."""
+    from baskerville_spark.functions.audio_quality import (
+        audio_split_on_silence,
+        audio_vad_stats,
+    )
+
+    def clip(cid, *parts):
+        return Row(clip_id=cid,
+                   bytes=audio.encode(np.concatenate(parts), "pcm_s16le"),
+                   codec="pcm_s16le")
+
+    tone = lambda n, a=3000: np.full(n, a, dtype=np.int16)  # noqa: E731
+    sil = lambda n: np.zeros(n, dtype=np.int16)             # noqa: E731
+    clips = spark.createDataFrame([
+        clip("split", sil(10), tone(100), sil(80), tone(50), sil(5)),
+        clip("kept",  sil(10), tone(100), sil(30), tone(50)),
+        clip("quiet", sil(200)),
+    ])
+    got = {r["clip_id"]: r
+           for r in audio_vad_stats(clips, threshold=100, min_gap=64).collect()}
+    assert (got["split"]["n_utterances"], got["split"]["speech_samples"],
+            got["split"]["longest_gap"]) == (2, 150, 80)
+    assert (got["kept"]["n_utterances"], got["kept"]["speech_samples"],
+            got["kept"]["longest_gap"]) == (1, 180, 30)
+    assert (got["quiet"]["n_utterances"], got["quiet"]["speech_samples"],
+            got["quiet"]["speech_frac"]) == (0, 0, 0.0)
+
+    # utterance count agrees with the splitter's row fan-out per clip
+    segs = audio_split_on_silence(clips, threshold=100, min_gap=64)
+    seg_counts = {r["clip_id"]: r["n"] for r in
+                  segs.groupBy("clip_id").agg(F.count("*").alias("n")).collect()}
+    assert seg_counts.get("split") == 2 and seg_counts.get("kept") == 1
+    assert "quiet" not in seg_counts  # splitter drops, summary reports

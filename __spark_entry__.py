@@ -7297,6 +7297,136 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
 
 
 # --------------------------------------------------------------------------
+# q118: declarative constraint suite — k rules, ONE aggregation pass
+# (checks/suite.py). The reference runs one pipeline stage per quality rule
+# (src/baskerville/features/feature_*.py, one class+pass per metric); here
+# eight constraints of six kinds (completeness / bounds / regex / set
+# membership / SQL predicate / mean window / two HLL distinct floors)
+# compile into a single groupBy(part).agg(...) — one scan, one exchange,
+# verdicts unpivoted by a Project (plan-asserted in test_checks.py).
+# --------------------------------------------------------------------------
+
+
+def q118_constraint_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suite gate over documents with planted violations: doc_id%19 text
+    nulls (completeness), doc_id%23 'EN-US' lang (regex + membership),
+    natural n_chars spread (bounds/predicate/mean). The two approx-distinct
+    floors sit >=37% from any per-part cardinality at every sf, far beyond
+    the HLL rsd (~2.3%), so their verdicts are deterministic and the raw
+    estimate never enters a hashed column (metric_value NULL by design)."""
+    from baskerville_spark.checks import suite as S
+
+    d = _t(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 4).cast("int").alias("part_id"),
+        "doc_id",
+        "n_chars",
+        F.when(F.col("doc_id") % 19 == 0, F.lit(None))
+        .otherwise(F.col("text")).alias("text"),
+        F.when(F.col("doc_id") % 23 == 0, F.lit("EN-US"))
+        .otherwise(F.col("lang")).alias("lang"),
+    )
+    cons = [
+        S.completeness("text_complete", "text", max_null_rate=0.10),
+        S.bounds("chars_bounds", "n_chars", 100, 600, max_rate=0.25),
+        S.pattern("lang_2letter", "lang", "^[a-z]{2}$", max_rate=0.0),
+        S.membership("lang_known", "lang",
+                     ["en", "zh", "es", "de", "fr"], max_rate=0.30),
+        S.predicate("long_docs", "n_chars >= 100", max_rate=0.9),
+        S.mean_between("chars_mean", "n_chars", 100.0, 400.0),
+        S.approx_distinct_min("doc_distinct", "doc_id", 5),
+        S.approx_distinct_min("doc_distinct_impossible", "doc_id", 10**9),
+    ]
+    return S.run_suite(d, cons, group_by=["part_id"])
+
+
+_Q118_SQL = """
+WITH d AS (
+  SELECT CAST(doc_id % 4 AS INT) AS part_id, doc_id, n_chars,
+         CASE WHEN doc_id % 19 = 0 THEN NULL ELSE text END AS text,
+         CASE WHEN doc_id % 23 = 0 THEN 'EN-US' ELSE lang END AS lang
+  FROM documents),
+a AS (
+  SELECT part_id,
+         CAST(COUNT(*) AS BIGINT) AS n_all,
+         CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_compl,
+         CAST(SUM(CASE WHEN n_chars < 100 OR n_chars > 600 THEN 1 ELSE 0 END) AS BIGINT) AS v_bounds,
+         CAST(COUNT(lang) AS BIGINT) AS n_lang,
+         CAST(SUM(CASE WHEN lang IS NOT NULL
+                        AND NOT regexp_matches(lang, '^[a-z]{2}$')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS v_pat,
+         CAST(SUM(CASE WHEN lang IS NOT NULL
+                        AND lang NOT IN ('en','zh','es','de','fr')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS v_memb,
+         CAST(SUM(CASE WHEN NOT COALESCE(n_chars >= 100, FALSE)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS v_pred,
+         CAST(COUNT(n_chars) AS BIGINT) AS n_chars_n,
+         CAST(SUM(n_chars) AS BIGINT) AS chars_sum,
+         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_distinct
+  FROM d GROUP BY part_id)
+SELECT part_id, 'text_complete' AS check_name, 'text' AS col_name,
+       (CAST(v_compl AS DOUBLE) / greatest(n_all, 1)) <= 0.10 AS passed,
+       CAST(v_compl AS DOUBLE) / greatest(n_all, 1) AS metric_value,
+       CAST(0.10 AS DOUBLE) AS threshold, n_all AS n_rows, v_compl AS n_violations
+FROM a
+UNION ALL
+SELECT part_id, 'chars_bounds', 'n_chars',
+       (CAST(v_bounds AS DOUBLE) / greatest(n_all, 1)) <= 0.25,
+       CAST(v_bounds AS DOUBLE) / greatest(n_all, 1), CAST(0.25 AS DOUBLE), n_all, v_bounds
+FROM a
+UNION ALL
+SELECT part_id, 'lang_2letter', 'lang',
+       (CAST(v_pat AS DOUBLE) / greatest(n_lang, 1)) <= 0.0,
+       CAST(v_pat AS DOUBLE) / greatest(n_lang, 1), CAST(0.0 AS DOUBLE), n_lang, v_pat
+FROM a
+UNION ALL
+SELECT part_id, 'lang_known', 'lang',
+       (CAST(v_memb AS DOUBLE) / greatest(n_lang, 1)) <= 0.30,
+       CAST(v_memb AS DOUBLE) / greatest(n_lang, 1), CAST(0.30 AS DOUBLE), n_lang, v_memb
+FROM a
+UNION ALL
+SELECT part_id, 'long_docs', CAST(NULL AS VARCHAR),
+       (CAST(v_pred AS DOUBLE) / greatest(n_all, 1)) <= 0.9,
+       CAST(v_pred AS DOUBLE) / greatest(n_all, 1), CAST(0.9 AS DOUBLE), n_all, v_pred
+FROM a
+UNION ALL
+SELECT part_id, 'chars_mean', 'n_chars',
+       (CAST(chars_sum AS DOUBLE) / greatest(n_chars_n, 1)) >= 100.0
+         AND (CAST(chars_sum AS DOUBLE) / greatest(n_chars_n, 1)) <= 400.0,
+       CAST(chars_sum AS DOUBLE) / greatest(n_chars_n, 1), CAST(0.0 AS DOUBLE), n_chars_n,
+       CAST(NULL AS BIGINT)
+FROM a
+UNION ALL
+SELECT part_id, 'doc_distinct', 'doc_id',
+       n_distinct >= 5, CAST(NULL AS DOUBLE), CAST(5.0 AS DOUBLE), n_chars_n,
+       CAST(NULL AS BIGINT)
+FROM a
+UNION ALL
+SELECT part_id, 'doc_distinct_impossible', 'doc_id',
+       n_distinct >= 1000000000, CAST(NULL AS DOUBLE), CAST(1000000000.0 AS DOUBLE),
+       n_chars_n, CAST(NULL AS BIGINT)
+FROM a
+"""
+
+
+_prev_queries_q118 = queries
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    out = _prev_queries_q118()
+    out["q118_constraint_suite"] = q118_constraint_suite
+    return out
+
+
+_prev_oracles_q118 = oracle_sql
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = _prev_oracles_q118()
+    out["q118_constraint_suite"] = _Q118_SQL
+    return out
+
+
+# --------------------------------------------------------------------------
 # Driver-gate scheduling (VERDICT r04 "What's missing" #1): the correctness
 # driver consumes queries() in dict insertion order and verifies a bounded
 # prefix per round (r01:31, r02:42, r03:45, r04:50 — CORRECTNESS_r0*.json;
@@ -7347,7 +7477,7 @@ _DRIVER_UNPROVEN_FIRST = [
         (111, "bandwidth"), (112, "gap_fill"),
         (113, "mulaw_roundtrip"), (114, "bpe_merges"),
         (115, "bpe_tokenize"), (116, "dedup_lines"),
-        (117, "vad_stats"),
+        (117, "vad_stats"), (118, "constraint_suite"),
     ]
 ]
 

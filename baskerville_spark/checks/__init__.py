@@ -14,3 +14,4 @@ from baskerville_spark.checks.referential import ref_integrity_violations  # noq
 from baskerville_spark.checks.drift import capture_baseline, drift_verdicts  # noqa: F401
 from baskerville_spark.checks.invariants import audio_invariant  # noqa: F401
 from baskerville_spark.checks.schema_check import ColumnSpec, enforce_schema  # noqa: F401
+from baskerville_spark.checks.suite import Constraint, run_suite  # noqa: F401

@@ -315,3 +315,102 @@ def test_manifest_invalidate_partitions(spark, tmp_path):
     m.invalidate_partitions(man, [1, 7])
     m.invalidate_partitions(man, [1])
     assert m.done_partitions(spark, man) == {0, 2}
+
+
+# -- declarative constraint suite (checks/suite.py) --------------------------
+
+
+def _suite_df(spark):
+    from pyspark.sql import Row
+
+    rows = [
+        # part 0: clean
+        Row(part=0, k="a1", lang="en", n=100, ok=True),
+        Row(part=0, k="a2", lang="fr", n=200, ok=True),
+        # part 1: one null lang, one out-of-bounds n, one failed predicate
+        Row(part=1, k="b1", lang=None, n=100, ok=True),
+        Row(part=1, k="b2", lang="EN", n=9999, ok=False),
+        Row(part=1, k="b3", lang="de", n=150, ok=None),  # NULL predicate
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_suite_values_and_null_semantics(spark):
+    """Exact metrics per kind; NULL column value is NOT a bounds/pattern
+    violation (completeness owns nulls) but a NULL predicate result IS one."""
+    from baskerville_spark.checks import suite as S
+
+    cons = [
+        S.completeness("lang_complete", "lang", max_null_rate=0.0),
+        S.bounds("n_bounds", "n", 50, 500),
+        S.pattern("lang_lower", "lang", "^[a-z]{2}$"),
+        S.membership("lang_known", "lang", ["en", "fr", "de"]),
+        S.predicate("ok_rate", "ok", max_rate=0.5),
+        S.mean_between("n_mean", "n", 100.0, 200.0),
+        S.approx_distinct_min("k_distinct", "k", 2),
+    ]
+    out = S.run_suite(_suite_df(spark), cons, group_by=["part"])
+    got = {(r["part"], r["check_name"]): r for r in out.collect()}
+    assert len(got) == 2 * len(cons)
+
+    p0 = got[(0, "lang_complete")]
+    assert p0["passed"] and p0["metric_value"] == 0.0 and p0["n_rows"] == 2
+    p1 = got[(1, "lang_complete")]
+    assert not p1["passed"] and abs(p1["metric_value"] - 1 / 3) < 1e-12
+    assert p1["n_violations"] == 1
+
+    # bounds: NULL lang row's n=100 in range; b2 9999 out -> 1/3 violation
+    b1 = got[(1, "n_bounds")]
+    assert not b1["passed"] and b1["n_violations"] == 1 and b1["n_rows"] == 3
+    # pattern/membership: NULL lang row NOT checkable (n_rows=2), "EN" fails
+    pt = got[(1, "lang_lower")]
+    assert pt["n_rows"] == 2 and pt["n_violations"] == 1 and not pt["passed"]
+    mb = got[(1, "lang_known")]
+    assert mb["n_rows"] == 2 and mb["n_violations"] == 1
+    # predicate: False and NULL both violate -> 2/3 > 0.5 max_rate
+    pr = got[(1, "ok_rate")]
+    assert pr["n_rows"] == 3 and pr["n_violations"] == 2 and not pr["passed"]
+    assert got[(0, "ok_rate")]["passed"]
+    # mean: part0 mean 150 in [100,200]; part1 mean (100+9999+150)/3 out
+    m0, m1 = got[(0, "n_mean")], got[(1, "n_mean")]
+    assert m0["passed"] and abs(m0["metric_value"] - 150.0) < 1e-9
+    assert not m1["passed"] and m1["n_violations"] is None
+    # approx distinct: >= 2 everywhere; metric_value NULL by design
+    d0 = got[(0, "k_distinct")]
+    assert d0["passed"] and d0["metric_value"] is None
+
+
+def test_suite_single_pass_plan(spark):
+    """All constraints — including the HLL distinct — must compile into ONE
+    hash aggregate: exactly one exchange and one scan, unpivot is a Project."""
+    from baskerville_spark.checks import suite as S
+
+    df = _suite_df(spark)
+    cons = [
+        S.completeness("c", "lang"),
+        S.bounds("b", "n", 0, 1000),
+        S.predicate("p", "ok"),
+        S.mean_between("m", "n", 0, 1000),
+        S.approx_distinct_min("d", "k", 1),
+    ]
+    out = S.run_suite(df, cons, group_by=["part"])
+    # assert on the pre-execution plan string (AQE executed plans embed the
+    # initial plan and double every count)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
+    assert plan.count("Scan ") == 1, plan[:2000]
+    # global (ungrouped) form: one SinglePartition exchange, still one scan
+    g = S.run_suite(df, cons)
+    gplan = g._jdf.queryExecution().executedPlan().toString()
+    assert gplan.lower().count("exchange") == 1, gplan[:2000]
+    assert g.count() == len(cons)
+
+
+def test_suite_duplicate_names_rejected(spark):
+    import pytest as _pytest
+
+    from baskerville_spark.checks import suite as S
+
+    with _pytest.raises(ValueError, match="duplicate"):
+        S.run_suite(_suite_df(spark), [S.completeness("x", "lang"),
+                                       S.bounds("x", "n", 0, 1)])

@@ -7427,6 +7427,84 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
 
 
 # --------------------------------------------------------------------------
+# q119: mergeable stats state (checks/stats_state.py) — table-level stats
+# assembled by merging per-batch state rows instead of rescanning settled
+# data. The gate splits documents into 3 ingest batches, computes one state
+# per batch, merges, and must reproduce the full-scan stats EXACTLY for
+# every scalar field; the HLL distinct estimate is consumed as a verdict
+# with 12-sigma margin (10% window vs 0.81% rsd at lg_k=14) so the hashed
+# row is deterministic. Reference contrast: base_spark.py:445-458 always
+# re-aggregates the whole window.
+# --------------------------------------------------------------------------
+
+
+def q119_incremental_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from baskerville_spark.checks import stats_state as SS
+
+    d = _t(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 4).cast("int").alias("part_id"),
+        "doc_id",
+        F.when(F.col("doc_id") % 19 == 0, F.lit(None))
+        .otherwise(F.col("n_chars")).alias("n_chars"),
+    )
+    # three disjoint ingest batches, one tiny state row-set each
+    states = None
+    for i in range(3):
+        s = SS.stats_state(
+            d.filter(F.col("doc_id") % 3 == i),
+            ["part_id"], ["n_chars"], ["doc_id"],
+        )
+        states = s if states is None else states.unionByName(s)
+    merged = SS.merge_stats_states(states, ["part_id"], ["n_chars"], ["doc_id"])
+    fin = SS.finalize_stats(merged, ["doc_id"])
+    exact = d.groupBy("part_id").agg(F.countDistinct("doc_id").alias("nd"))
+    return fin.join(exact, "part_id").select(
+        "part_id", "n_rows", "n_chars_n", "n_chars_nulls",
+        "n_chars_min", "n_chars_max", "n_chars_sum",
+        (
+            (F.col("doc_id_distinct_est") >= 0.9 * F.col("nd"))
+            & (F.col("doc_id_distinct_est") <= 1.1 * F.col("nd"))
+        ).alias("distinct_ok"),
+    )
+
+
+_Q119_SQL = """
+WITH d AS (
+  SELECT CAST(doc_id % 4 AS INT) AS part_id, doc_id,
+         CASE WHEN doc_id % 19 = 0 THEN NULL ELSE n_chars END AS n_chars
+  FROM documents)
+SELECT part_id,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(n_chars) AS BIGINT) AS n_chars_n,
+       CAST(SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_chars_nulls,
+       MIN(n_chars) AS n_chars_min,
+       MAX(n_chars) AS n_chars_max,
+       CAST(SUM(n_chars) AS BIGINT) AS n_chars_sum,
+       TRUE AS distinct_ok
+FROM d GROUP BY part_id
+"""
+
+
+_prev_queries_q119 = queries
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    out = _prev_queries_q119()
+    out["q119_incremental_stats"] = q119_incremental_stats
+    return out
+
+
+_prev_oracles_q119 = oracle_sql
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = _prev_oracles_q119()
+    out["q119_incremental_stats"] = _Q119_SQL
+    return out
+
+
+# --------------------------------------------------------------------------
 # Driver-gate scheduling (VERDICT r04 "What's missing" #1): the correctness
 # driver consumes queries() in dict insertion order and verifies a bounded
 # prefix per round (r01:31, r02:42, r03:45, r04:50 — CORRECTNESS_r0*.json;
@@ -7478,6 +7556,7 @@ _DRIVER_UNPROVEN_FIRST = [
         (113, "mulaw_roundtrip"), (114, "bpe_merges"),
         (115, "bpe_tokenize"), (116, "dedup_lines"),
         (117, "vad_stats"), (118, "constraint_suite"),
+        (119, "incremental_stats"),
     ]
 ]
 

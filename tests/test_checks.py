@@ -414,3 +414,72 @@ def test_suite_duplicate_names_rejected(spark):
     with _pytest.raises(ValueError, match="duplicate"):
         S.run_suite(_suite_df(spark), [S.completeness("x", "lang"),
                                        S.bounds("x", "n", 0, 1)])
+
+
+# -- mergeable stats state (checks/stats_state.py) ---------------------------
+
+
+def test_stats_state_merge_equals_direct(spark):
+    """state(A) ∪ state(B) merged == state(A ∪ B), field-for-field —
+    including BIT-IDENTICAL HLL estimates (register-max merge)."""
+    from baskerville_spark.checks import stats_state as SS
+
+    df = spark.range(0, 5000).select(
+        (F.col("id") % 4).alias("part"),
+        F.when(F.col("id") % 11 == 0, None)
+        .otherwise(F.col("id") * 3).alias("v"),
+        F.concat(F.lit("k"), (F.col("id") % 700).cast("string")).alias("k"),
+    )
+    a, b = df.filter("id % 2 = 0"), df.filter("id % 2 = 1")
+    sa = SS.stats_state(a, ["part"], ["v"], ["k"])
+    sb = SS.stats_state(b, ["part"], ["v"], ["k"])
+    merged = SS.merge_stats_states(sa.unionByName(sb), ["part"], ["v"], ["k"])
+    direct = SS.stats_state(df, ["part"], ["v"], ["k"])
+
+    fm = {r["part"]: r for r in SS.finalize_stats(merged, ["k"]).collect()}
+    fd = {r["part"]: r for r in SS.finalize_stats(direct, ["k"]).collect()}
+    assert set(fm) == set(fd) == {0, 1, 2, 3}
+    for p in fd:
+        for fld in ("n_rows", "v_n", "v_nulls", "v_min", "v_max", "v_sum",
+                    "k_distinct_est"):
+            assert fm[p][fld] == fd[p][fld], (p, fld, fm[p][fld], fd[p][fld])
+
+
+def test_stats_state_incremental_append(spark):
+    """Appending a third batch updates stats by merging ONE new small state
+    row set — the settled batches are never rescanned (their states are
+    reused as-is)."""
+    from baskerville_spark.checks import stats_state as SS
+
+    full = spark.range(0, 3000).select(
+        F.lit(0).alias("part"), F.col("id").alias("v"),
+        (F.col("id") % 97).cast("string").alias("k"),
+    )
+    b0 = full.filter("id < 1000")
+    b1 = full.filter("id >= 1000 and id < 2000")
+    b2 = full.filter("id >= 2000")
+    settled = SS.stats_state(b0, ["part"], ["v"], ["k"]).unionByName(
+        SS.stats_state(b1, ["part"], ["v"], ["k"])
+    )
+    # settled states could have been read back from parquet; only b2 scans
+    appended = settled.unionByName(SS.stats_state(b2, ["part"], ["v"], ["k"]))
+    got = SS.finalize_stats(
+        SS.merge_stats_states(appended, ["part"], ["v"], ["k"]), ["k"]
+    ).collect()[0]
+    assert got["n_rows"] == 3000 and got["v_min"] == 0 and got["v_max"] == 2999
+    assert got["v_sum"] == 3000 * 2999 // 2
+    assert got["k_distinct_est"] == 97  # sketch is exact at tiny cardinality
+
+
+def test_stats_state_single_pass_plan(spark):
+    from baskerville_spark.checks import stats_state as SS
+
+    df = spark.range(100).select(
+        (F.col("id") % 2).alias("part"), F.col("id").alias("v"),
+        F.col("id").cast("string").alias("k"),
+    )
+    st = SS.stats_state(df, ["part"], ["v"], ["k"])
+    plan = st._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
+    # the HLL partial must combine map-side like every other field
+    assert "partial_hll_sketch_agg" in plan, plan[:2000]

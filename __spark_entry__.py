@@ -7505,6 +7505,143 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
 
 
 # --------------------------------------------------------------------------
+# q120: mergeable histogram state (checks/stats_state.py) — exact binned
+# distributions that fold by element-wise long sum, so quantile bounds and
+# PSI drift come from per-batch states with ZERO rescans of settled data
+# (the incremental complement of q44's full-scan drift). Baseline = ingest
+# batch 0's state; current = batches 1+2 merged. Bin counts are exact longs
+# (hash-exact), p50 bounds are integer-arithmetic-exact, PSI is rounded to
+# 6dp with the SQL restating checks/drift._clamped_psi's fold order (the
+# q44 convention). The top [800,inf) bin is empty at test SF — the EPS
+# clamp path is live. Reference contrast: base_spark.py:445-458 always
+# re-aggregates the whole window.
+# --------------------------------------------------------------------------
+
+_Q120_EDGES = [100.0, 200.0, 300.0, 400.0, 800.0]
+
+
+def q120_histogram_drift_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from baskerville_spark.checks import stats_state as SS
+
+    hc = {"n_chars": _Q120_EDGES}
+    d = _t(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 4).cast("int").alias("part_id"),
+        "doc_id", "n_chars",
+    )
+    # batch 0 is the baseline snapshot's state; 1 and 2 arrive later and
+    # are folded WITHOUT touching batch-0 rows again.
+    st = [
+        SS.histogram_state(
+            d.filter(F.col("doc_id") % 3 == i), ["part_id"], hc
+        )
+        for i in range(3)
+    ]
+    base = st[0].select(
+        "part_id", F.col("n_chars_hist").alias("base_hist")
+    )
+    cur = SS.merge_histogram_states(
+        st[1].unionByName(st[2]), ["part_id"], hc
+    )
+    lo, hi = SS.histogram_quantile_bounds(
+        F.col("n_chars_hist"), 0.5, _Q120_EDGES
+    )
+    j = cur.join(base, "part_id")
+    nb = len(_Q120_EDGES) + 1
+    return j.select(
+        "part_id",
+        F.col("n_rows").alias("cur_rows"),
+        *[
+            F.element_at("n_chars_hist", i + 1).alias(f"bin_{i}")
+            for i in range(nb)
+        ],
+        lo.alias("p50_lo"),
+        hi.alias("p50_hi"),
+        F.round(
+            SS.histogram_psi(F.col("n_chars_hist"), F.col("base_hist")), 6
+        ).alias("psi"),
+    )
+
+
+def _q120_sql() -> str:
+    from baskerville_spark.checks.drift import EPS
+
+    edges = _Q120_EDGES
+    nb = len(edges) + 1
+    bucket = " + ".join(
+        f"(CASE WHEN n_chars >= {repr(e)} THEN 1 ELSE 0 END)" for e in edges
+    )
+
+    def sums(pfx: str) -> str:
+        return ",\n    ".join(
+            f"CAST(SUM(CASE WHEN n_chars IS NOT NULL AND ({bucket}) = {i}"
+            f" THEN 1 ELSE 0 END) AS BIGINT) AS {pfx}{i}"
+            for i in range(nb)
+        )
+
+    cur_total = " + ".join(f"c{i}" for i in range(nb))
+    base_total = " + ".join(f"b{i}" for i in range(nb))
+    # smallest k (1-based) whose prefix sum reaches ceil(0.5*total)
+    k_cases = " ".join(
+        f"WHEN {' + '.join(f'c{j}' for j in range(i + 1))} >= t THEN {i + 1}"
+        for i in range(nb)
+    )
+    hi_cases = " ".join(
+        f"WHEN k = {i + 1} THEN CAST({repr(edges[i])} AS DOUBLE)"
+        for i in range(len(edges))
+    )
+    psi_terms = []
+    for i in range(nb):
+        p = f"GREATEST(c{i} * 1.0 / GREATEST(ct, 1), {repr(EPS)})"
+        q = f"GREATEST(b{i} * 1.0 / GREATEST(bt, 1), {repr(EPS)})"
+        psi_terms.append(f"(({p}) - ({q})) * LN(({p}) / ({q}))")
+    psi = " + ".join(psi_terms)
+    bins = ",\n       ".join(f"c{i} AS bin_{i}" for i in range(nb))
+    return f"""
+WITH d AS (
+  SELECT CAST(doc_id % 4 AS INT) AS part_id, doc_id, n_chars FROM documents),
+cur AS (
+  SELECT part_id, CAST(COUNT(*) AS BIGINT) AS cur_rows,
+    {sums('c')}
+  FROM d WHERE doc_id % 3 IN (1, 2) GROUP BY part_id),
+base AS (
+  SELECT part_id,
+    {sums('b')}
+  FROM d WHERE doc_id % 3 = 0 GROUP BY part_id),
+kd AS (
+  SELECT cur.*, base.* EXCLUDE (part_id),
+         {cur_total} AS ct, {base_total} AS bt,
+         GREATEST(CAST(CEIL(0.5 * ({cur_total})) AS BIGINT), 1) AS t
+  FROM cur JOIN base USING (part_id)),
+kk AS (
+  SELECT *, CASE {k_cases} END AS k FROM kd)
+SELECT part_id, cur_rows,
+       {bins},
+       CASE WHEN k > 1 THEN (CASE {' '.join(f'WHEN k - 1 = {i + 1} THEN CAST({repr(edges[i])} AS DOUBLE)' for i in range(len(edges)))} END) END AS p50_lo,
+       CASE WHEN k <= {len(edges)} THEN (CASE {hi_cases} END) END AS p50_hi,
+       ROUND({psi}, 6) AS psi
+FROM kk
+"""
+
+
+_prev_queries_q120 = queries
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    out = _prev_queries_q120()
+    out["q120_histogram_drift_state"] = q120_histogram_drift_state
+    return out
+
+
+_prev_oracles_q120 = oracle_sql
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = _prev_oracles_q120()
+    out["q120_histogram_drift_state"] = _q120_sql()
+    return out
+
+
+# --------------------------------------------------------------------------
 # Driver-gate scheduling (VERDICT r04 "What's missing" #1): the correctness
 # driver consumes queries() in dict insertion order and verifies a bounded
 # prefix per round (r01:31, r02:42, r03:45, r04:50 — CORRECTNESS_r0*.json;
@@ -7556,7 +7693,7 @@ _DRIVER_UNPROVEN_FIRST = [
         (113, "mulaw_roundtrip"), (114, "bpe_merges"),
         (115, "bpe_tokenize"), (116, "dedup_lines"),
         (117, "vad_stats"), (118, "constraint_suite"),
-        (119, "incremental_stats"),
+        (119, "incremental_stats"), (120, "histogram_drift_state"),
     ]
 ]
 

@@ -28,12 +28,20 @@ the default lg_k=14), the same discipline as checks/suite.approx_distinct.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Mapping, Optional, Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["stats_state", "merge_stats_states", "finalize_stats"]
+__all__ = [
+    "stats_state",
+    "merge_stats_states",
+    "finalize_stats",
+    "histogram_state",
+    "merge_histogram_states",
+    "histogram_quantile_bounds",
+    "histogram_psi",
+]
 
 DEFAULT_LG_K = 14
 
@@ -112,3 +120,129 @@ def finalize_stats(
     if drop_sketches:
         out = out.drop(*[f"{c}_hll" for c in distinct_cols])
     return out
+
+
+# --------------------------------------------------------------------------
+# Mergeable histogram state: exact binned distributions that fold by
+# element-wise sum. The north rule names KLL quantile sketches; with FIXED
+# bin edges (the production shape — edges come from the baseline snapshot,
+# checks/drift.capture_baseline) an exact count histogram is the *stronger*
+# sketch: merging per-batch count arrays is bit-exact (long addition is
+# associative/commutative), quantiles come back with a provable ±bin-width
+# bound, and PSI drift is computed from the same state with zero rescans.
+# Reference contrast: baskerville recomputes its feature histograms from the
+# full window every run (src/baskerville/models/base_spark.py:445-458).
+# --------------------------------------------------------------------------
+
+
+def _hist_bucket(col: Column, inner_edges: Sequence[float]) -> Column:
+    """bucket = #edges <= value — same convention as drift._bucket_expr
+    (bin 0 = (-inf, e0), bin i = [e_{i-1}, e_i), last = [e_last, inf))."""
+    b = F.lit(0)
+    for e in inner_edges:
+        b = b + (col >= F.lit(float(e))).cast("int")
+    return b
+
+
+def histogram_state(
+    df: DataFrame,
+    group_by: Sequence[str],
+    hist_cols: Mapping[str, Sequence[float]],
+) -> DataFrame:
+    """One pass -> one state row per group with ``{c}_hist``: an
+    array<long> of len(inner_edges)+1 exact bin counts (NULLs excluded —
+    track them via stats_state's ``{c}_nulls``). Every bin is a conditional
+    SUM in the same single groupBy, so partials combine map-side and the
+    exchange carries one state row per (group × task)."""
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c, edges in hist_cols.items():
+        inner = [float(e) for e in edges]
+        b = _hist_bucket(F.col(c), inner)
+        aggs.append(
+            F.array(*[
+                F.sum((F.col(c).isNotNull() & (b == i)).cast("long"))
+                for i in range(len(inner) + 1)
+            ]).alias(f"{c}_hist")
+        )
+    return df.groupBy(*group_by).agg(*aggs)
+
+
+def merge_histogram_states(
+    states: DataFrame,
+    group_by: Sequence[str],
+    hist_cols: Mapping[str, Sequence[float]],
+) -> DataFrame:
+    """Fold histogram state rows: element-wise long sum per bin —
+    ``merge(state(A), state(B)) == state(A ∪ B)`` BIT-EXACTLY for disjoint
+    batches. collect_list order is nondeterministic but long addition is
+    order-free, so the fold is deterministic; the list is bounded by the
+    number of ingest batches per group (state rows, not data rows)."""
+    aggs = [F.sum("n_rows").alias("n_rows")]
+    for c, edges in hist_cols.items():
+        nb = len(edges) + 1
+        zero = F.array_repeat(F.lit(0).cast("long"), nb)
+        aggs.append(
+            F.aggregate(
+                F.collect_list(f"{c}_hist"),
+                zero,
+                lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
+            ).alias(f"{c}_hist")
+        )
+    return states.groupBy(*group_by).agg(*aggs)
+
+
+def _prefix_ge(counts: Column, target: Column) -> Column:
+    """Smallest 1-based index whose left-fold prefix sum reaches ``target``
+    (NULL if the whole array sums below it)."""
+    idxs = F.filter(
+        F.sequence(F.lit(1), F.size(counts)),
+        lambda i: F.aggregate(
+            F.slice(counts, F.lit(1), i),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ) >= target,
+    )
+    return F.element_at(idxs, F.lit(1))
+
+
+def histogram_quantile_bounds(
+    counts: Column, q: float, inner_edges: Sequence[float]
+) -> tuple[Column, Column]:
+    """(lo, hi) edge bounds bracketing the exact q-quantile of the data the
+    histogram summarizes: the rank-ceil(q·n) element lands in bin k, whose
+    edges bound every element in it. Exact integer arithmetic end-to-end
+    (counts are exact longs; ceil(q·n) is exact for n < 2^52), so the
+    bounds are deterministic and oracle-hashable; unbounded outer bins
+    yield NULL on that side. Error is the bin width — the knob the caller
+    owns via the baseline's edges."""
+    total = F.aggregate(
+        counts, F.lit(0).cast("long"), lambda a, x: a + x
+    )
+    target = F.greatest(
+        F.ceil(F.lit(float(q)) * total).cast("long"), F.lit(1).cast("long")
+    )
+    k = _prefix_ge(counts, target)  # 1-based bin index
+    edge_arr = F.array(*[F.lit(float(e)) for e in inner_edges])
+    lo = F.when(k > 1, F.element_at(edge_arr, (k - 1).cast("int")))
+    hi = F.when(
+        k <= len(inner_edges), F.element_at(edge_arr, k.cast("int"))
+    )
+    return lo, hi
+
+
+def histogram_psi(cur_counts: Column, base_counts: Column) -> Column:
+    """PSI between two histogram states (current vs baseline snapshot).
+    Fractions = count/max(total,1) per side, then the ONE copy of the
+    clamped PSI arithmetic (checks/drift._clamped_psi) — same fold order
+    as every drift oracle."""
+    from baskerville_spark.checks.drift import _clamped_psi
+
+    def fracs(counts: Column) -> Column:
+        total = F.aggregate(
+            counts, F.lit(0).cast("long"), lambda a, x: a + x
+        )
+        return F.transform(
+            counts, lambda x: x / F.greatest(total, F.lit(1))
+        )
+
+    return _clamped_psi(fracs(cur_counts), fracs(base_counts))

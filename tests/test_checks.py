@@ -483,3 +483,101 @@ def test_stats_state_single_pass_plan(spark):
     assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
     # the HLL partial must combine map-side like every other field
     assert "partial_hll_sketch_agg" in plan, plan[:2000]
+
+
+# -- mergeable histogram state (checks/stats_state.py) -----------------------
+
+
+_EDGES = [100.0, 400.0, 900.0, 1600.0]
+
+
+def test_histogram_state_merge_equals_direct(spark):
+    """Element-wise long sum makes histogram merge BIT-EXACT:
+    merge(state(A), state(B)) == state(A ∪ B) per bin, with NULLs excluded
+    from every bin and empty bins staying 0."""
+    from baskerville_spark.checks import stats_state as SS
+
+    df = spark.range(0, 4000).select(
+        (F.col("id") % 3).alias("part"),
+        F.when(F.col("id") % 13 == 0, None)
+        .otherwise(F.col("id")).alias("v"),
+    )
+    hc = {"v": _EDGES}
+    parts = [df.filter(f"id % 4 = {i}") for i in range(4)]
+    states = parts[0].sparkSession.createDataFrame([], "x int")
+    st = SS.histogram_state(parts[0], ["part"], hc)
+    for p in parts[1:]:
+        st = st.unionByName(SS.histogram_state(p, ["part"], hc))
+    merged = {r["part"]: r for r in
+              SS.merge_histogram_states(st, ["part"], hc).collect()}
+    direct = {r["part"]: r for r in
+              SS.histogram_state(df, ["part"], hc).collect()}
+    assert set(merged) == set(direct) == {0, 1, 2}
+    for p in direct:
+        assert merged[p]["v_hist"] == direct[p]["v_hist"]
+        assert merged[p]["n_rows"] == direct[p]["n_rows"]
+        # NULLs excluded: bins sum to non-null count, not n_rows
+        nn = 4000 // 3 + (1 if p < 4000 % 3 else 0)
+        assert sum(direct[p]["v_hist"]) < nn
+
+
+def test_histogram_quantile_bounds_bracket_exact(spark):
+    """The (lo, hi) bounds from the merged histogram bracket the EXACT
+    quantile for every q and every group — the ±bin-width guarantee."""
+    from baskerville_spark.checks import stats_state as SS
+
+    rows = [(i % 2, float((i * 37) % 2000)) for i in range(3000)]
+    df = spark.createDataFrame(rows, "part int, v double")
+    hc = {"v": _EDGES}
+    st = SS.merge_histogram_states(
+        SS.histogram_state(df, ["part"], hc), ["part"], hc
+    )
+    import math
+    for q in (0.1, 0.5, 0.9):
+        lo, hi = SS.histogram_quantile_bounds(F.col("v_hist"), q, _EDGES)
+        got = {r["part"]: (r["lo"], r["hi"]) for r in
+               st.select("part", lo.alias("lo"), hi.alias("hi")).collect()}
+        for part in (0, 1):
+            vals = sorted(v for p, v in rows if p == part)
+            exact = vals[max(math.ceil(q * len(vals)), 1) - 1]
+            lo_v, hi_v = got[part]
+            assert lo_v is None or lo_v <= exact, (q, part, lo_v, exact)
+            assert hi_v is None or exact < hi_v, (q, part, hi_v, exact)
+
+
+def test_histogram_psi_matches_driver_fold(spark):
+    """histogram_psi on two states == psi_py on the same fractions; PSI of
+    a state against itself is exactly 0."""
+    from baskerville_spark.checks import stats_state as SS
+    from baskerville_spark.checks.drift import EPS, psi_py
+
+    df_a = spark.createDataFrame(
+        [(0, float(v)) for v in (50, 150, 150, 500, 1000)], "part int, v double")
+    df_b = spark.createDataFrame(
+        [(0, float(v)) for v in (150, 500, 500, 500, 2000)], "part int, v double")
+    hc = {"v": _EDGES}
+    sa = SS.histogram_state(df_a, ["part"], hc).select(
+        "part", F.col("v_hist").alias("a"))
+    sb = SS.histogram_state(df_b, ["part"], hc).select(
+        "part", F.col("v_hist").alias("b"))
+    j = sa.join(sb, "part")
+    got = j.select(
+        SS.histogram_psi(F.col("a"), F.col("b")).alias("psi"),
+        SS.histogram_psi(F.col("a"), F.col("a")).alias("self_psi"),
+    ).collect()[0]
+    ca, cb = [1, 2, 1, 1, 0], [0, 1, 3, 0, 1]
+    pa = [max(c / 5, EPS) for c in ca]
+    pb = [max(c / 5, EPS) for c in cb]
+    assert got["self_psi"] == 0.0
+    assert abs(got["psi"] - psi_py(pa, pb)) < 1e-12
+
+
+def test_histogram_state_single_pass_plan(spark):
+    from baskerville_spark.checks import stats_state as SS
+
+    df = spark.range(1000).select(
+        (F.col("id") % 2).alias("part"), F.col("id").alias("v"))
+    st = SS.histogram_state(df, ["part"], {"v": _EDGES})
+    plan = st._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
+    assert "partial_sum" in plan or "partial sum" in plan.lower(), plan[:2000]

@@ -7642,6 +7642,144 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
 
 
 # --------------------------------------------------------------------------
+# q121: runner-integrated mergeable states — the resumable protocol itself
+# (plant-done → crash → resume, q61's shape) now WRITES per-partition state
+# rows ({out}/states, ValidationConfig.emit_states), and
+# table_stats_from_states folds them into table-level stats without ever
+# rescanning settled partitions. Unlike q61's closed-form oracle, the clip
+# table here is DERIVED deterministically from the documents testdata, so
+# DuckDB recomputes every stat from the source rows — a data-dependent
+# oracle over the full protocol: two interrupted runs' states must fold to
+# exactly the one-scan answer. HLL distinct is consumed as a 10%-margin
+# verdict (0.81% rsd at lg_k=14). Reference contrast: baskerville re-runs
+# its full stats window per pipeline cycle (base_spark.py:445-458).
+# --------------------------------------------------------------------------
+
+_Q121_EDGES = [1000.0, 2000.0, 4000.0]
+
+
+def _q121_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        (F.col("doc_id") % 4).cast("int").alias("part_id"),
+        F.concat(F.lit("clip_"), F.col("doc_id")).alias("clip_id"),
+        (F.lit(8000) + (F.col("doc_id") % 5) * 8000).cast("int").alias("sr_hz"),
+        F.when(F.col("doc_id") % 19 == 0, F.lit(None))
+        .otherwise(F.col("n_chars") * 10).cast("int").alias("dur_ms"),
+        F.lit("pcm16").alias("codec"),
+        F.col("text").alias("transcript"),
+    )
+
+
+def q121_state_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+    from datetime import datetime, timezone
+
+    from baskerville_spark.runtime import manifest as manifest_mod
+    from baskerville_spark.runtime.runner import (
+        ValidationConfig,
+        run_resumable,
+        table_stats_from_states,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="bsk_q121_")
+    clips_p, man_p, out_p = f"{tmp}/clips", f"{tmp}/manifest", f"{tmp}/out"
+    _q121_clips(spark, sf_dir).write.partitionBy("part_id").parquet(clips_p)
+
+    cfg = ValidationConfig(
+        check_audio=False,
+        emit_states=True,
+        state_hist_edges={"dur_ms": _Q121_EDGES},
+    )
+    started = datetime.now(timezone.utc)
+    for p in (2, 3):
+        manifest_mod.commit_partition(man_p, p, 0, 0, started)
+    run_a = run_resumable(spark, clips_p, man_p, out_p, cfg=cfg)
+    if run_a != [0, 1]:
+        raise RuntimeError(f"run A expected [0, 1], got {run_a}")
+    for p in (2, 3):  # the crash: planted commits never really happened
+        os.remove(os.path.join(man_p, f"part-{p:05d}.parquet"))
+    run_b = run_resumable(spark, clips_p, man_p, out_p, cfg=cfg)
+    if run_b != [2, 3]:
+        raise RuntimeError(f"run B expected [2, 3], got {run_b}")
+    if run_resumable(spark, clips_p, man_p, out_p, cfg=cfg):
+        raise RuntimeError("run C expected no pending partitions")
+
+    folded = table_stats_from_states(spark, out_p, cfg)
+    exact = _q121_clips(spark, sf_dir).agg(
+        F.countDistinct("clip_id").alias("nd")
+    )
+    nb = len(_Q121_EDGES) + 1
+    res = folded.crossJoin(exact).select(
+        "n_rows",
+        "sr_hz_n", "sr_hz_nulls", "sr_hz_min", "sr_hz_max", "sr_hz_sum",
+        "dur_ms_n", "dur_ms_nulls", "dur_ms_min", "dur_ms_max", "dur_ms_sum",
+        *[
+            F.element_at("dur_ms_hist", i + 1).alias(f"bin_{i}")
+            for i in range(nb)
+        ],
+        (
+            (F.col("clip_id_distinct_est") >= 0.9 * F.col("nd"))
+            & (F.col("clip_id_distinct_est") <= 1.1 * F.col("nd"))
+        ).alias("distinct_ok"),
+    )
+    return _gate_tmp_detach(res, tmp)
+
+
+def _q121_sql() -> str:
+    edges = _Q121_EDGES
+    nb = len(edges) + 1
+    bucket = " + ".join(
+        f"(CASE WHEN dur_ms >= {repr(e)} THEN 1 ELSE 0 END)" for e in edges
+    )
+    bins = ",\n       ".join(
+        f"CAST(SUM(CASE WHEN dur_ms IS NOT NULL AND ({bucket}) = {i}"
+        f" THEN 1 ELSE 0 END) AS BIGINT) AS bin_{i}"
+        for i in range(nb)
+    )
+    return f"""
+WITH c AS (
+  SELECT CAST(8000 + (doc_id % 5) * 8000 AS INT) AS sr_hz,
+         CASE WHEN doc_id % 19 = 0 THEN NULL
+              ELSE CAST(n_chars * 10 AS INT) END AS dur_ms
+  FROM documents)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(sr_hz) AS BIGINT) AS sr_hz_n,
+       CAST(SUM(CASE WHEN sr_hz IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS sr_hz_nulls,
+       MIN(sr_hz) AS sr_hz_min, MAX(sr_hz) AS sr_hz_max,
+       CAST(SUM(sr_hz) AS BIGINT) AS sr_hz_sum,
+       CAST(COUNT(dur_ms) AS BIGINT) AS dur_ms_n,
+       CAST(SUM(CASE WHEN dur_ms IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS dur_ms_nulls,
+       MIN(dur_ms) AS dur_ms_min, MAX(dur_ms) AS dur_ms_max,
+       CAST(SUM(dur_ms) AS BIGINT) AS dur_ms_sum,
+       {bins},
+       TRUE AS distinct_ok
+FROM c
+"""
+
+
+_prev_queries_q121 = queries
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    out = _prev_queries_q121()
+    out["q121_state_table_stats"] = q121_state_table_stats
+    return out
+
+
+_prev_oracles_q121 = oracle_sql
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = _prev_oracles_q121()
+    out["q121_state_table_stats"] = _q121_sql()
+    return out
+
+
+# --------------------------------------------------------------------------
 # Driver-gate scheduling (VERDICT r04 "What's missing" #1): the correctness
 # driver consumes queries() in dict insertion order and verifies a bounded
 # prefix per round (r01:31, r02:42, r03:45, r04:50 — CORRECTNESS_r0*.json;
@@ -7694,6 +7832,7 @@ _DRIVER_UNPROVEN_FIRST = [
         (115, "bpe_tokenize"), (116, "dedup_lines"),
         (117, "vad_stats"), (118, "constraint_suite"),
         (119, "incremental_stats"), (120, "histogram_drift_state"),
+        (121, "state_table_stats"),
     ]
 ]
 

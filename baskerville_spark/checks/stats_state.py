@@ -52,12 +52,14 @@ def stats_state(
     numeric_cols: Sequence[str],
     distinct_cols: Sequence[str] = (),
     lg_k: int = DEFAULT_LG_K,
+    hist_cols: Optional[Mapping[str, Sequence[float]]] = None,
 ) -> DataFrame:
     """One pass over ``df`` -> one mergeable state row per group.
 
     Columns: n_rows, then per numeric col ``{c}_n/_nulls/_min/_max/_sum``
     (sum keeps the input's integral/floating class), per distinct col
-    ``{c}_hll`` (binary sketch). All partials combine map-side; the
+    ``{c}_hll`` (binary sketch), per hist col ``{c}_hist`` (exact bin
+    counts — see histogram_state). All partials combine map-side; the
     exchange carries one row per (group × task).
     """
     aggs = [F.count(F.lit(1)).alias("n_rows")]
@@ -72,6 +74,8 @@ def stats_state(
         ]
     for c in distinct_cols:
         aggs.append(F.hll_sketch_agg(c, lg_k).alias(f"{c}_hll"))
+    for c, edges in (hist_cols or {}).items():
+        aggs.append(_hist_counts(c, edges).alias(f"{c}_hist"))
     return df.groupBy(*group_by).agg(*aggs)
 
 
@@ -80,6 +84,7 @@ def merge_stats_states(
     group_by: Sequence[str],
     numeric_cols: Sequence[str],
     distinct_cols: Sequence[str] = (),
+    hist_cols: Optional[Mapping[str, Sequence[float]]] = None,
 ) -> DataFrame:
     """Fold state rows (same schema as ``stats_state`` output, any number
     of batches unioned together) into one state row per group. Merging is
@@ -101,6 +106,8 @@ def merge_stats_states(
         aggs.append(
             F.hll_union_agg(f"{c}_hll", False).alias(f"{c}_hll")
         )
+    for c, edges in (hist_cols or {}).items():
+        aggs.append(_hist_merge(f"{c}_hist", len(edges) + 1))
     return states.groupBy(*group_by).agg(*aggs)
 
 
@@ -144,26 +151,40 @@ def _hist_bucket(col: Column, inner_edges: Sequence[float]) -> Column:
     return b
 
 
+def _hist_counts(c: str, edges: Sequence[float]) -> Column:
+    """array<long> of len(edges)+1 exact bin counts as conditional SUMs
+    (NULLs excluded — track them via stats_state's ``{c}_nulls``)."""
+    inner = [float(e) for e in edges]
+    b = _hist_bucket(F.col(c), inner)
+    return F.array(*[
+        F.sum((F.col(c).isNotNull() & (b == i)).cast("long"))
+        for i in range(len(inner) + 1)
+    ])
+
+
+def _hist_merge(hist_col: str, nb: int) -> Column:
+    zero = F.array_repeat(F.lit(0).cast("long"), nb)
+    return F.aggregate(
+        F.collect_list(hist_col),
+        zero,
+        lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
+    ).alias(hist_col)
+
+
 def histogram_state(
     df: DataFrame,
     group_by: Sequence[str],
     hist_cols: Mapping[str, Sequence[float]],
 ) -> DataFrame:
-    """One pass -> one state row per group with ``{c}_hist``: an
-    array<long> of len(inner_edges)+1 exact bin counts (NULLs excluded —
-    track them via stats_state's ``{c}_nulls``). Every bin is a conditional
-    SUM in the same single groupBy, so partials combine map-side and the
-    exchange carries one state row per (group × task)."""
+    """One pass -> one state row per group with ``{c}_hist`` bin counts.
+    Every bin is a conditional SUM in the same single groupBy, so partials
+    combine map-side and the exchange carries one state row per
+    (group × task)."""
     aggs = [F.count(F.lit(1)).alias("n_rows")]
-    for c, edges in hist_cols.items():
-        inner = [float(e) for e in edges]
-        b = _hist_bucket(F.col(c), inner)
-        aggs.append(
-            F.array(*[
-                F.sum((F.col(c).isNotNull() & (b == i)).cast("long"))
-                for i in range(len(inner) + 1)
-            ]).alias(f"{c}_hist")
-        )
+    aggs += [
+        _hist_counts(c, edges).alias(f"{c}_hist")
+        for c, edges in hist_cols.items()
+    ]
     return df.groupBy(*group_by).agg(*aggs)
 
 
@@ -178,16 +199,10 @@ def merge_histogram_states(
     order-free, so the fold is deterministic; the list is bounded by the
     number of ingest batches per group (state rows, not data rows)."""
     aggs = [F.sum("n_rows").alias("n_rows")]
-    for c, edges in hist_cols.items():
-        nb = len(edges) + 1
-        zero = F.array_repeat(F.lit(0).cast("long"), nb)
-        aggs.append(
-            F.aggregate(
-                F.collect_list(f"{c}_hist"),
-                zero,
-                lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
-            ).alias(f"{c}_hist")
-        )
+    aggs += [
+        _hist_merge(f"{c}_hist", len(edges) + 1)
+        for c, edges in hist_cols.items()
+    ]
     return states.groupBy(*group_by).agg(*aggs)
 
 

@@ -71,6 +71,13 @@ class ValidationConfig:
     check_payload_bytes: bool = False
     check_speaking_rate: bool = False
     speaking_rate_bounds: tuple = (0.5, 30.0)
+    # mergeable per-partition state rows (checks/stats_state.py): written to
+    # {out_dir}/states so table-level stats fold from tiny state rows
+    # instead of rescanning settled partitions. Off by default — existing
+    # verdict grids and sink layouts are unchanged.
+    emit_states: bool = False
+    state_distinct_cols: tuple = ("clip_id",)
+    state_hist_edges: dict = field(default_factory=dict)  # col -> bin edges
 
 
 @dataclass
@@ -78,6 +85,7 @@ class ValidationResult:
     verdicts: DataFrame
     violations: DataFrame
     stats: DataFrame
+    states: DataFrame | None = None
     persisted: list = field(default_factory=list)
 
     def unpersist(self) -> None:
@@ -268,8 +276,22 @@ def run_validation(
             )
         )
 
+    # --- mergeable state rows (fed from the SAME persisted slim pass) ---
+    states_df = None
+    if cfg.emit_states:
+        from baskerville_spark.checks import stats_state as stats_state_mod
+
+        states_df = stats_state_mod.stats_state(
+            slim,
+            ["part_id"],
+            list(cfg.numeric_cols),
+            [c for c in cfg.state_distinct_cols if c in slim.columns],
+            hist_cols=dict(cfg.state_hist_edges) or None,
+        )
+
     return ValidationResult(
-        verdicts=verdicts, violations=violations, stats=st, persisted=persisted
+        verdicts=verdicts, violations=violations, stats=st,
+        states=states_df, persisted=persisted,
     )
 
 
@@ -342,14 +364,17 @@ def run_resumable(
     # its stale files. Deleting the pending partitions' sink subdirectories
     # first makes retry semantics replace-always, not replace-if-nonempty.
     # O(pending) driver-side metadata calls against the FS — no data moves.
-    _delete_pending_sink_dirs(
-        spark, out_dir, ("violations", "stats", "verdicts"), pending
-    )
-    for name, df in (
+    sinks = [
         ("violations", observed),
         ("stats", res.stats),
         ("verdicts", res.verdicts),
-    ):
+    ]
+    if res.states is not None:
+        sinks.append(("states", res.states))
+    _delete_pending_sink_dirs(
+        spark, out_dir, tuple(name for name, _ in sinks), pending
+    )
+    for name, df in sinks:
         (
             df.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
@@ -381,6 +406,29 @@ def run_resumable(
         file=sys.stderr,
     )
     return [int(p) for p in pending]
+
+
+def table_stats_from_states(
+    spark: SparkSession, out_dir: str, cfg: ValidationConfig
+) -> DataFrame:
+    """Current TABLE-level stats folded from the tiny per-partition state
+    rows the resumable runs wrote to ``{out_dir}/states`` — settled
+    partitions are never rescanned (at 10^12 rows the state table is
+    O(partitions), not O(clips)). Exact for counts/nulls/min/max/integral
+    sums and histogram bins; distinct comes back as the HLL union estimate
+    (consume through a margin, see stats_state's module doc)."""
+    from baskerville_spark.checks import stats_state as stats_state_mod
+
+    st = spark.read.parquet(f"{out_dir}/states")
+    distinct = [c for c in cfg.state_distinct_cols if f"{c}_hll" in st.columns]
+    merged = stats_state_mod.merge_stats_states(
+        st,
+        [],
+        list(cfg.numeric_cols),
+        distinct,
+        hist_cols=dict(cfg.state_hist_edges) or None,
+    )
+    return stats_state_mod.finalize_stats(merged, distinct)
 
 
 def route_quarantine(

@@ -124,3 +124,48 @@ def test_route_quarantine_partitions_input(spark):
     by_id = {(r.part_id, r.clip_id): r for r in quar_rows}
     assert list(by_id[(0, "a")]["reasons"]) == ["decode_error", "snr"]  # deduped, sorted
     assert sum(1 for r in quar_rows if r.clip_id == "dup") == 2
+
+
+def test_states_fold_across_interrupted_runs(spark, tmp_path):
+    """emit_states: per-partition mergeable state rows written by TWO
+    separate resumable runs fold (table_stats_from_states) to exactly the
+    stats of one full scan — settled partitions are never rescanned."""
+    import pyspark.sql.functions as F
+
+    from baskerville_spark.runtime.runner import table_stats_from_states
+
+    clips_p, tref_p, man_p, out_p = _paths(tmp_path)
+    write_clips(spark, clips_p, CFG)
+    cfg = ValidationConfig(
+        check_audio=False,
+        emit_states=True,
+        state_hist_edges={"dur_ms": [500.0, 1500.0, 3000.0]},
+    )
+    now = datetime.now(timezone.utc)
+    commit_partition(man_p, 2, 0, 0, now)
+    commit_partition(man_p, 3, 0, 0, now)
+    assert run_resumable(spark, clips_p, man_p, out_p, cfg=cfg) == [0, 1]
+    import os
+    for p in (2, 3):
+        os.remove(os.path.join(man_p, f"part-{p:05d}.parquet"))
+    assert run_resumable(spark, clips_p, man_p, out_p, cfg=cfg) == [2, 3]
+
+    got = table_stats_from_states(spark, out_p, cfg).collect()[0]
+    clips = spark.read.parquet(clips_p)
+    exp = clips.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("sr_hz").alias("sr_min"), F.max("sr_hz").alias("sr_max"),
+        F.sum("sr_hz").alias("sr_sum"),
+        F.count("dur_ms").alias("dur_n"), F.min("dur_ms").alias("dur_min"),
+        F.max("dur_ms").alias("dur_max"), F.sum("dur_ms").alias("dur_sum"),
+        F.countDistinct("clip_id").alias("nd"),
+    ).collect()[0]
+    assert got["n_rows"] == exp["n_rows"]
+    assert got["sr_hz_min"] == exp["sr_min"]
+    assert got["sr_hz_max"] == exp["sr_max"]
+    assert got["sr_hz_sum"] == exp["sr_sum"]
+    assert (got["dur_ms_n"], got["dur_ms_min"], got["dur_ms_max"],
+            got["dur_ms_sum"]) == (
+        exp["dur_n"], exp["dur_min"], exp["dur_max"], exp["dur_sum"])
+    assert sum(got["dur_ms_hist"]) == exp["dur_n"]
+    assert abs(got["clip_id_distinct_est"] - exp["nd"]) <= 0.1 * exp["nd"]

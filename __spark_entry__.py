@@ -7780,6 +7780,102 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
 
 
 # --------------------------------------------------------------------------
+# q122: mergeable DECODE state (checks/audio_state.py) — the payload analog
+# of q119/q121: each ingest batch is decoded EXACTLY ONCE (mapInArrow, no
+# payload shuffle) into a tiny additive state row; folding three batch
+# states must equal the one-pass state bit-for-bit (counts, exact sample
+# totals, clipping counters, decimal |PCM| sum). Oracle: the generator's
+# plants are closed-form — decode failures are exactly the drift
+# partition's mp3-codec rows (generator.py MP3_MOD/MP3_OFF, the q21
+# derivation) — plus bounded-verdict booleans for the DSP fields DuckDB
+# cannot decode (the FIXTURES.md §closed-form-audio pattern).
+# --------------------------------------------------------------------------
+
+
+def q122_audio_decode_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from baskerville_spark.checks import audio_state as audio_state_mod
+    from baskerville_spark.generator import GenConfig, generate_clips
+
+    cfg = GenConfig(n_rows=1000, n_parts=4)
+    clips = generate_clips(spark, cfg).persist()
+    # three disjoint ingest batches (hash-split; pmod — xxhash64 is signed)
+    batch_states = [
+        audio_state_mod.decode_state(
+            clips.where(F.pmod(F.xxhash64("clip_id"), F.lit(3)) == i)
+        )
+        for i in range(3)
+    ]
+    st = batch_states[0]
+    for b in batch_states[1:]:
+        st = st.unionByName(b)
+    merged = audio_state_mod.merge_decode_states(st).alias("m")
+    direct = audio_state_mod.decode_state(clips).alias("d")
+    res = merged.join(direct, "part_id").select(
+        F.col("part_id").cast("int").alias("part_id"),
+        F.col("m.n_clips").alias("n_clips"),
+        F.col("m.n_failed").alias("n_failed"),
+        (F.col("m.n_decoded") == F.col("d.n_decoded")).alias("decoded_match"),
+        (F.col("m.total_samples") == F.col("d.total_samples")).alias(
+            "samples_match"
+        ),
+        (F.col("m.clipped_samples") == F.col("d.clipped_samples")).alias(
+            "clipped_match"
+        ),
+        (F.col("m.sum_abs") == F.col("d.sum_abs")).alias("sum_abs_match"),
+    )
+    out = res.persist()
+    out.count()
+    clips.unpersist()
+    return out
+
+
+def _q122_sql(n_rows: int = 1000, n_parts: int = 4) -> str:
+    """Closed-form expected decode-state summary: per-part row counts from
+    the contiguous block assignment; decode failures are exactly the drift
+    partition's mp3 rows (codec unseen by every decoder). The DSP fields
+    are engine-side bounded verdicts (TRUE = merged fold equals the
+    one-pass state)."""
+    import baskerville_spark.generator as g
+
+    last = n_parts - 1
+    p_of = f"least({last}, (i*{n_parts})//{n_rows})"
+    return f"""
+WITH idx AS (SELECT unnest(generate_series(0, {n_rows - 1})) AS i),
+fl AS (
+  SELECT CAST({p_of} AS INT) AS part_id,
+         ({p_of} = {last} AND i % {g.SNR_MOD} != {g.SNR_OFF}
+            AND i % {g.MP3_MOD} = {g.MP3_OFF}) AS mp3
+  FROM idx)
+SELECT part_id,
+       CAST(COUNT(*) AS BIGINT) AS n_clips,
+       CAST(SUM(CASE WHEN mp3 THEN 1 ELSE 0 END) AS BIGINT) AS n_failed,
+       TRUE AS decoded_match,
+       TRUE AS samples_match,
+       TRUE AS clipped_match,
+       TRUE AS sum_abs_match
+FROM fl GROUP BY part_id
+"""
+
+
+_prev_queries_q122 = queries
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    out = _prev_queries_q122()
+    out["q122_audio_decode_state"] = q122_audio_decode_state
+    return out
+
+
+_prev_oracles_q122 = oracle_sql
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = _prev_oracles_q122()
+    out["q122_audio_decode_state"] = _q122_sql()
+    return out
+
+
+# --------------------------------------------------------------------------
 # Driver-gate scheduling (VERDICT r04 "What's missing" #1): the correctness
 # driver consumes queries() in dict insertion order and verifies a bounded
 # prefix per round (r01:31, r02:42, r03:45, r04:50 — CORRECTNESS_r0*.json;
@@ -7832,7 +7928,7 @@ _DRIVER_UNPROVEN_FIRST = [
         (115, "bpe_tokenize"), (116, "dedup_lines"),
         (117, "vad_stats"), (118, "constraint_suite"),
         (119, "incremental_stats"), (120, "histogram_drift_state"),
-        (121, "state_table_stats"),
+        (121, "state_table_stats"), (122, "audio_decode_state"),
     ]
 ]
 

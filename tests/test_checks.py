@@ -581,3 +581,87 @@ def test_histogram_state_single_pass_plan(spark):
     plan = st._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
     assert "partial_sum" in plan or "partial sum" in plan.lower(), plan[:2000]
+
+
+# -- mergeable decode state (checks/audio_state.py) ---------------------------
+
+
+def _clip_rows(spark):
+    """Tiny deterministic clip table: 60 synth clips across 2 partitions,
+    with 6 planted undecodable payloads and 2 planted full-scale (clipped)
+    clips whose exact clipped-sample counts are known."""
+    import numpy as np
+
+    from baskerville_spark import audio as A
+
+    rows = []
+    for i in range(60):
+        cid = f"t_{i:04d}"
+        sr = 8000
+        if i % 10 == 3:  # undecodable: codec lies about the container
+            payload, codec = b"\x00" * 11, "flac"
+        elif i in (7, 21):  # planted digital clipping: exactly 5 rail samples
+            pcm = A.synth_pcm_n(cid, sr, 400)
+            pcm[:5] = 32767
+            pcm[5:400] = np.clip(pcm[5:400], -32000, 32000)
+            payload, codec = A.encode(pcm, "pcm_s16le"), "pcm_s16le"
+        else:
+            payload, codec = A.encode(A.synth_pcm_n(cid, sr, 320), "pcm_s16le"), "pcm_s16le"
+        rows.append((i % 2, cid, bytearray(payload), sr, 40, codec))
+    return spark.createDataFrame(
+        rows, "part_id int, clip_id string, bytes binary, sr_hz int, "
+        "dur_ms int, codec string")
+
+
+def test_decode_state_merge_equals_direct(spark):
+    """state(batch 0) + state(batch 1) + state(batch 2) folds BIT-EXACTLY
+    to the one-pass state — every field including the decimal sum_abs."""
+    from baskerville_spark.checks import audio_state as AS
+
+    clips = _clip_rows(spark)
+    batches = [
+        AS.decode_state(
+            clips.where(F.pmod(F.xxhash64("clip_id"), F.lit(3)) == i)
+        )
+        for i in (0, 1, 2)
+    ]
+    st = batches[0]
+    for b in batches[1:]:
+        st = st.unionByName(b)
+    merged = {r["part_id"]: r for r in AS.merge_decode_states(st).collect()}
+    direct = {r["part_id"]: r for r in AS.decode_state(clips).collect()}
+    assert set(merged) == set(direct) == {0, 1}
+    for p in direct:
+        for f in ("n_clips", "n_decoded", "n_failed", "total_samples",
+                  "clipped_samples", "sum_abs"):
+            assert merged[p][f] == direct[p][f], (p, f)
+
+
+def test_decode_state_exact_integers(spark):
+    """Planted invariants: 6 undecodable rows; exactly 10 planted rail
+    samples on the two clipped clips (synth amplitude is clipped at
+    16384·(0.6+noise) — rails only where planted); total_samples counts
+    only decoded clips (58·~samples)."""
+    from baskerville_spark.checks import audio_state as AS
+
+    got = AS.decode_state(_clip_rows(spark), group_by=[]).collect()[0]
+    assert got["n_clips"] == 60
+    assert got["n_failed"] == 6
+    assert got["n_decoded"] == 54
+    # 2 planted clips at 400 samples, 52 clean at 320
+    assert got["total_samples"] == 2 * 400 + 52 * 320
+    assert got["clipped_samples"] == 10
+    assert got["sum_abs"] > 0
+
+
+def test_decode_state_plan_no_payload_shuffle(spark):
+    """Payload bytes must never cross an exchange: the only shuffle is the
+    narrow post-decode aggregate."""
+    from baskerville_spark.checks import audio_state as AS
+
+    st = AS.decode_state(_clip_rows(spark))
+    plan = st._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
+    import re
+    exchanges = re.findall(r"Exchange hashpartitioning[^\n]*", plan)
+    assert all("bytes" not in e for e in exchanges), exchanges

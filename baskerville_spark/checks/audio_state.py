@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 
 from baskerville_spark import audio
 
-__all__ = ["decode_state", "merge_decode_states"]
+__all__ = ["decode_state", "state_from_per_clip", "merge_decode_states"]
 
 _PER_CLIP = pa.schema(
     [
@@ -96,6 +96,16 @@ def decode_state(
         schema="part_id int, decode_ok boolean, n_samples long, "
         "clipped_samples long, sum_abs long",
     )
+    return state_from_per_clip(per_clip, group_by)
+
+
+def state_from_per_clip(
+    per_clip: DataFrame, group_by: Sequence[str] = ("part_id",)
+) -> DataFrame:
+    """Aggregate per-clip decode rows (decode_ok, n_samples,
+    clipped_samples, sum_abs — e.g. invariants.audio_invariant output,
+    whose decode pass emits the same fields) into one mergeable state row
+    per group."""
     return per_clip.groupBy(*group_by).agg(
         F.count(F.lit(1)).alias("n_clips"),
         F.sum(F.col("decode_ok").cast("long")).alias("n_decoded"),

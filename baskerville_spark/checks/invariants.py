@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from typing import Iterator
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 from pyspark.sql import DataFrame
@@ -49,6 +50,12 @@ INVARIANT_RESULT_SCHEMA = T.StructType(
         T.StructField("sr_hz", T.IntegerType(), True),
         T.StructField("dur_ms", T.IntegerType(), True),
         T.StructField("codec", T.StringType(), True),
+        # decode-QA state fields (checks/audio_state.py) — ride the SAME
+        # decode pass so emit_audio_states costs no extra payload IO;
+        # appended at the END per the positional-consumer rule above.
+        T.StructField("n_samples", T.LongType(), False),
+        T.StructField("clipped_samples", T.LongType(), False),
+        T.StructField("sum_abs", T.LongType(), False),
     ]
 )
 
@@ -65,6 +72,9 @@ _ARROW_OUT = pa.schema(
         pa.field("sr_hz", pa.int32()),
         pa.field("dur_ms", pa.int32()),
         pa.field("codec", pa.string()),
+        pa.field("n_samples", pa.int64()),
+        pa.field("clipped_samples", pa.int64()),
+        pa.field("sum_abs", pa.int64()),
     ]
 )
 
@@ -86,6 +96,9 @@ def _check_arrow_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.Recor
         snr_oks: list[bool] = [False] * n
         decode_oks: list[bool] = [False] * n
         transcript_oks: list[bool | None] = [None] * n
+        n_samps: list[int] = [0] * n
+        clippeds: list[int] = [0] * n
+        sum_abss: list[int] = [0] * n
         for i in range(n):
             pv = payloads[i]
             payload = pv.as_py() if pv.is_valid else None
@@ -93,6 +106,10 @@ def _check_arrow_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.Recor
                 audio.decode(payload, codecs[i]) if payload is not None else None
             )
             if pcm is not None and len(pcm) > 0:
+                a = np.abs(pcm.astype(np.int32))  # |-32768| overflows int16
+                n_samps[i] = len(pcm)
+                clippeds[i] = int(np.count_nonzero(a >= 32767))
+                sum_abss[i] = int(a.sum(dtype=np.int64))
                 sr = int(srs[i]) if srs[i] is not None else 16000
                 # reference signal regenerated deterministically from clip_id;
                 # sample count inferred from the decoded payload (dur_ms may
@@ -119,6 +136,9 @@ def _check_arrow_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.Recor
                 pc.cast(b.column(b.schema.get_field_index("sr_hz")), pa.int32()),
                 pc.cast(b.column(b.schema.get_field_index("dur_ms")), pa.int32()),
                 pc.cast(b.column(b.schema.get_field_index("codec")), pa.string()),
+                pa.array(n_samps, pa.int64()),
+                pa.array(clippeds, pa.int64()),
+                pa.array(sum_abss, pa.int64()),
             ],
             schema=_ARROW_OUT,
         )

@@ -41,6 +41,7 @@ __all__ = [
     "merge_histogram_states",
     "histogram_quantile_bounds",
     "histogram_psi",
+    "histogram_ks",
 ]
 
 DEFAULT_LG_K = 14
@@ -245,6 +246,29 @@ def histogram_quantile_bounds(
     return lo, hi
 
 
+def _count_fracs(counts: Column) -> Column:
+    total = F.aggregate(counts, F.lit(0).cast("long"), lambda a, x: a + x)
+    return F.transform(counts, lambda x: x / F.greatest(total, F.lit(1)))
+
+
+def histogram_ks(
+    cur_counts: Column, base_counts: Column, n_bins: int
+) -> Column:
+    """Binned two-sample KS between two histogram states: max over bin
+    prefixes of |CDF_cur − CDF_base|, each CDF a left-fold prefix sum
+    (checks/drift._cdf_at — the same fold order as every drift oracle).
+    PSI's companion from the SAME state rows: PSI weights tail moves by
+    log-ratio, KS catches bulk CDF shifts PSI's clamping mutes."""
+    from baskerville_spark.checks.drift import _cdf_at
+
+    cur, base = _count_fracs(cur_counts), _count_fracs(base_counts)
+    diffs = [
+        F.abs(_cdf_at(cur, i) - _cdf_at(base, i))
+        for i in range(1, n_bins + 1)
+    ]
+    return F.greatest(*diffs) if len(diffs) > 1 else diffs[0]
+
+
 def histogram_psi(cur_counts: Column, base_counts: Column) -> Column:
     """PSI between two histogram states (current vs baseline snapshot).
     Fractions = count/max(total,1) per side, then the ONE copy of the
@@ -252,12 +276,4 @@ def histogram_psi(cur_counts: Column, base_counts: Column) -> Column:
     as every drift oracle."""
     from baskerville_spark.checks.drift import _clamped_psi
 
-    def fracs(counts: Column) -> Column:
-        total = F.aggregate(
-            counts, F.lit(0).cast("long"), lambda a, x: a + x
-        )
-        return F.transform(
-            counts, lambda x: x / F.greatest(total, F.lit(1))
-        )
-
-    return _clamped_psi(fracs(cur_counts), fracs(base_counts))
+    return _clamped_psi(_count_fracs(cur_counts), _count_fracs(base_counts))

@@ -78,6 +78,10 @@ class ValidationConfig:
     emit_states: bool = False
     state_distinct_cols: tuple = ("clip_id",)
     state_hist_edges: dict = field(default_factory=dict)  # col -> bin edges
+    # additive decode-QA states (checks/audio_state.py) to {out}/audio_states
+    # — one decode pass per ingest batch, settled clips never re-decoded.
+    # Requires check_audio-capable input (a bytes column).
+    emit_audio_states: bool = False
 
 
 @dataclass
@@ -86,6 +90,7 @@ class ValidationResult:
     violations: DataFrame
     stats: DataFrame
     states: DataFrame | None = None
+    audio_states: DataFrame | None = None
     persisted: list = field(default_factory=list)
 
     def unpersist(self) -> None:
@@ -216,6 +221,14 @@ def run_validation(
         check_names.append("speaking_rate")
 
     inv = inv_mod.audio_invariant(clips, transcript_ref) if cfg.check_audio else None
+    if inv is not None and cfg.emit_audio_states and persist_intermediate:
+        # two consumers of the decode pass (violations + audio states):
+        # cache the narrow per-clip rows so audio is decoded exactly once.
+        # Eager fill, same reason as the violations persist below (subtree
+        # caches don't reliably populate under AQE).
+        inv = inv.persist()
+        persisted.append(inv)
+        inv.count()
     if cfg.check_audio:
         violation_dfs.append(inv_mod.invariant_violations(inv))
         check_names += ["snr", "decode_error", "transcript_eq"]
@@ -289,9 +302,20 @@ def run_validation(
             hist_cols=dict(cfg.state_hist_edges) or None,
         )
 
+    audio_states_df = None
+    if cfg.emit_audio_states:
+        from baskerville_spark.checks import audio_state as audio_state_mod
+
+        if inv is not None:
+            # the invariant decode pass already emits the per-clip state
+            # fields — aggregate those instead of paying a second decode
+            audio_states_df = audio_state_mod.state_from_per_clip(inv)
+        else:
+            audio_states_df = audio_state_mod.decode_state(clips)
+
     return ValidationResult(
         verdicts=verdicts, violations=violations, stats=st,
-        states=states_df, persisted=persisted,
+        states=states_df, audio_states=audio_states_df, persisted=persisted,
     )
 
 
@@ -371,6 +395,8 @@ def run_resumable(
     ]
     if res.states is not None:
         sinks.append(("states", res.states))
+    if res.audio_states is not None:
+        sinks.append(("audio_states", res.audio_states))
     _delete_pending_sink_dirs(
         spark, out_dir, tuple(name for name, _ in sinks), pending
     )

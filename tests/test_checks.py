@@ -665,3 +665,32 @@ def test_decode_state_plan_no_payload_shuffle(spark):
     import re
     exchanges = re.findall(r"Exchange hashpartitioning[^\n]*", plan)
     assert all("bytes" not in e for e in exchanges), exchanges
+
+
+def test_histogram_ks_matches_driver_fold(spark):
+    """histogram_ks == max prefix |CDF diff| computed driver-side; KS of a
+    state against itself is exactly 0."""
+    from baskerville_spark.checks import stats_state as SS
+
+    df_a = spark.createDataFrame(
+        [(0, float(v)) for v in (50, 150, 150, 500, 1000)], "part int, v double")
+    df_b = spark.createDataFrame(
+        [(0, float(v)) for v in (150, 500, 500, 500, 2000)], "part int, v double")
+    hc = {"v": _EDGES}
+    sa = SS.histogram_state(df_a, ["part"], hc).select(
+        "part", F.col("v_hist").alias("a"))
+    sb = SS.histogram_state(df_b, ["part"], hc).select(
+        "part", F.col("v_hist").alias("b"))
+    got = sa.join(sb, "part").select(
+        SS.histogram_ks(F.col("a"), F.col("b"), len(_EDGES) + 1).alias("ks"),
+        SS.histogram_ks(F.col("a"), F.col("a"), len(_EDGES) + 1).alias("self_ks"),
+    ).collect()[0]
+    ca, cb = [1, 2, 1, 1, 0], [0, 1, 3, 0, 1]
+    exp = 0.0
+    cum_a = cum_b = 0.0
+    for i in range(5):
+        cum_a += ca[i] / 5
+        cum_b += cb[i] / 5
+        exp = max(exp, abs(cum_a - cum_b))
+    assert got["self_ks"] == 0.0
+    assert abs(got["ks"] - exp) < 1e-12

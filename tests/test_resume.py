@@ -169,3 +169,41 @@ def test_states_fold_across_interrupted_runs(spark, tmp_path):
         exp["dur_n"], exp["dur_min"], exp["dur_max"], exp["dur_sum"])
     assert sum(got["dur_ms_hist"]) == exp["dur_n"]
     assert abs(got["clip_id_distinct_est"] - exp["nd"]) <= 0.1 * exp["nd"]
+
+
+def test_audio_states_fold_and_single_decode(spark, tmp_path):
+    """emit_audio_states: per-partition decode states from two interrupted
+    runs fold to the one-pass state of the whole table; when the invariant
+    check is on, the state rides its decode pass (no second payload scan)."""
+    import pyspark.sql.functions as F
+
+    from baskerville_spark.checks import audio_state as AS
+
+    clips_p, tref_p, man_p, out_p = _paths(tmp_path)
+    write_clips(spark, clips_p, CFG)
+    write_transcript_ref(spark, tref_p, CFG)
+    cfg = ValidationConfig(emit_audio_states=True)  # check_audio default on
+    now = datetime.now(timezone.utc)
+    commit_partition(man_p, 2, 0, 0, now)
+    commit_partition(man_p, 3, 0, 0, now)
+    assert run_resumable(spark, clips_p, man_p, out_p, tref_p, cfg=cfg) == [0, 1]
+    import os
+    for p in (2, 3):
+        os.remove(os.path.join(man_p, f"part-{p:05d}.parquet"))
+    assert run_resumable(spark, clips_p, man_p, out_p, tref_p, cfg=cfg) == [2, 3]
+
+    folded = {
+        r["part_id"]: r
+        for r in AS.merge_decode_states(
+            spark.read.parquet(f"{out_p}/audio_states")
+        ).collect()
+    }
+    direct = {
+        r["part_id"]: r
+        for r in AS.decode_state(spark.read.parquet(clips_p)).collect()
+    }
+    assert set(folded) == set(direct) == {0, 1, 2, 3}
+    for p in direct:
+        for f in ("n_clips", "n_decoded", "n_failed", "total_samples",
+                  "clipped_samples", "sum_abs"):
+            assert folded[p][f] == direct[p][f], (p, f)

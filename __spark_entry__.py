@@ -7559,6 +7559,9 @@ def q120_histogram_drift_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             SS.histogram_psi(F.col("n_chars_hist"), F.col("base_hist")), 6
         ).alias("psi"),
+        F.round(
+            SS.histogram_ks(F.col("n_chars_hist"), F.col("base_hist"), nb), 6
+        ).alias("ks"),
     )
 
 
@@ -7595,6 +7598,17 @@ def _q120_sql() -> str:
         q = f"GREATEST(b{i} * 1.0 / GREATEST(bt, 1), {repr(EPS)})"
         psi_terms.append(f"(({p}) - ({q})) * LN(({p}) / ({q}))")
     psi = " + ".join(psi_terms)
+    # binned KS: same left-fold prefix order as stats_state.histogram_ks
+    ks_diffs = []
+    for i in range(1, nb + 1):
+        cur_cdf = " + ".join(
+            f"(c{j} * 1.0 / GREATEST(ct, 1))" for j in range(i)
+        )
+        base_cdf = " + ".join(
+            f"(b{j} * 1.0 / GREATEST(bt, 1))" for j in range(i)
+        )
+        ks_diffs.append(f"ABS(({cur_cdf}) - ({base_cdf}))")
+    ks = f"GREATEST({', '.join(ks_diffs)})"
     bins = ",\n       ".join(f"c{i} AS bin_{i}" for i in range(nb))
     return f"""
 WITH d AS (
@@ -7618,7 +7632,8 @@ SELECT part_id, cur_rows,
        {bins},
        CASE WHEN k > 1 THEN (CASE {' '.join(f'WHEN k - 1 = {i + 1} THEN CAST({repr(edges[i])} AS DOUBLE)' for i in range(len(edges)))} END) END AS p50_lo,
        CASE WHEN k <= {len(edges)} THEN (CASE {hi_cases} END) END AS p50_hi,
-       ROUND({psi}, 6) AS psi
+       ROUND({psi}, 6) AS psi,
+       ROUND({ks}, 6) AS ks
 FROM kk
 """
 
@@ -7876,6 +7891,123 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
 
 
 # --------------------------------------------------------------------------
+# q123: continuous-ingest state maintenance — the streaming leg of the
+# q119-q122 mergeable-state family. Each micro-batch appends ONE tiny
+# stats_state row set via foreachBatch (batch_id stamped on every row:
+# per-batch lineage; a production sink keys the write path by batchId so
+# replayed batches overwrite instead of double-append — manifest.py's
+# idempotence pattern); folding every appended state reproduces the
+# whole-table stats EXACTLY. The measured column is floor(value*1000)
+# (long) because double sums are order-dependent — the stats_state module
+# doc's integral-columns discipline. >=2 real micro-batches asserted
+# (maxFilesPerTrigger=1 + availableNow over 3 split files, q45's idiom).
+# --------------------------------------------------------------------------
+
+
+def q123_streaming_state_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from baskerville_spark.checks import stats_state as SS
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        "user_id",
+        F.floor(F.col("value") * 1000).alias("value_mils"),
+    )
+    tmp = tempfile.mkdtemp(prefix="bsk_q123_")
+    src, states_p = f"{tmp}/src", f"{tmp}/states"
+    _split_events_mod3(e, src)
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, event_type string, user_id long, value_mils long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    seen_batches: list[int] = []
+
+    def _append_state(batch: DataFrame, batch_id: int) -> None:
+        st = SS.stats_state(
+            batch, ["event_type"], ["value_mils"], ["user_id"]
+        ).withColumn("batch_id", F.lit(batch_id))
+        st.write.mode("append").parquet(states_p)
+        seen_batches.append(int(batch_id))
+
+    q = (
+        stream.writeStream.foreachBatch(_append_state)
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    if len(seen_batches) < 2:
+        raise RuntimeError(
+            f"expected >=2 micro-batches, saw {sorted(seen_batches)}"
+        )
+
+    states = spark.read.parquet(states_p)
+    merged = SS.merge_stats_states(
+        states, ["event_type"], ["value_mils"], ["user_id"]
+    )
+    fin = SS.finalize_stats(merged, ["user_id"])
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("nd")
+    )
+    res = fin.join(exact, "event_type").select(
+        "event_type",
+        "n_rows",
+        "value_mils_n",
+        "value_mils_nulls",
+        "value_mils_min",
+        "value_mils_max",
+        "value_mils_sum",
+        (
+            (F.col("user_id_distinct_est") >= 0.9 * F.col("nd"))
+            & (F.col("user_id_distinct_est") <= 1.1 * F.col("nd"))
+        ).alias("distinct_ok"),
+    )
+    return _gate_tmp_detach(res, tmp)
+
+
+_Q123_SQL = """
+WITH e AS (
+  SELECT event_type, user_id,
+         CAST(FLOOR(value * 1000) AS BIGINT) AS value_mils
+  FROM events)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(value_mils) AS BIGINT) AS value_mils_n,
+       CAST(SUM(CASE WHEN value_mils IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS value_mils_nulls,
+       MIN(value_mils) AS value_mils_min,
+       MAX(value_mils) AS value_mils_max,
+       CAST(SUM(value_mils) AS BIGINT) AS value_mils_sum,
+       TRUE AS distinct_ok
+FROM e GROUP BY event_type
+"""
+
+
+_prev_queries_q123 = queries
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    out = _prev_queries_q123()
+    out["q123_streaming_state_ingest"] = q123_streaming_state_ingest
+    return out
+
+
+_prev_oracles_q123 = oracle_sql
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = _prev_oracles_q123()
+    out["q123_streaming_state_ingest"] = _Q123_SQL
+    return out
+
+
+# --------------------------------------------------------------------------
 # Driver-gate scheduling (VERDICT r04 "What's missing" #1): the correctness
 # driver consumes queries() in dict insertion order and verifies a bounded
 # prefix per round (r01:31, r02:42, r03:45, r04:50 — CORRECTNESS_r0*.json;
@@ -7929,6 +8061,7 @@ _DRIVER_UNPROVEN_FIRST = [
         (117, "vad_stats"), (118, "constraint_suite"),
         (119, "incremental_stats"), (120, "histogram_drift_state"),
         (121, "state_table_stats"), (122, "audio_decode_state"),
+        (123, "streaming_state_ingest"),
     ]
 ]
 

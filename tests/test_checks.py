@@ -694,3 +694,134 @@ def test_histogram_ks_matches_driver_fold(spark):
         exp = max(exp, abs(cum_a - cum_b))
     assert got["self_ks"] == 0.0
     assert abs(got["ks"] - exp) < 1e-12
+
+
+# --- schema evolution (checks/evolution.py) --------------------------------
+
+
+def test_schema_evolution_all_change_classes(spark):
+    from pyspark.sql import types as T
+
+    from baskerville_spark.checks.evolution import schema_evolution_report
+
+    old = T.StructType(
+        [
+            T.StructField("a_widen", T.IntegerType(), True),
+            T.StructField("b_narrow", T.LongType(), True),
+            T.StructField("c_drop", T.StringType(), True),
+            T.StructField("d_same", T.StringType(), True),
+            T.StructField("e_opt", T.DoubleType(), False),
+            T.StructField("f_req", T.DoubleType(), True),
+            T.StructField("g_dec", T.DecimalType(10, 2), True),
+        ]
+    )
+    new = T.StructType(
+        [
+            T.StructField("a_widen", T.LongType(), True),
+            T.StructField("b_narrow", T.IntegerType(), True),
+            T.StructField("d_same", T.StringType(), True),
+            T.StructField("e_opt", T.DoubleType(), True),
+            T.StructField("f_req", T.DoubleType(), False),
+            T.StructField("g_dec", T.DecimalType(14, 2), True),
+            T.StructField("h_add_opt", T.StringType(), True),
+            T.StructField("i_add_req", T.IntegerType(), False),
+        ]
+    )
+    rep = {r["column_name"]: r for r in schema_evolution_report(old, new)}
+    assert rep["a_widen"]["change"] == "widened" and rep["a_widen"]["compatible"]
+    assert rep["b_narrow"]["change"] == "retyped" and not rep["b_narrow"]["compatible"]
+    assert rep["c_drop"]["change"] == "dropped" and not rep["c_drop"]["compatible"]
+    assert "d_same" not in rep  # unchanged column is silence
+    assert rep["e_opt"]["change"] == "made_optional" and rep["e_opt"]["compatible"]
+    assert rep["f_req"]["change"] == "made_required" and not rep["f_req"]["compatible"]
+    assert rep["g_dec"]["change"] == "widened"  # decimal precision growth
+    assert rep["h_add_opt"]["change"] == "added_optional"
+    assert rep["i_add_req"]["change"] == "added_required"
+    assert len(rep) == 8
+
+
+def test_schema_evolution_df_empty_and_no_jobs(spark):
+    from pyspark.sql import types as T
+
+    from baskerville_spark.checks.evolution import schema_evolution_df
+
+    s = T.StructType([T.StructField("x", T.IntegerType(), True)])
+    df = schema_evolution_df(spark, s, s)
+    assert df.count() == 0
+    assert [f.name for f in df.schema.fields] == [
+        "column_name", "change", "from_type", "to_type", "compatible",
+    ]
+
+
+# --- partition completeness (checks/completeness.py) ------------------------
+
+
+def _mk_events(spark, rows):
+    return spark.createDataFrame(rows, "part int, v int, ts timestamp")
+
+
+def test_completeness_verdict_classes(spark):
+    import datetime as dt
+
+    from baskerville_spark.checks.completeness import (
+        completeness_verdicts,
+        expected_from_snapshot,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    late = t0 + dt.timedelta(hours=6)
+    base_rows = [
+        # part 1: 4 rows; part 2: 4 rows; part 3: 4 rows ending late
+        *[(1, i, t0) for i in range(4)],
+        *[(2, i, t0) for i in range(4)],
+        *[(3, i, late if i == 3 else t0) for i in range(4)],
+    ]
+    baseline = _mk_events(spark, base_rows)
+    expected = expected_from_snapshot(baseline, "part", "ts")
+    cur_rows = [
+        *[(2, i, t0) for i in range(1)],          # part 2 thinned: 1/4 < 50%
+        *[(3, i, t0) for i in range(4)],          # part 3 fresh-count but stale ts
+        *[(4, i, t0) for i in range(2)],          # part 4 not in manifest
+        # part 1 entirely absent
+    ]
+    cur = _mk_events(spark, cur_rows)
+    out = {
+        r["partition"]: r
+        for r in completeness_verdicts(
+            cur, expected, "part", ts_col="ts",
+            count_tolerance=0.5, max_staleness_s=3600,
+        ).collect()
+    }
+    assert out[1]["status"] == "missing_partition" and out[1]["n_rows"] == 0
+    assert out[2]["status"] == "row_count_low"
+    assert out[3]["status"] == "stale_partition"  # lags 6 h > 1 h bound
+    assert out[4]["status"] == "unexpected_partition"
+    assert out[4]["expected_rows"] is None
+    assert len(out) == 4
+
+
+def test_completeness_count_low_precedes_stale_and_ok_is_ok(spark):
+    import datetime as dt
+
+    from baskerville_spark.checks.completeness import (
+        completeness_verdicts,
+        expected_from_snapshot,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    late = t0 + dt.timedelta(hours=6)
+    baseline = _mk_events(spark, [(1, i, late if i == 3 else t0) for i in range(4)]
+                          + [(2, i, t0) for i in range(3)])
+    expected = expected_from_snapshot(baseline, "part", "ts")
+    # part 1 both thinned AND stale -> row_count_low wins (checked first);
+    # part 2 identical to baseline -> ok
+    cur = _mk_events(spark, [(1, 0, t0)] + [(2, i, t0) for i in range(3)])
+    out = {
+        r["partition"]: r
+        for r in completeness_verdicts(
+            cur, expected, "part", ts_col="ts",
+            count_tolerance=0.5, max_staleness_s=3600,
+        ).collect()
+    }
+    assert out[1]["status"] == "row_count_low"
+    assert out[2]["status"] == "ok" and out[2]["n_rows"] == 3

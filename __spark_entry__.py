@@ -8141,6 +8141,82 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
 
 
 # --------------------------------------------------------------------------
+# q126: row-level snapshot diff drill-down — stage 2 of the incremental
+# story. q94 (snapshot_diff) finds WHICH partitions changed shuffling only
+# |partitions| signature rows; this gate drills into exactly those
+# partitions (changed_parts pushed into both scans → partition pruning
+# skips the settled 14/16 of the table) and emits per-KEY verdicts:
+# added / removed / modified. Only narrow (partition, key, xxhash64) rows
+# shuffle; output is bounded by the churn, not the table. Planted churn in
+# parts {2,5} only: event_id%11==3 removed, surviving event_id%7==0 get a
+# suffixed event_type (modified — event_type is non-null at every sf, so
+# the modification can never be a value-level no-op), part-2 event_id%13==1
+# re-keyed +10^6 (added). The oracle derives the identical verdict set in
+# closed form.
+# --------------------------------------------------------------------------
+
+
+def q126_row_level_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from baskerville_spark.checks.snapshot import row_level_diff
+
+    e = _t(spark, sf_dir, "events").withColumn(
+        "part", F.pmod(F.col("user_id"), F.lit(16)).cast("int")
+    )
+    scoped = F.col("part").isin(2, 5)
+    b = (
+        e.filter(~(scoped & (F.col("event_id") % 11 == 3)))
+        .withColumn(
+            "event_type",
+            F.when(
+                scoped & (F.col("event_id") % 7 == 0),
+                F.concat(F.col("event_type"), F.lit("_X")),
+            ).otherwise(F.col("event_type")),
+        )
+        .unionByName(
+            e.filter((F.col("part") == 2) & (F.col("event_id") % 13 == 1))
+            .withColumn("event_id", F.col("event_id") + F.lit(1000000))
+        )
+    )
+    return row_level_diff(
+        e, b, "part", ["event_id"], changed_parts=[2, 5]
+    )
+
+
+_Q126_SQL = """
+WITH e AS (
+  SELECT CAST(user_id % 16 AS INT) AS part, event_id FROM events),
+scoped AS (SELECT * FROM e WHERE part IN (2, 5))
+SELECT part AS partition, CAST(event_id AS BIGINT) AS event_id,
+       'removed' AS status
+FROM scoped WHERE event_id % 11 = 3
+UNION ALL
+SELECT part, CAST(event_id AS BIGINT), 'modified'
+FROM scoped WHERE event_id % 7 = 0 AND event_id % 11 <> 3
+UNION ALL
+SELECT part, CAST(event_id + 1000000 AS BIGINT), 'added'
+FROM scoped WHERE part = 2 AND event_id % 13 = 1
+"""
+
+
+_prev_queries_q126 = queries
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    out = _prev_queries_q126()
+    out["q126_row_level_diff"] = q126_row_level_diff
+    return out
+
+
+_prev_oracles_q126 = oracle_sql
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = _prev_oracles_q126()
+    out["q126_row_level_diff"] = _Q126_SQL
+    return out
+
+
+# --------------------------------------------------------------------------
 # Driver-gate scheduling (VERDICT r04 "What's missing" #1): the correctness
 # driver consumes queries() in dict insertion order and verifies a bounded
 # prefix per round (r01:31, r02:42, r03:45, r04:50 — CORRECTNESS_r0*.json;
@@ -8196,6 +8272,7 @@ _DRIVER_UNPROVEN_FIRST = [
         (121, "state_table_stats"), (122, "audio_decode_state"),
         (123, "streaming_state_ingest"),
         (124, "schema_evolution"), (125, "partition_completeness"),
+        (126, "row_level_diff"),
     ]
 ]
 

@@ -15,6 +15,7 @@ from baskerville_spark.checks.drift import capture_baseline, drift_verdicts  # n
 from baskerville_spark.checks.invariants import audio_invariant  # noqa: F401
 from baskerville_spark.checks.schema_check import ColumnSpec, enforce_schema  # noqa: F401
 from baskerville_spark.checks.suite import Constraint, run_suite  # noqa: F401
+from baskerville_spark.checks.snapshot import row_level_diff, snapshot_diff  # noqa: F401
 from baskerville_spark.checks.evolution import (  # noqa: F401
     schema_evolution_df,
     schema_evolution_report,

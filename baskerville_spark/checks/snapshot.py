@@ -85,3 +85,66 @@ def partitions_to_revalidate(
     d = snapshot_diff(a, b, part_col, hash_cols)
     rows = d.where(F.col("status").isin("added", "changed")).select("partition").collect()
     return sorted(r.partition for r in rows)
+
+
+def row_level_diff(
+    a: DataFrame,
+    b: DataFrame,
+    part_col: str,
+    key_cols: list[str],
+    hash_cols: list[str] | None = None,
+    changed_parts: list | None = None,
+) -> DataFrame:
+    """Row-level drill-down inside partitions snapshot_diff already marked
+    changed: WHICH rows were added, removed, or modified between A and B.
+
+    The two-stage protocol is what makes 10^12-row diffing affordable:
+    stage 1 (snapshot_diff / partitions_to_revalidate) touches every row
+    once but shuffles only |partitions| signature rows; stage 2 — this
+    function — re-reads ONLY the changed partitions (``changed_parts`` is
+    pushed into both scans, so partition pruning skips everything else)
+    and shuffles one narrow (partition, key, row-hash) tuple per surviving
+    row. Payload columns are hashed where they live and never move. A
+    full-outer join on (partition, key) then classifies each key:
+    'added' (only in b), 'removed' (only in a), 'modified' (both sides,
+    different row hash). Unmodified rows are dropped — output is bounded
+    by the churn, not the table.
+
+    Keys are assumed unique per snapshot within a partition (clip_id /
+    event_id semantics — the same uniqueness the q09/q16 checks enforce);
+    duplicate keys would multiply join rows, so run the uniqueness gate
+    first. The reference has no row-level diff at all: its engine
+    re-scores whole runtime windows (src/baskerville/models/engine.py)
+    and never asks what changed.
+    """
+    hash_cols = hash_cols or [
+        c for c in a.columns if c != part_col and c not in key_cols
+    ]
+    if changed_parts is not None:
+        a = a.where(F.col(part_col).isin(changed_parts))
+        b = b.where(F.col(part_col).isin(changed_parts))
+    h = F.xxhash64(*[F.col(c) for c in hash_cols])
+
+    def slim(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(part_col).alias("partition"), *key_cols, h.alias("row_h")
+        )
+
+    cond = F.col("a.partition") == F.col("b.partition")
+    for k in key_cols:
+        cond = cond & (F.col(f"a.{k}") == F.col(f"b.{k}"))
+    j = slim(a).alias("a").join(slim(b).alias("b"), on=cond, how="full_outer")
+    status = (
+        F.when(F.col("a.partition").isNull(), F.lit("added"))
+        .when(F.col("b.partition").isNull(), F.lit("removed"))
+        .when(F.col("a.row_h") != F.col("b.row_h"), F.lit("modified"))
+    )
+    out = j.select(
+        F.coalesce(F.col("a.partition"), F.col("b.partition")).alias("partition"),
+        *[
+            F.coalesce(F.col(f"a.{k}"), F.col(f"b.{k}")).alias(k)
+            for k in key_cols
+        ],
+        status.alias("status"),
+    )
+    return out.where(F.col("status").isNotNull())

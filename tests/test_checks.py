@@ -825,3 +825,62 @@ def test_completeness_count_low_precedes_stale_and_ok_is_ok(spark):
     }
     assert out[1]["status"] == "row_count_low"
     assert out[2]["status"] == "ok" and out[2]["n_rows"] == 3
+
+
+# --- row-level snapshot diff (checks/snapshot.py) ---------------------------
+
+
+def test_row_level_diff_statuses_and_churn_bound(spark):
+    from baskerville_spark.checks.snapshot import row_level_diff
+
+    a = spark.createDataFrame(
+        [(1, 10, "x", 1.0), (1, 11, "y", 2.0), (2, 20, "z", 3.0), (2, 21, "w", 4.0)],
+        "part int, k int, s string, v double",
+    )
+    b = spark.createDataFrame(
+        [
+            (1, 10, "x", 1.0),      # unchanged -> absent from output
+            (1, 11, "y", 99.0),     # modified
+            (2, 21, "w", 4.0),      # unchanged; 20 removed
+            (2, 22, "new", 5.0),    # added
+        ],
+        "part int, k int, s string, v double",
+    )
+    out = {
+        (r["partition"], r["k"]): r["status"]
+        for r in row_level_diff(a, b, "part", ["k"]).collect()
+    }
+    assert out == {(1, 11): "modified", (2, 20): "removed", (2, 22): "added"}
+
+
+def test_row_level_diff_prunes_partitions_on_disk(spark, tmp_path):
+    """changed_parts must reach the scan as a partition filter when the
+    table is physically partitioned — the stage-2 pruning contract."""
+    from baskerville_spark.checks.snapshot import row_level_diff
+
+    rows = [(p, k, float(k)) for p in range(4) for k in range(5)]
+    df = spark.createDataFrame(rows, "part int, k int, v double")
+    pa_, pb_ = str(tmp_path / "a"), str(tmp_path / "b")
+    df.write.partitionBy("part").parquet(pa_)
+    df.withColumn(
+        "v", F.when((F.col("part") == 1) & (F.col("k") == 0), 9.9).otherwise(F.col("v"))
+    ).write.partitionBy("part").parquet(pb_)
+    a, b = spark.read.parquet(pa_), spark.read.parquet(pb_)
+    d = row_level_diff(a, b, "part", ["k"], changed_parts=[1])
+    plan = d._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "part" in plan
+    out = d.collect()
+    assert [(r["partition"], r["k"], r["status"]) for r in out] == [(1, 0, "modified")]
+
+
+def test_row_level_diff_composite_key(spark):
+    from baskerville_spark.checks.snapshot import row_level_diff
+
+    a = spark.createDataFrame(
+        [(1, 1, 1, "p"), (1, 1, 2, "q")], "part int, k1 int, k2 int, s string"
+    )
+    b = spark.createDataFrame(
+        [(1, 1, 1, "p"), (1, 1, 2, "Q")], "part int, k1 int, k2 int, s string"
+    )
+    out = row_level_diff(a, b, "part", ["k1", "k2"]).collect()
+    assert len(out) == 1 and out[0]["k2"] == 2 and out[0]["status"] == "modified"

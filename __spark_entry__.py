@@ -8217,6 +8217,128 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
 
 
 # --------------------------------------------------------------------------
+# q127: PSI drift attribution — the drill-down behind a q44 psi:<col>
+# alarm. PSI is a sum of non-negative per-bin terms, so the terms are an
+# exact additive attribution ("which bins moved, what share of the alarm
+# each carries"). Same ONE-scan/ONE-shuffle wide aggregate as q44; rows
+# explode from the wide result. The reference reports only the aggregate
+# anomaly score (incident_detector.py:285-289) — it cannot say WHY.
+# --------------------------------------------------------------------------
+
+
+def q127_psi_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Row
+
+    from baskerville_spark.checks.drift import psi_attribution
+
+    e = _t(spark, sf_dir, "events").withColumn(
+        "part_id",
+        ((F.dayofmonth(F.col("ts").cast("timestamp")) - 1) / 7).cast("int"),
+    )
+    baseline = [
+        Row(column_name="value", kind="numeric", bin_edges=DRIFT_VALUE_EDGES,
+            categories=None, bin_fractions=DRIFT_VALUE_BASE, quantiles=None, n=1000),
+        Row(column_name="event_type", kind="categorical", bin_edges=None,
+            categories=DRIFT_TYPE_CATS, bin_fractions=DRIFT_TYPE_BASE,
+            quantiles=None, n=1000),
+    ]
+    a = psi_attribution(e, baseline)
+    return a.select(
+        "part_id",
+        "check_name",
+        "bin_idx",
+        F.round("cur_frac", 6).alias("cur_frac"),
+        F.round("base_frac", 6).alias("base_frac"),
+        F.round("contribution", 6).alias("contribution"),
+        F.round("share", 6).alias("share"),
+    )
+
+
+def _q127_sql() -> str:
+    """Per-bin PSI terms restated in SQL from the same literals — identical
+    clamp, identical left-assoc term sum, identical EPS total guard."""
+    from baskerville_spark.checks.drift import EPS
+
+    inner = DRIFT_VALUE_EDGES[1:-1]
+    nv = len(inner) + 1
+    vbucket = " + ".join(
+        f"(CASE WHEN value >= {repr(e)} THEN 1 ELSE 0 END)" for e in inner
+    )
+    v_sums = ",\n    ".join(
+        f"SUM(CASE WHEN value IS NOT NULL AND ({vbucket}) = {i} THEN 1 ELSE 0 END) AS v{i}"
+        for i in range(nv)
+    )
+    cats = DRIFT_TYPE_CATS
+    nt = len(cats) + 1
+    t_sums = ",\n    ".join(
+        f"SUM(CASE WHEN event_type = '{c}' THEN 1 ELSE 0 END) AS t{i}"
+        for i, c in enumerate(cats)
+    )
+    in_list = ", ".join(f"'{c}'" for c in cats)
+    t_sums += (
+        f",\n    SUM(CASE WHEN event_type IS NOT NULL AND event_type NOT IN ({in_list})"
+        f" THEN 1 ELSE 0 END) AS t{len(cats)}"
+    )
+
+    def frac(pfx: str, i: int, n: str) -> str:
+        return f"{pfx}{i} * 1.0 / GREATEST({n}, 1)"
+
+    def term(pfx: str, i: int, n: str, base: list[float]) -> str:
+        p = f"GREATEST({frac(pfx, i, n)}, {repr(EPS)})"
+        q = repr(max(base[i], EPS))
+        return f"((({p}) - {q}) * LN(({p}) / {q}))"
+
+    blocks = []
+    for col, pfx, n, base, nb in (
+        ("value", "v", "n_v", DRIFT_VALUE_BASE, nv),
+        ("event_type", "t", "n_t", DRIFT_TYPE_BASE, nt),
+    ):
+        total = "GREATEST(" + " + ".join(
+            term(pfx, i, n, base) for i in range(nb)
+        ) + f", {repr(EPS)})"
+        for i in range(nb):
+            t = term(pfx, i, n, base)
+            blocks.append(f"""
+SELECT part_id, 'psi:{col}' AS check_name, CAST({i} AS INT) AS bin_idx,
+       ROUND({frac(pfx, i, n)}, 6) AS cur_frac,
+       CAST({repr(float(base[i]))} AS DOUBLE) AS base_frac,
+       ROUND({t}, 6) AS contribution,
+       ROUND(({t}) / ({total}), 6) AS share
+FROM agg""")
+    union = "\nUNION ALL\n".join(blocks)
+    return f"""
+WITH base AS (
+  SELECT CAST((day(ts) - 1) // 7 AS INT) AS part_id, value, event_type FROM events),
+agg AS (
+  SELECT part_id,
+    COUNT(value) AS n_v,
+    {v_sums},
+    COUNT(event_type) AS n_t,
+    {t_sums}
+  FROM base GROUP BY part_id)
+{union}
+"""
+
+
+_prev_queries_q127 = queries
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    out = _prev_queries_q127()
+    out["q127_psi_attribution"] = q127_psi_attribution
+    return out
+
+
+_prev_oracles_q127 = oracle_sql
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = _prev_oracles_q127()
+    out["q127_psi_attribution"] = _q127_sql()
+    return out
+
+
+# --------------------------------------------------------------------------
 # Driver-gate scheduling (VERDICT r04 "What's missing" #1): the correctness
 # driver consumes queries() in dict insertion order and verifies a bounded
 # prefix per round (r01:31, r02:42, r03:45, r04:50 — CORRECTNESS_r0*.json;
@@ -8272,7 +8394,7 @@ _DRIVER_UNPROVEN_FIRST = [
         (121, "state_table_stats"), (122, "audio_decode_state"),
         (123, "streaming_state_ingest"),
         (124, "schema_evolution"), (125, "partition_completeness"),
-        (126, "row_level_diff"),
+        (126, "row_level_diff"), (127, "psi_attribution"),
     ]
 ]
 

@@ -130,3 +130,60 @@ def test_rolling_ks_verdicts(spark):
     assert out[2]["ks"] < 1e-12 and out[2]["passed"]
     # CDF gap at every interior edge is 0.75 (uniform quarters vs all-top)
     assert abs(out[3]["ks"] - 0.75) < 1e-9 and not out[3]["passed"]
+
+
+def test_psi_attribution_terms_sum_to_verdict_psi(spark):
+    """Per-bin contributions must sum (within fp) to the drift_verdicts PSI,
+    and shares must sum to 1 per (partition, column)."""
+    import math
+
+    from pyspark.sql import Row
+
+    from baskerville_spark.checks.drift import drift_verdicts, psi_attribution
+
+    df = spark.createDataFrame(
+        [(p, float(v % 10)) for p in (0, 1) for v in range(200)],
+        "part_id int, x double",
+    )
+    baseline = [
+        Row(column_name="x", kind="numeric", bin_edges=[0.0, 2.0, 5.0, 10.0],
+            categories=None, bin_fractions=[0.5, 0.25, 0.25], quantiles=None, n=100)
+    ]
+    att = psi_attribution(df, baseline).collect()
+    psi = {
+        r["part_id"]: r["metric_value"]
+        for r in drift_verdicts(df, baseline).collect()
+        if r["check_name"] == "psi:x"
+    }
+    for p in (0, 1):
+        rows = [r for r in att if r["part_id"] == p]
+        assert len(rows) == 3
+        assert math.isclose(sum(r["contribution"] for r in rows), psi[p],
+                            rel_tol=1e-9, abs_tol=1e-12)
+        assert math.isclose(sum(r["share"] for r in rows), 1.0, rel_tol=1e-6)
+        assert all(r["contribution"] >= 0 for r in rows)
+
+
+def test_psi_attribution_top_k_and_plan(spark):
+    from pyspark.sql import Row
+
+    from baskerville_spark.checks.drift import psi_attribution
+
+    # part 0: all mass lands in the last bin -> it must dominate
+    df = spark.createDataFrame(
+        [(0, 9.0)] * 50 + [(0, 1.0)] * 5, "part_id int, x double"
+    )
+    baseline = [
+        Row(column_name="x", kind="numeric", bin_edges=[0.0, 2.0, 5.0, 10.0],
+            categories=None, bin_fractions=[0.6, 0.3, 0.1], quantiles=None, n=100)
+    ]
+    top = psi_attribution(df, baseline, top_k=1).collect()
+    # the emptied 30%-mass bin (idx 1, cur_frac 0 -> EPS clamp) carries the
+    # largest term — a vanished bin out-scores even a 10%->91% grown bin
+    assert len(top) == 1 and top[0]["bin_idx"] == 1
+    full_rows = psi_attribution(df, baseline).collect()
+    assert top[0]["contribution"] == max(r["contribution"] for r in full_rows)
+
+    full = psi_attribution(df, baseline)
+    plan = full._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 2  # one partial/final agg pair, no union fan-out

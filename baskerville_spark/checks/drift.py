@@ -448,6 +448,10 @@ def psi_attribution(
     attribution costs nothing beyond the verdicts it explains. ``top_k``
     adds one window over the narrow attribution rows (|parts|·|bins| of
     them — never data-sized).
+
+    When total PSI < EPS (no drift — nothing to attribute), the share
+    denominator is EPS-guarded, so shares are ≈0 rather than 0/0; they sum
+    to 1 only when there is an alarm to explain.
     """
     if not baseline_rows:
         raise ValueError("empty baseline")

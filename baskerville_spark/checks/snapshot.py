@@ -113,7 +113,10 @@ def row_level_diff(
     Keys are assumed unique per snapshot within a partition (clip_id /
     event_id semantics — the same uniqueness the q09/q16 checks enforce);
     duplicate keys would multiply join rows, so run the uniqueness gate
-    first. The reference has no row-level diff at all: its engine
+    first. Keys and partition values are also assumed non-NULL (NULLs
+    never equi-join, so a NULL-keyed row would surface as a spurious
+    added+removed pair — run the completeness gate first, same as the
+    reference's key discipline). The reference has no row-level diff at all: its engine
     re-scores whole runtime windows (src/baskerville/models/engine.py)
     and never asks what changed.
     """

@@ -356,3 +356,67 @@ def test_gap_fill_matches_pandas_reference(spark, obs):
         for slot, v in filled.items():
             expect[(k, slot)] = (float(v), slot in g.index)
     assert got == expect
+
+
+# --- schema evolution properties (checks/evolution.py) ----------------------
+
+_TYPE_POOL = ["byte", "short", "integer", "long", "float", "double", "string"]
+
+
+@given(
+    st.dictionaries(
+        st.sampled_from([f"c{i}" for i in range(6)]),
+        st.tuples(st.sampled_from(_TYPE_POOL), st.booleans()),
+        min_size=1, max_size=6,
+    ),
+    st.dictionaries(
+        st.sampled_from([f"c{i}" for i in range(6)]),
+        st.tuples(st.sampled_from(_TYPE_POOL), st.booleans()),
+        min_size=1, max_size=6,
+    ),
+)
+@settings(max_examples=60, deadline=None)
+def test_schema_evolution_properties(old_spec, new_spec):
+    """(1) self-diff is empty; (2) drops in A->B are adds in B->A and
+    widenings/narrowings mirror; (3) every changed column is reported
+    exactly once; (4) compatible widenings are exactly the _WIDENINGS
+    closure (no symmetric pair is compatible both ways except none)."""
+    from pyspark.sql import types as T
+
+    from baskerville_spark.checks.evolution import (
+        _WIDENINGS,
+        schema_evolution_report,
+    )
+
+    def mk(spec):
+        m = {
+            "byte": T.ByteType(), "short": T.ShortType(),
+            "integer": T.IntegerType(), "long": T.LongType(),
+            "float": T.FloatType(), "double": T.DoubleType(),
+            "string": T.StringType(),
+        }
+        return T.StructType(
+            [T.StructField(k, m[t], nullable) for k, (t, nullable) in sorted(spec.items())]
+        )
+
+    a, b = mk(old_spec), mk(new_spec)
+    assert schema_evolution_report(a, a) == []
+    fwd = {r["column_name"]: r for r in schema_evolution_report(a, b)}
+    rev = {r["column_name"]: r for r in schema_evolution_report(b, a)}
+    assert len(fwd) == len(set(fwd))  # one row per changed column
+
+    for name, r in fwd.items():
+        if r["change"] == "dropped":
+            assert rev[name]["change"] in ("added_optional", "added_required")
+        if r["change"] == "widened":
+            # the reverse direction must be a breaking narrow
+            assert rev[name]["change"] == "retyped" and not rev[name]["compatible"]
+        if r["change"] == "made_optional":
+            assert rev[name]["change"] == "made_required"
+    # a column in both schemas with identical field is reported by neither
+    both = set(old_spec) & set(new_spec)
+    for c in both:
+        if old_spec[c] == new_spec[c]:
+            assert c not in fwd and c not in rev
+    # sanity on the widening table itself: no pair is legal both ways
+    assert not any((b_, a_) in _WIDENINGS for (a_, b_) in _WIDENINGS)

@@ -8015,15 +8015,17 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
 # schema and the current one by Iceberg's published evolution rules before
 # any data moves. Pure driver-side StructType algebra — the gate's cost is
 # identical at sf0.001 and 10^12 rows. The oracle is closed-form: the same
-# five planted changes, stated as VALUES.
+# six planted changes, stated as VALUES.
 # --------------------------------------------------------------------------
 
 
 def q124_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Old = the documents table as validated. New = a plausibly-evolved
-    snapshot: n_chars widened bigint->... (kept), lang dropped, source
-    retyped string->int hash bucket, quality_score added optional,
-    shard_key added required (non-null), doc_id narrowed to int."""
+    snapshot with six changes: doc_id narrowed bigint->int (breaking),
+    lang dropped (breaking), source retyped string->int hash bucket
+    (breaking), n_chars retyped bigint->double (breaking — long->double is
+    NOT an Iceberg-legal promotion), quality_score added optional (ok),
+    shard_key added required/non-null (breaking)."""
     from baskerville_spark.checks.evolution import schema_evolution_df
 
     old = _t(spark, sf_dir, "documents")
@@ -8151,8 +8153,9 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
 # parts {2,5} only: event_id%11==3 removed, surviving event_id%7==0 get a
 # suffixed event_type (modified — event_type is non-null at every sf, so
 # the modification can never be a value-level no-op), part-2 event_id%13==1
-# re-keyed +10^6 (added). The oracle derives the identical verdict set in
-# closed form.
+# re-keyed to -(event_id)-1 (added — negation can never collide with the
+# non-negative id domain at ANY scale factor, unlike a fixed offset). The
+# oracle derives the identical verdict set in closed form.
 # --------------------------------------------------------------------------
 
 
@@ -8174,7 +8177,7 @@ def q126_row_level_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .unionByName(
             e.filter((F.col("part") == 2) & (F.col("event_id") % 13 == 1))
-            .withColumn("event_id", F.col("event_id") + F.lit(1000000))
+            .withColumn("event_id", -F.col("event_id") - F.lit(1))
         )
     )
     return row_level_diff(
@@ -8193,7 +8196,7 @@ UNION ALL
 SELECT part, CAST(event_id AS BIGINT), 'modified'
 FROM scoped WHERE event_id % 7 = 0 AND event_id % 11 <> 3
 UNION ALL
-SELECT part, CAST(event_id + 1000000 AS BIGINT), 'added'
+SELECT part, CAST(-event_id - 1 AS BIGINT), 'added'
 FROM scoped WHERE part = 2 AND event_id % 13 = 1
 """
 

@@ -227,6 +227,30 @@ def _bucket_for(c: str, baseline_row: Row):
     return bucket, len(cats) + 1
 
 
+def _wide_bucket_agg(
+    df: DataFrame, baseline_rows: list[Row], part_col: str
+) -> tuple[DataFrame, dict[str, int]]:
+    """The ONE-scan/ONE-shuffle wide aggregate shared by drift_verdicts and
+    psi_attribution: every (column, bucket) conditional sum plus the
+    per-column non-null count, in a single groupBy(part).agg. The binning
+    here is parity-critical — the SQL oracles mirror it — so it must exist
+    exactly once."""
+    aggs = []
+    buckets: dict[str, int] = {}
+    for row in baseline_rows:
+        c = row["column_name"]
+        bucket, n_buckets = _bucket_for(c, row)
+        buckets[c] = n_buckets
+        notnull = F.col(c).isNotNull()
+        aggs += [
+            F.sum((notnull & (bucket == i)).cast("long")).alias(f"{c}__b{i}")
+            for i in range(n_buckets)
+        ]
+        aggs.append(F.count(F.col(c)).alias(f"{c}__n"))
+    wide = df.groupBy(F.col(part_col).cast("int").alias("part_id")).agg(*aggs)
+    return wide, buckets
+
+
 def drift_verdicts(
     df: DataFrame,
     baseline_rows: list[Row],
@@ -245,19 +269,7 @@ def drift_verdicts(
     if not baseline_rows:
         raise ValueError("empty baseline")
 
-    aggs = []
-    buckets: dict[str, int] = {}
-    for row in baseline_rows:
-        c = row["column_name"]
-        bucket, n_buckets = _bucket_for(c, row)
-        buckets[c] = n_buckets
-        notnull = F.col(c).isNotNull()
-        aggs += [
-            F.sum((notnull & (bucket == i)).cast("long")).alias(f"{c}__b{i}")
-            for i in range(n_buckets)
-        ]
-        aggs.append(F.count(F.col(c)).alias(f"{c}__n"))
-    wide = df.groupBy(F.col(part_col).cast("int").alias("part_id")).agg(*aggs)
+    wide, buckets = _wide_bucket_agg(df, baseline_rows, part_col)
 
     # ALL metric rows come out of ONE explode(array(struct...)) over the wide
     # aggregate — not a union of per-metric branches. A union looks harmless
@@ -456,19 +468,7 @@ def psi_attribution(
     if not baseline_rows:
         raise ValueError("empty baseline")
 
-    aggs = []
-    buckets: dict[str, int] = {}
-    for row in baseline_rows:
-        c = row["column_name"]
-        bucket, n_buckets = _bucket_for(c, row)
-        buckets[c] = n_buckets
-        notnull = F.col(c).isNotNull()
-        aggs += [
-            F.sum((notnull & (bucket == i)).cast("long")).alias(f"{c}__b{i}")
-            for i in range(n_buckets)
-        ]
-        aggs.append(F.count(F.col(c)).alias(f"{c}__n"))
-    wide = df.groupBy(F.col(part_col).cast("int").alias("part_id")).agg(*aggs)
+    wide, buckets = _wide_bucket_agg(df, baseline_rows, part_col)
 
     structs = []
     for row in baseline_rows:

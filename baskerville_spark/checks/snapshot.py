@@ -120,9 +120,13 @@ def row_level_diff(
     re-scores whole runtime windows (src/baskerville/models/engine.py)
     and never asks what changed.
     """
-    hash_cols = hash_cols or [
-        c for c in a.columns if c != part_col and c not in key_cols
-    ]
+    if hash_cols is None:
+        hash_cols = [c for c in a.columns if c != part_col and c not in key_cols]
+    if not hash_cols:
+        raise ValueError(
+            "row_level_diff needs at least one payload column to hash; "
+            "for a presence-only diff pass key-only snapshots instead"
+        )
     if changed_parts is not None:
         a = a.where(F.col(part_col).isin(changed_parts))
         b = b.where(F.col(part_col).isin(changed_parts))

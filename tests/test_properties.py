@@ -401,9 +401,12 @@ def test_schema_evolution_properties(old_spec, new_spec):
 
     a, b = mk(old_spec), mk(new_spec)
     assert schema_evolution_report(a, a) == []
-    fwd = {r["column_name"]: r for r in schema_evolution_report(a, b)}
-    rev = {r["column_name"]: r for r in schema_evolution_report(b, a)}
-    assert len(fwd) == len(set(fwd))  # one row per changed column
+    fwd_rows = schema_evolution_report(a, b)
+    rev_rows = schema_evolution_report(b, a)
+    fwd = {r["column_name"]: r for r in fwd_rows}
+    rev = {r["column_name"]: r for r in rev_rows}
+    # one row per changed column (the raw list has no duplicate columns)
+    assert len(fwd_rows) == len(fwd) and len(rev_rows) == len(rev)
 
     for name, r in fwd.items():
         if r["change"] == "dropped":

@@ -52,6 +52,8 @@ __all__ = [
     "mean_between",
     "approx_distinct_min",
     "run_suite",
+    "suite_to_json",
+    "suite_from_json",
 ]
 
 
@@ -207,3 +209,84 @@ def run_suite(
     verdicts = F.array(*[c.verdict_struct() for c in constraints])
     keep = [F.col(g) for g in (group_by or [])]
     return agg_row.select(*keep, F.inline(verdicts))
+
+# -- config round-trip --------------------------------------------------------
+#
+# The reference is configuration-driven end to end: a YAML file parsed and
+# validated into typed sections with loud ConfigError reporting
+# (src/baskerville/models/config.py:24,88-107). This is the constraint
+# suite's equivalent — a versioned JSON form so suites live in config repos
+# / Iceberg table properties rather than code, with the same
+# fail-loud-on-bad-config discipline.
+
+_SUITE_FORMAT = 1
+_KINDS = (
+    "completeness", "bounds", "pattern", "membership", "predicate",
+    "mean", "approx_distinct",
+)
+
+
+def suite_to_json(cons: Sequence[Constraint]) -> str:
+    """Serialize a constraint list to a versioned JSON document."""
+    import json
+
+    return json.dumps(
+        {
+            "format": _SUITE_FORMAT,
+            "constraints": [
+                {
+                    "name": c.name,
+                    "kind": c.kind,
+                    "column": c.column,
+                    "threshold": c.threshold,
+                    "params": [
+                        list(p) if isinstance(p, tuple) else p for p in c.params
+                    ],
+                }
+                for c in cons
+            ],
+        },
+        indent=2,
+    )
+
+
+def suite_from_json(doc: str) -> list[Constraint]:
+    """Parse a suite document back into Constraints, loudly: unknown kinds,
+    duplicate names, missing fields, and wrong param arity all raise
+    ValueError with the offending constraint named (never a silent skip —
+    a dropped rule is a validation hole nobody sees)."""
+    import json
+
+    d = json.loads(doc)
+    if d.get("format") != _SUITE_FORMAT:
+        raise ValueError(f"unsupported suite format {d.get('format')!r}")
+    arity = {
+        "completeness": 0, "bounds": 2, "pattern": 1, "membership": 1,
+        "predicate": 1, "mean": 2, "approx_distinct": 0,
+    }
+    out: list[Constraint] = []
+    seen: set[str] = set()
+    for row in d.get("constraints", []):
+        try:
+            name, kind = row["name"], row["kind"]
+            column, threshold = row["column"], float(row["threshold"])
+            params = row.get("params", [])
+        except (KeyError, TypeError) as e:
+            raise ValueError(f"malformed constraint entry {row!r}") from e
+        if kind not in _KINDS:
+            raise ValueError(f"constraint {name!r}: unknown kind {kind!r}")
+        if name in seen:
+            raise ValueError(f"duplicate constraint name {name!r}")
+        if len(params) != arity[kind]:
+            raise ValueError(
+                f"constraint {name!r}: kind {kind!r} takes {arity[kind]} "
+                f"params, got {len(params)}"
+            )
+        seen.add(name)
+        if kind == "membership":
+            tup = (tuple(params[0]),)
+        else:
+            tup = tuple(params)
+        out.append(Constraint(name, kind, column, threshold, tup))
+    return out
+

@@ -884,3 +884,54 @@ def test_row_level_diff_composite_key(spark):
     )
     out = row_level_diff(a, b, "part", ["k1", "k2"]).collect()
     assert len(out) == 1 and out[0]["k2"] == 2 and out[0]["status"] == "modified"
+
+
+# --- suite JSON round-trip (checks/suite.py) ---------------------------------
+
+
+def test_suite_json_roundtrip_and_equivalence(spark):
+    import pytest
+
+    from baskerville_spark.checks import suite as S
+
+    cons = [
+        S.completeness("c1", "text", max_null_rate=0.10),
+        S.bounds("c2", "n_chars", 100, 600, max_rate=0.25),
+        S.pattern("c3", "lang", "^[a-z]{2}$"),
+        S.membership("c4", "lang", ["en", "zh"], max_rate=0.3),
+        S.predicate("c5", "n_chars >= 100", max_rate=0.9),
+        S.mean_between("c6", "n_chars", 100.0, 400.0),
+        S.approx_distinct_min("c7", "doc_id", 5),
+    ]
+    doc = S.suite_to_json(cons)
+    back = S.suite_from_json(doc)
+    assert back == cons  # frozen dataclasses: exact structural equality
+
+    # parsed suite compiles to the identical verdicts
+    df = spark.createDataFrame(
+        [(i, f"t{i}", "en" if i % 3 else None, 150 + i) for i in range(30)],
+        "doc_id long, text string, lang string, n_chars long",
+    ).withColumn("part_id", (F.col("doc_id") % 2).cast("int"))
+    a = {(r["part_id"], r["check_name"]): (r["passed"], r["n_violations"])
+         for r in S.run_suite(df, cons, group_by=["part_id"]).collect()}
+    b = {(r["part_id"], r["check_name"]): (r["passed"], r["n_violations"])
+         for r in S.run_suite(df, back, group_by=["part_id"]).collect()}
+    assert a == b and len(a) == 14
+
+    # loud failures: unknown kind, duplicate name, wrong arity, bad format
+    import json
+
+    d = json.loads(doc)
+    d["constraints"][0]["kind"] = "nope"
+    with pytest.raises(ValueError, match="unknown kind"):
+        S.suite_from_json(json.dumps(d))
+    d = json.loads(doc)
+    d["constraints"][1]["name"] = "c1"
+    with pytest.raises(ValueError, match="duplicate"):
+        S.suite_from_json(json.dumps(d))
+    d = json.loads(doc)
+    d["constraints"][1]["params"] = [100]
+    with pytest.raises(ValueError, match="takes 2 params"):
+        S.suite_from_json(json.dumps(d))
+    with pytest.raises(ValueError, match="unsupported suite format"):
+        S.suite_from_json('{"format": 99, "constraints": []}')

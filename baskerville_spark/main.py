@@ -67,6 +67,12 @@ def cmd_validate(args) -> int:
     from baskerville_spark.runtime.runner import ValidationConfig, run_resumable
 
     spark = _spark(args)
+    extra_suite = ()
+    if args.suite:
+        from baskerville_spark.checks.suite import suite_from_json
+
+        with open(args.suite) as fh:
+            extra_suite = tuple(suite_from_json(fh.read()))
     t0 = time.time()
     processed = run_resumable(
         spark,
@@ -75,7 +81,9 @@ def cmd_validate(args) -> int:
         out_dir=args.out,
         transcript_ref_path=args.transcripts,
         baseline_path=args.baseline,
-        cfg=ValidationConfig(check_audio=not args.skip_audio),
+        cfg=ValidationConfig(
+            check_audio=not args.skip_audio, extra_suite=extra_suite
+        ),
     )
     elapsed = time.time() - t0
     n_rows = 0
@@ -126,6 +134,9 @@ def main(argv: list[str] | None = None) -> int:
     v.add_argument("--manifest", required=True)
     v.add_argument("--out", required=True)
     v.add_argument("--skip-audio", action="store_true")
+    v.add_argument("--suite", default=None,
+                   help="JSON constraint-suite file (checks/suite.py "
+                        "suite_from_json); verdicts appear as suite:<name>")
     v.set_defaults(fn=cmd_validate)
 
     args = p.parse_args(argv)

@@ -82,6 +82,13 @@ class ValidationConfig:
     # — one decode pass per ingest batch, settled clips never re-decoded.
     # Requires check_audio-capable input (a bytes column).
     emit_audio_states: bool = False
+    # user-declared constraint suite (checks/suite.py Constraints — e.g.
+    # parsed from JSON config via suite_from_json): compiled into ONE extra
+    # aggregation pass over the SAME persisted payload-free projection and
+    # unioned into the verdict grid as suite:<name> rows. Constraints may
+    # reference only metadata columns (part_id, clip_id, sr_hz, dur_ms,
+    # codec, transcript) — a payload reference fails resolution loudly.
+    extra_suite: tuple = ()
 
 
 @dataclass
@@ -286,6 +293,25 @@ def run_validation(
             drift_mod.drift_verdicts(
                 slim, baseline_rows,
                 psi_threshold=cfg.psi_threshold, ks_threshold=cfg.ks_threshold,
+            )
+        )
+
+    # --- user-declared constraint suite (config-driven, e.g. JSON) ---
+    if cfg.extra_suite:
+        from baskerville_spark.checks import suite as suite_mod
+
+        sv = suite_mod.run_suite(
+            slim, list(cfg.extra_suite), group_by=["part_id"]
+        )
+        verdicts = verdicts.unionByName(
+            sv.select(
+                F.col("part_id").cast("int").alias("part_id"),
+                F.concat(F.lit("suite:"), F.col("check_name")).alias("check_name"),
+                "passed",
+                "metric_value",
+                "threshold",
+                "n_rows",
+                "n_violations",
             )
         )
 

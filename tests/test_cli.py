@@ -148,3 +148,39 @@ def test_spark_submit_py_files_e2e(spark, tmp_path):
     assert {v["part_id"] for v in verdicts} == {0, 1, 2}
     p0 = [v for v in verdicts if v["part_id"] == 0]
     assert p0 and all(v["passed"] for v in p0)
+
+
+def test_cli_validate_with_json_suite(spark, tmp_path, capsys):
+    """Config-driven validation end-to-end: a JSON suite file adds
+    suite:<name> rows to the verdict grid of a normal resumable run."""
+    from baskerville_spark.checks import suite as S
+
+    out = str(tmp_path)
+    assert main([
+        "generate", "--out", f"{out}/demo", "--n-rows", "200", "--n-parts", "2",
+    ]) == 0
+    doc = S.suite_to_json([
+        S.bounds("sr_plausible", "sr_hz", 8000, 48000, max_rate=0.5),
+        S.completeness("transcript_present", "transcript", max_null_rate=0.9),
+        S.predicate("dur_positive", "dur_ms > 0"),
+    ])
+    suite_path = f"{out}/suite.json"
+    with open(suite_path, "w") as fh:
+        fh.write(doc)
+    assert main([
+        "validate",
+        "--clips", f"{out}/demo/clips",
+        "--manifest", f"{out}/manifest",
+        "--out", f"{out}/results",
+        "--skip-audio",
+        "--suite", suite_path,
+    ]) == 0
+    capsys.readouterr()
+    v = spark.read.parquet(f"{out}/results/verdicts")
+    suite_rows = v.where("check_name LIKE 'suite:%'").collect()
+    names = {r["check_name"] for r in suite_rows}
+    assert names == {"suite:sr_plausible", "suite:transcript_present",
+                     "suite:dur_positive"}
+    # one row per (partition, constraint), same grid shape as built-ins
+    assert len(suite_rows) == 2 * 3
+    assert all(r["passed"] is not None for r in suite_rows)

@@ -935,3 +935,111 @@ def test_suite_json_roundtrip_and_equivalence(spark):
         S.suite_from_json(json.dumps(d))
     with pytest.raises(ValueError, match="unsupported suite format"):
         S.suite_from_json('{"format": 99, "constraints": []}')
+
+
+# ---------------------------------------------------------------------------
+# Metrics history + run-over-run anomaly detection (checks/history.py)
+# ---------------------------------------------------------------------------
+
+def _hist_rows(spark, series, part_id=0, column_name="c", metric_name="m"):
+    """Helper: a metric series indexed by run_id 0..n-1."""
+    return spark.createDataFrame(
+        [(i, part_id, column_name, metric_name, float(v))
+         for i, v in enumerate(series)],
+        "run_id long, part_id int, column_name string, metric_name string,"
+        " metric_value double",
+    )
+
+
+def test_metric_history_melt_from_column_stats(spark, t1_clips):
+    from baskerville_spark.checks.history import metric_history_rows
+
+    stats = column_stats(t1_clips.select("part_id", "sr_hz", "codec"))
+    hist = metric_history_rows(stats, run_id=3)
+    rows = hist.collect()
+    assert all(r["run_id"] == 3 for r in rows)
+    by_col = {
+        (r["column_name"], r["metric_name"]): r["metric_value"] for r in rows
+    }
+    # numeric column carries all five metrics, non-numeric drops min/max
+    # (NULL metric rows are dropped, not zero-filled)
+    assert ("sr_hz", "min") in by_col and ("sr_hz", "max") in by_col
+    assert ("codec", "min") not in by_col and ("codec", "max") not in by_col
+    assert ("codec", "count") in by_col and ("codec", "null_rate") in by_col
+    # null_rate is a fraction of total rows per partition
+    assert all(
+        0.0 <= v <= 1.0
+        for (c, m), v in by_col.items()
+        if m == "null_rate"
+    )
+
+
+def test_anomaly_flat_history_then_jump(spark):
+    from baskerville_spark.checks.history import detect_metric_anomalies
+
+    # stddev of a flat series is 0 — the k-sigma rule alone would divide
+    # into the floor; the rel-change rule must catch the jump.
+    hist = _hist_rows(spark, [100.0, 100.0, 100.0, 100.0, 160.0])
+    rep = {r["run_id"]: r for r in detect_metric_anomalies(hist).collect()}
+    assert [rep[i]["anomaly"] for i in range(5)] == [
+        False, False, False, False, True
+    ]
+    assert rep[4]["trailing_n"] == 4
+    assert rep[4]["trailing_mean"] == 100.0
+    assert rep[4]["trailing_stddev"] == 0.0
+
+
+def test_anomaly_min_history_warmup_never_flags(spark):
+    from baskerville_spark.checks.history import detect_metric_anomalies
+
+    # a violent jump at run 1 is NOT flagged: only 1 prior run (< min 3)
+    hist = _hist_rows(spark, [100.0, 500.0, 100.0])
+    rep = {r["run_id"]: r for r in detect_metric_anomalies(hist).collect()}
+    assert not any(rep[i]["anomaly"] for i in range(3))
+    # warm-up rows still report their trailing columns for audit
+    assert rep[1]["trailing_n"] == 1 and rep[1]["trailing_mean"] == 100.0
+    assert rep[0]["trailing_n"] == 0 and rep[0]["trailing_mean"] is None
+
+
+def test_anomaly_arithmetic_ramp_stays_in_band(spark):
+    from baskerville_spark.checks.history import detect_metric_anomalies
+
+    # steady growth is NOT an anomaly under the 3-sigma band: for an
+    # arithmetic ramp the deviation from the trailing mean is (n+1)/2 steps
+    # while the trailing stddev is sqrt(n(n+1)/12) steps — ratio < 3 for all n
+    hist = _hist_rows(spark, [float(100 + 5 * i) for i in range(10)])
+    rep = detect_metric_anomalies(hist).collect()
+    assert not any(r["anomaly"] for r in rep)
+
+
+def test_anomaly_lookback_and_current_run_filter(spark):
+    from baskerville_spark.checks.history import detect_metric_anomalies
+
+    # ancient regime change outside the lookback window must not poison the
+    # trailing stats: runs 0-2 at 1000, runs 3-7 at 100, run 8 at 100.
+    series = [1000.0, 1000.0, 1000.0, 100.0, 100.0, 100.0, 100.0, 100.0, 100.0]
+    hist = _hist_rows(spark, series)
+    unbounded = {
+        r["run_id"]: r for r in detect_metric_anomalies(hist).collect()
+    }
+    bounded = {
+        r["run_id"]: r
+        for r in detect_metric_anomalies(hist, lookback=4).collect()
+    }
+    # with full history, run 8's trailing mean still carries the old regime
+    assert unbounded[8]["trailing_mean"] > 100.0
+    # with lookback=4, run 8 sees only the new regime — flat, no anomaly
+    assert bounded[8]["trailing_mean"] == 100.0
+    assert not bounded[8]["anomaly"]
+    only8 = detect_metric_anomalies(hist, current_run_id=8).collect()
+    assert [r["run_id"] for r in only8] == [8]
+
+
+def test_anomaly_series_are_independent_per_key(spark):
+    from baskerville_spark.checks.history import detect_metric_anomalies
+
+    a = _hist_rows(spark, [10.0, 10.0, 10.0, 10.0, 30.0], metric_name="m_a")
+    b = _hist_rows(spark, [10.0, 10.0, 10.0, 10.0, 10.0], metric_name="m_b")
+    rep = detect_metric_anomalies(a.unionByName(b)).collect()
+    flagged = {(r["metric_name"], r["run_id"]) for r in rep if r["anomaly"]}
+    assert flagged == {("m_a", 4)}

@@ -1043,3 +1043,89 @@ def test_anomaly_series_are_independent_per_key(spark):
     rep = detect_metric_anomalies(a.unionByName(b)).collect()
     flagged = {(r["metric_name"], r["run_id"]) for r in rep if r["anomaly"]}
     assert flagged == {("m_a", 4)}
+
+
+# -- constraint suggestion + functional dependencies (checks/suggest.py) ----
+
+
+def _suggest_frame(spark):
+    rows = [
+        # id unique no-null; grp 3-value string; val numeric; tag 2% nulls
+        (i, ["a", "b", "c"][i % 3], float(i) / 7.0,
+         None if i % 50 == 0 else f"t{i % 30}")
+        for i in range(1000)
+    ]
+    return spark.createDataFrame(rows, "id long, grp string, val double, tag string")
+
+
+def test_suggest_constraints_rules(spark):
+    from baskerville_spark.checks.suggest import suggest_constraints
+
+    out = {(r["col_name"], r["kind"]): r
+           for r in suggest_constraints(_suggest_frame(spark)).collect()}
+    # id: key column -> completeness(0) + unique + bounds [0, 999]
+    assert out[("id", "completeness")]["threshold"] == 0.0
+    assert ("id", "unique") in out
+    assert (out[("id", "bounds")]["lo"], out[("id", "bounds")]["hi"]) == (0.0, 999.0)
+    # grp: 3-value string -> sorted membership, not unique
+    assert out[("grp", "membership")]["members"] == "a,b,c"
+    assert ("grp", "unique") not in out
+    # val: numeric, 1000 distinct -> bounds but no membership
+    assert ("val", "bounds") in out and ("val", "membership") not in out
+    # tag: 2% nulls -> padded completeness (0.02 * 1.25), 30 distinct > 20
+    # -> membership guard rejects
+    assert out[("tag", "completeness")]["threshold"] == pytest.approx(0.025)
+    assert ("tag", "membership") not in out and ("tag", "unique") not in out
+
+
+def test_suggest_structurally_sparse_column_gets_no_completeness(spark):
+    from baskerville_spark.checks.suggest import suggest_constraints
+
+    df = spark.range(100).select(
+        "id", F.when(F.col("id") % 2 == 0, F.lit(None))
+        .otherwise(F.col("id")).alias("sparse"))
+    kinds = {(r["col_name"], r["kind"])
+             for r in suggest_constraints(df).collect()}
+    assert ("sparse", "completeness") not in kinds  # 50% nulls: no rule
+    assert ("sparse", "bounds") in kinds  # bounds still suggested (nn > 0)
+
+
+def test_suggested_suite_roundtrip_all_pass(spark):
+    """The Deequ property: every suggested constraint passes on the table
+    it was profiled from — suggestions are the observed envelope."""
+    from baskerville_spark.checks.suggest import suggested_suite
+    from baskerville_spark.checks.suite import run_suite
+
+    df = _suggest_frame(spark)
+    cons = suggested_suite(df)
+    assert len(cons) >= 6
+    verdicts = run_suite(df, cons).collect()
+    assert len(verdicts) == len(cons)
+    assert all(r["passed"] for r in verdicts)
+
+
+def test_functional_dependency_holds_violates_and_nulls(spark):
+    from baskerville_spark.checks.suggest import functional_dependency
+
+    df = spark.createDataFrame(
+        [(1, "x", "a"), (1, "x", "a"),     # duplicate rows agree
+         (2, "y", "a"), (2, "z", "a"),     # k=2 disagrees on dep1
+         (3, None, "b"), (3, None, "b"),   # NULL dep counts as ONE value
+         (4, None, "c"), (4, "w", "c")],   # NULL vs 'w' -> violation
+        "k int, dep1 string, dep2 string")
+    r1 = functional_dependency(df, "k_dep1", ["k"], "dep1").collect()[0]
+    assert (r1["n_groups"], r1["n_violating"], r1["passed"]) == (4, 2, False)
+    assert r1["violation_rate"] == pytest.approx(0.5)
+    r2 = functional_dependency(df, "k_dep2", ["k"], "dep2").collect()[0]
+    assert (r2["n_violating"], r2["passed"]) == (0, True)
+
+
+def test_functional_dependency_composite_determinant(spark):
+    from baskerville_spark.checks.suggest import functional_dependency
+
+    df = spark.createDataFrame(
+        [(1, 1, "a"), (1, 2, "b"), (2, 1, "a"),  # all agree per (k1,k2)
+         (2, 2, "x"), (2, 2, "y")],              # (2,2) disagrees
+        "k1 int, k2 int, dep string")
+    r = functional_dependency(df, "fd", ["k1", "k2"], "dep").collect()[0]
+    assert (r["n_groups"], r["n_violating"], r["passed"]) == (4, 1, False)

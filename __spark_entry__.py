@@ -8716,3 +8716,83 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
     out["q129_suggest_constraints"] = _Q129_SQL
     out["q130_functional_deps"] = _Q130_SQL
     return _reorder_for_driver(out)
+
+
+# --------------------------------------------------------------------------
+# q131: audio DC-offset QA vs exact closed forms — the third leg of the
+# ingest QA trio (levels q83, frequency content q84). 300 synthesized
+# square-wave clips around a known integer bias v (samples alternate
+# v+a / v−a over an even count, so the exact mean IS v); the measurement
+# path is the REAL one — encode pcm_s16le, Arrow decode, per-clip mean
+# (functions/audio_quality.audio_dc_offset) — and v/32768 is exact in
+# float64 (power-of-two denominator), so the gate emits the raw doubles
+# and the oracle rebuilds them arithmetically; no tolerance booleans
+# needed. dc_suspect is JVM-side Column algebra over dc_frac (the policy
+# threshold never forces a re-decode).
+# --------------------------------------------------------------------------
+
+
+def q131_dc_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from baskerville_spark.functions.audio_quality import audio_dc_offset
+
+    def synth(batches):
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for i in pdf["id"]:
+                i = int(i)
+                v = -2000 + (i * 37) % 4001
+                a = 100 + (i % 5) * 200
+                n = 120 + (i % 6) * 40  # even: the ±a legs cancel exactly
+                x = np.empty(n, dtype="<i2")
+                x[0::2] = v + a
+                x[1::2] = v - a
+                out.append(
+                    {
+                        "part_id": i % 4,
+                        "clip_id": f"bias_{i:06d}",
+                        "bytes": x.tobytes(),
+                        "codec": "pcm_s16le",
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    clips = spark.range(300).mapInPandas(
+        synth, schema="part_id int, clip_id string, bytes binary, codec string"
+    )
+    return audio_dc_offset(clips, suspect_frac=0.02).select(
+        "clip_id", "n_samples", "dc_mean", "dc_frac", "dc_suspect"
+    )
+
+
+_Q131_SQL = """
+WITH idx AS (SELECT unnest(generate_series(0, 299)) AS i)
+SELECT printf('bias_%06d', i) AS clip_id,
+       CAST(120 + (i % 6) * 40 AS BIGINT) AS n_samples,
+       CAST(-2000 + (i * 37) % 4001 AS DOUBLE) AS dc_mean,
+       CAST(-2000 + (i * 37) % 4001 AS DOUBLE) / 32768.0 AS dc_frac,
+       ABS(CAST(-2000 + (i * 37) % 4001 AS DOUBLE) / 32768.0) > 0.02
+         AS dc_suspect
+FROM idx
+"""
+
+
+_prev_queries_q131 = queries
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    out = _prev_queries_q131()
+    out["q131_dc_offset"] = q131_dc_offset
+    return _reorder_for_driver(out)
+
+
+_prev_oracles_q131 = oracle_sql
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = _prev_oracles_q131()
+    out["q131_dc_offset"] = _Q131_SQL
+    return _reorder_for_driver(out)

@@ -204,6 +204,86 @@ def audio_spectral_features(clips: DataFrame, n_fft: int = 256) -> DataFrame:
     return clips.select(*cols).mapInArrow(_spec, schema=SPECTRAL_SCHEMA)
 
 
+DC_SCHEMA = T.StructType(
+    [
+        T.StructField("part_id", T.IntegerType(), True),
+        T.StructField("clip_id", T.StringType(), False),
+        T.StructField("decode_ok", T.BooleanType(), False),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("dc_mean", T.DoubleType(), True),
+    ]
+)
+
+_ARROW_DC = pa.schema(
+    [
+        pa.field("part_id", pa.int32()),
+        pa.field("clip_id", pa.string()),
+        pa.field("decode_ok", pa.bool_()),
+        pa.field("n_samples", pa.int64()),
+        pa.field("dc_mean", pa.float64()),
+    ]
+)
+
+
+def audio_dc_offset(clips: DataFrame, suspect_frac: float = 0.02) -> DataFrame:
+    """Per-clip DC-bias QA: ``dc_mean`` (mean sample value, full scale
+    32768), ``dc_frac`` (= dc_mean/32768) and ``dc_suspect``
+    (|dc_frac| > ``suspect_frac``, default 2% of full scale — the usual
+    mastering tolerance). A DC-biased upload (asymmetric preamp, bad
+    ADC coupling) halves usable headroom and poisons every downstream
+    energy/VAD/FFT stat, yet is invisible to peak/RMS checks because the
+    bias hides inside the RMS; this is the third leg of the ingest QA
+    trio next to loudness (audio_loudness_stats) and frequency content
+    (audio_spectral_features).
+
+    One Arrow pass; only the decode-requiring scalar (the mean) crosses
+    the UDF boundary — the normalized fraction and the policy flag are
+    native Column algebra so ``suspect_frac`` never forces a re-decode.
+    Reference seam: Baskerville has no audio-signal operators (its
+    features are request-set statistics, features/feature_*.py); this is
+    a from-scratch extension for the audio graft cell, gated analytically
+    (q131: square-wave clips around a known bias, exact closed-form mean).
+    """
+    _require_cols(clips, ("clip_id", "bytes", "codec"))
+
+    def _dc(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            payloads = b.column(b.schema.get_field_index("bytes"))
+            codecs = b.column(b.schema.get_field_index("codec")).to_pylist()
+            clip_ids = b.column(b.schema.get_field_index("clip_id")).to_pylist()
+            part_ids = _opt_part_ids(b)
+            n = len(b)
+            oks = [False] * n
+            n_samps: list[int | None] = [None] * n
+            means: list[float | None] = [None] * n
+            for i in range(n):
+                pv = payloads[i]
+                payload = pv.as_py() if pv.is_valid else None
+                pcm = audio.decode(payload, codecs[i]) if payload is not None else None
+                if pcm is None or len(pcm) == 0:
+                    continue
+                oks[i] = True
+                n_samps[i] = int(len(pcm))
+                means[i] = float(pcm.astype(np.float64).mean())
+            yield pa.RecordBatch.from_arrays(
+                [
+                    part_ids,
+                    pa.array(clip_ids, pa.string()),
+                    pa.array(oks, pa.bool_()),
+                    pa.array(n_samps, pa.int64()),
+                    pa.array(means, pa.float64()),
+                ],
+                schema=_ARROW_DC,
+            )
+
+    cols = [c for c in ("part_id", "clip_id", "bytes", "codec") if c in clips.columns]
+    out = clips.select(*cols).mapInArrow(_dc, schema=DC_SCHEMA)
+    dc_frac = F.col("dc_mean") / F.lit(FULL_SCALE)
+    return out.withColumn("dc_frac", dc_frac).withColumn(
+        "dc_suspect", F.abs(F.col("dc_frac")) > F.lit(float(suspect_frac))
+    )
+
+
 def audio_resample(clips: DataFrame, target_sr: int) -> DataFrame:
     """Resample payloads to ``target_sr`` by linear interpolation over the
     new time grid (new_n = n·target/orig, floor) in one Arrow pass,

@@ -569,3 +569,45 @@ def test_audio_vad_stats(spark):
                   segs.groupBy("clip_id").agg(F.count("*").alias("n")).collect()}
     assert seg_counts.get("split") == 2 and seg_counts.get("kept") == 1
     assert "quiet" not in seg_counts  # splitter drops, summary reports
+
+
+def test_audio_dc_offset(spark):
+    from baskerville_spark.functions.audio_quality import audio_dc_offset
+
+    # square wave around +1000: mean exactly 1000, suspect (1000/32768 > 2%)
+    biased = np.empty(100, dtype=np.int16)
+    biased[0::2], biased[1::2] = 1500, 500
+    centered = np.array([700, -700] * 50, dtype=np.int16)  # mean exactly 0
+    small = np.full(80, 300, dtype=np.int16)  # 300/32768 ≈ 0.9% — not suspect
+    rows = [
+        Row(part_id=0, clip_id="biased",
+            bytes=bytes(audio.encode(biased, "flac")), codec="flac"),
+        Row(part_id=0, clip_id="centered",
+            bytes=bytes(audio.encode(centered, "pcm_s16le")), codec="pcm_s16le"),
+        Row(part_id=1, clip_id="small",
+            bytes=bytes(audio.encode(small, "pcm_s16le")), codec="pcm_s16le"),
+        Row(part_id=1, clip_id="bad", bytes=b"xx", codec="flac"),
+    ]
+    out = {r["clip_id"]: r for r in
+           audio_dc_offset(spark.createDataFrame(rows)).collect()}
+    assert out["biased"]["dc_mean"] == 1000.0 and out["biased"]["dc_suspect"]
+    assert out["centered"]["dc_mean"] == 0.0 and not out["centered"]["dc_suspect"]
+    assert out["small"]["dc_mean"] == 300.0 and not out["small"]["dc_suspect"]
+    assert abs(out["small"]["dc_frac"] - 300.0 / 32768.0) < 1e-18
+    assert out["bad"]["decode_ok"] is False and out["bad"]["dc_mean"] is None
+
+    # the policy threshold is a Column, not baked into the Arrow pass:
+    # tightening it flips the verdict without touching the decode path
+    tight = {r["clip_id"]: r for r in
+             audio_dc_offset(spark.createDataFrame(rows),
+                             suspect_frac=0.005).collect()}
+    assert tight["small"]["dc_suspect"]
+
+    # missing required column fails loudly (shared _require_cols contract)
+    import pytest
+
+    pcm = audio.encode(np.full(64, 1000, dtype=np.int16), "pcm_s16le")
+    no_codec = spark.createDataFrame(
+        [("c1", bytearray(pcm))], "clip_id string, bytes binary")
+    with pytest.raises(ValueError, match="missing required column"):
+        audio_dc_offset(no_codec)

@@ -8796,3 +8796,128 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
     out = _prev_oracles_q131()
     out["q131_dc_offset"] = _Q131_SQL
     return _reorder_for_driver(out)
+
+
+# --------------------------------------------------------------------------
+# q132/q133: classical two-sample tests — chi-squared homogeneity of a
+# group's categorical mix vs the REST of the table, and Mann-Whitney U
+# (tie-corrected rank-sum) of a group's numeric values vs the rest. The
+# calibrated complements to the distance family (PSI q44, binned KS q97):
+# chi2 for categorical mix shift (codec mix of one ingest batch vs the
+# settled corpus), rank-sum for mean shift on heavy-tailed columns where
+# a t-test's normality assumption fails. Spark plans: ONE full-data
+# groupBy each; all contingency/rank algebra runs on the tiny cell frames
+# (chi2: G*K cells with zero-cells restored by cross-join; U: value-domain
+# cells with a TWO-PHASE distributed prefix sum — range blocks + collected
+# block offsets, no single-task global window). 2U is exact bigint
+# arithmetic (average ranks end in .5, so the gate hashes an integer, not
+# a float); chi2 and z are ROUND(,6) in both engines.
+# --------------------------------------------------------------------------
+
+
+def q132_chi2_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from baskerville_spark.checks.drift import chi2_homogeneity
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = chi2_homogeneity(li, "l_linenumber", "l_returnflag")
+    return out.select(
+        "l_linenumber",
+        F.round("chi2", 6).alias("chi2"),
+        "dof",
+        "n_group",
+        "n_rest",
+    )
+
+
+_Q132_SQL = """
+WITH cells AS (
+  SELECT l_linenumber AS g, l_returnflag AS c, COUNT(*) AS o
+  FROM lineitem GROUP BY 1, 2),
+cat_tot AS (SELECT c, SUM(o) AS c_tot FROM cells GROUP BY c),
+grp_tot AS (SELECT g, SUM(o) AS n_group FROM cells GROUP BY g),
+n AS (SELECT SUM(o) AS n_all FROM cells),
+filled AS (
+  SELECT gt.g, ct.c, gt.n_group, ct.c_tot, n.n_all,
+         COALESCE(cells.o, 0) AS o
+  FROM grp_tot gt CROSS JOIN cat_tot ct CROSS JOIN n
+  LEFT JOIN cells ON cells.g = gt.g AND cells.c = ct.c)
+SELECT g AS l_linenumber,
+       ROUND(SUM(
+         POWER(o - n_group * c_tot / CAST(n_all AS DOUBLE), 2)
+           / (n_group * c_tot / CAST(n_all AS DOUBLE))
+         + POWER((c_tot - o)
+                 - (n_all - n_group) * c_tot / CAST(n_all AS DOUBLE), 2)
+           / ((n_all - n_group) * c_tot / CAST(n_all AS DOUBLE))
+       ), 6) AS chi2,
+       CAST(COUNT(*) - 1 AS INT) AS dof,
+       CAST(n_group AS BIGINT) AS n_group,
+       CAST(n_all - n_group AS BIGINT) AS n_rest
+FROM filled
+GROUP BY g, n_group, n_all
+"""
+
+
+def q133_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from baskerville_spark.checks.drift import mannwhitney_u
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = mannwhitney_u(li, "l_returnflag", "l_quantity")
+    return out.select(
+        "l_returnflag", "u2", "n_group", "n_rest",
+        F.round("z", 6).alias("z"),
+    )
+
+
+_Q133_SQL = """
+WITH x AS (
+  SELECT l_returnflag AS g, l_quantity AS v
+  FROM lineitem WHERE l_quantity IS NOT NULL),
+vtot AS (SELECT v, COUNT(*) AS cnt_eq FROM x GROUP BY v),
+vtot2 AS (
+  SELECT v, cnt_eq,
+         COALESCE(SUM(cnt_eq) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cnt_lt
+  FROM vtot),
+cells AS (SELECT g, v, COUNT(*) AS o FROM x GROUP BY g, v),
+pg AS (
+  SELECT g, SUM(o) AS n_group,
+         SUM(o * (2 * cnt_lt + cnt_eq + 1)) AS two_r
+  FROM cells JOIN vtot2 USING (v) GROUP BY g),
+tot AS (
+  SELECT SUM(cnt_eq) AS n_all,
+         SUM(POWER(CAST(cnt_eq AS DOUBLE), 3) - cnt_eq) AS tie_sum
+  FROM vtot)
+SELECT g AS l_returnflag,
+       CAST(two_r - n_group * (n_group + 1) AS BIGINT) AS u2,
+       CAST(n_group AS BIGINT) AS n_group,
+       CAST(n_all - n_group AS BIGINT) AS n_rest,
+       ROUND(
+         (CAST(two_r - n_group * (n_group + 1) AS DOUBLE)
+          - CAST(n_group AS DOUBLE) * CAST(n_all - n_group AS DOUBLE))
+         / (2.0 * SQRT(
+             CAST(n_group AS DOUBLE) * CAST(n_all - n_group AS DOUBLE) / 12.0
+             * ((n_all + 1)
+                - tie_sum / (CAST(n_all AS DOUBLE) * (n_all - 1))))),
+         6) AS z
+FROM pg CROSS JOIN tot
+"""
+
+
+_prev_queries_q132 = queries
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    out = _prev_queries_q132()
+    out["q132_chi2_mix"] = q132_chi2_mix
+    out["q133_mannwhitney"] = q133_mannwhitney
+    return _reorder_for_driver(out)
+
+
+_prev_oracles_q132 = oracle_sql
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = _prev_oracles_q132()
+    out["q132_chi2_mix"] = _Q132_SQL
+    out["q133_mannwhitney"] = _Q133_SQL
+    return _reorder_for_driver(out)

@@ -511,3 +511,213 @@ def psi_attribution(
             .drop("rk")
         )
     return out
+
+
+# --------------------------------------------------------------------------
+# Classical two-sample tests: chi-squared homogeneity + Mann-Whitney U
+# --------------------------------------------------------------------------
+
+def chi2_homogeneity(
+    df: DataFrame,
+    group_col: str,
+    cat_col: str,
+    threshold: float | None = None,
+) -> DataFrame:
+    """Per-group chi-squared homogeneity test: does group g's categorical
+    mix differ from the REST of the table (a proper two-sample 2xK
+    contingency test, not group-vs-whole, which double-counts the group)?
+
+    Output per group: ``(group, chi2, dof, n_group, n_rest[, passed])`` —
+    chi2 = sum over the 2xK cells of (O-E)^2/E with E = row_total *
+    col_total / N; dof = K-1. Groups with an empty complement emit NULL
+    chi2 (the test is undefined, not "passed").
+
+    Complements the distribution-distance family (PSI q44, KS q97): chi2
+    is the calibrated classical test for categorical mix shift, e.g. the
+    codec mix of one ingest batch vs the settled corpus.
+
+    Scale: the ONLY full-data pass is groupBy(group, cat).count(); the
+    contingency algebra runs on the G*K cell frame (bounded by
+    cardinalities, not rows). Zero cells are restored with a tiny
+    cross-join so absent categories still contribute their expected mass
+    — the classic silent-underflow bug in naive SQL restatements.
+
+    Reference seam: generalizes the incident detector's per-target
+    baseline comparison (incident_detector.py:251-295) to a calibrated
+    categorical test the reference lacks.
+    """
+    cells = df.groupBy(
+        F.col(group_col).alias("g"), F.col(cat_col).alias("c")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    cat_tot = cells.groupBy("c").agg(F.sum("o").alias("c_tot"))
+    grp_tot = cells.groupBy("g").agg(F.sum("o").alias("n_group"))
+    n_all = cells.agg(F.sum("o").alias("n_all"))
+    full = (
+        grp_tot.crossJoin(F.broadcast(cat_tot))
+        .join(cells, ["g", "c"], "left")
+        .na.fill({"o": 0})
+        .crossJoin(F.broadcast(n_all))
+    )
+    n_rest = F.col("n_all") - F.col("n_group")
+    e_g = F.col("n_group") * F.col("c_tot") / F.col("n_all")
+    e_r = n_rest * F.col("c_tot") / F.col("n_all")
+    o_r = F.col("c_tot") - F.col("o")
+    term = F.when(
+        (F.col("n_group") > 0) & (n_rest > 0),
+        (F.col("o") - e_g) ** 2 / e_g + (o_r - e_r) ** 2 / e_r,
+    )
+    out = full.groupBy("g", "n_group", "n_all").agg(
+        F.sum(term).alias("chi2"),
+        (F.count(F.lit(1)) - F.lit(1)).cast("int").alias("dof"),
+    ).select(
+        F.col("g").alias(group_col),
+        "chi2",
+        "dof",
+        F.col("n_group").cast("long").alias("n_group"),
+        (F.col("n_all") - F.col("n_group")).cast("long").alias("n_rest"),
+    )
+    if threshold is not None:
+        out = out.withColumn("passed", F.col("chi2") <= F.lit(float(threshold)))
+    return out
+
+
+def mannwhitney_u(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-group Mann-Whitney U (Wilcoxon rank-sum) of the group's values
+    vs the REST of the table, ties handled by average ranks with the
+    standard tie-corrected normal approximation.
+
+    Output per group: ``(group, u2, n_group, n_rest, z)`` where ``u2`` is
+    the EXACT integer 2*U (average ranks end in .5, so U itself may be a
+    half-integer; 2U = sum over group values of cnt_g(v) * (2*cnt_lt(v)
+    + cnt_eq(v) + 1) - n_g*(n_g+1) is pure bigint arithmetic — no float
+    in the statistic) and ``z`` = (U - n_g*n_r/2) / sigma with
+    sigma^2 = n_g*n_r/12 * ((N+1) - sum(t^3-t)/(N*(N-1))).
+
+    The rank-based mean-shift test for ordinal/heavy-tailed columns where
+    a t-test's normality assumption fails (dur_ms, bytes-per-second) —
+    the classical complement to the binned KS (which tests shape, with
+    binning error) on exact ranks.
+
+    Scale: ranks are NEVER materialized per row — the pass is
+    groupBy(value) conditional counts (one shuffle on the value domain),
+    then cumulative counts over the (value,) cell frame. A 10^12-row
+    table with a bounded value domain (durations in ms, sample rates)
+    reduces to |domain| cells; the value-domain prefix sum itself is the
+    two-phase distributed form (range blocks + collected block offsets,
+    the functions/packing.py pattern — deterministic block membership
+    from collected max-value bounds, NO single-task global window), so a
+    continuous column with ~n distinct values still works: quantize first
+    only if you want fewer cells, not because the plan requires it.
+    """
+    from pyspark.sql import Window
+
+    cells = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(F.col(value_col).alias("v"), F.col(group_col).alias("g"))
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    vtot = cells.groupBy("v").agg(F.sum("o").alias("cnt_eq"))
+    # two-phase distributed prefix sum over the value domain: ONE job over
+    # the range exchange collects per-block totals AND per-block max-value
+    # bounds; block membership of the returned frame is then a
+    # deterministic function of v (never a second, possibly differently
+    # sampled, range exchange — the packing.py round-4 advisor lesson).
+    n_blocks = vtot.sparkSession.sparkContext.defaultParallelism
+    ranged = vtot.repartitionByRange(n_blocks, "v").withColumn(
+        "block", F.spark_partition_id()
+    )
+    stats = sorted(
+        ranged.groupBy("block")
+        .agg(F.sum("cnt_eq").alias("t"), F.max("v").alias("max_v"))
+        .collect(),
+        key=lambda r: r["block"],
+    )
+    offsets: list[int] = []
+    acc = 0
+    for r in stats:
+        offsets.append(acc)
+        acc += int(r["t"] or 0)
+    bounds = [r["max_v"] for r in stats[:-1]]
+    if bounds:
+        block = F.size(
+            F.filter(
+                F.array(*[F.lit(b) for b in bounds]), lambda b: b < F.col("v")
+            )
+        )
+    else:
+        block = F.lit(0)
+    off = (
+        F.element_at(
+            F.create_map(
+                *[F.lit(x) for i, o in enumerate(offsets) for x in (i, o)]
+            ),
+            F.col("block"),
+        )
+        if offsets
+        else F.lit(0)
+    )
+    w = (
+        Window.partitionBy("block")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    vtot = (
+        vtot.withColumn("block", block)
+        .withColumn(
+            "cnt_lt",
+            (off + F.coalesce(F.sum("cnt_eq").over(w), F.lit(0))).cast("long"),
+        )
+        .drop("block")
+    )
+    # 2*rank_avg(v) = 2*cnt_lt + cnt_eq + 1  (integer)
+    joined = cells.join(F.broadcast(vtot), "v")
+    # rank sums reach ~N^2: accumulate 2R in decimal(38,0) (exact, loud on
+    # overflow) rather than bigint (silent wrap past ~3e9 rows); the final
+    # u2 column is long — past ~3e9 rows/group use z, the calibrated form.
+    per_group = joined.groupBy("g").agg(
+        F.sum("o").alias("n_group"),
+        F.sum(
+            (
+                F.col("o") * (F.lit(2) * F.col("cnt_lt") + F.col("cnt_eq") + F.lit(1))
+            ).cast("decimal(38,0)")
+        ).alias("two_r"),
+    )
+    n_all = vtot.agg(
+        F.sum("cnt_eq").alias("n_all"),
+        # tie correction in double: cnt_eq^3 exceeds bigint past ~2e6 rows
+        # per tied value, and the correction feeds only the (rounded) z
+        F.sum(
+            F.col("cnt_eq").cast("double") ** 3 - F.col("cnt_eq").cast("double")
+        ).alias("tie_sum"),
+    )
+    out = per_group.crossJoin(F.broadcast(n_all))
+    n_g, n_r = F.col("n_group"), F.col("n_all") - F.col("n_group")
+    u2dec = (
+        F.col("two_r")
+        - n_g.cast("decimal(38,0)") * (n_g + F.lit(1)).cast("decimal(38,0)")
+    )
+    u2 = u2dec.cast("long")
+    mu2 = n_g.cast("double") * n_r.cast("double")  # 2*mean(U); double: n_g*n_r overflows bigint at 10^12
+    var = (
+        n_g.cast("double") * n_r.cast("double") / F.lit(12.0)
+        * (
+            (F.col("n_all") + F.lit(1)).cast("double")
+            - F.col("tie_sum").cast("double")
+            / (F.col("n_all").cast("double") * (F.col("n_all") - F.lit(1)).cast("double"))
+        )
+    )
+    z = F.when(
+        (n_g > 0) & (n_r > 0) & (var > 0),
+        (u2dec.cast("double") - mu2) / (F.lit(2.0) * F.sqrt(var)),
+    )
+    return out.select(
+        F.col("g").alias(group_col),
+        u2.alias("u2"),
+        n_g.cast("long").alias("n_group"),
+        n_r.cast("long").alias("n_rest"),
+        z.alias("z"),
+    )

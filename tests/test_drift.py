@@ -187,3 +187,68 @@ def test_psi_attribution_top_k_and_plan(spark):
     full = psi_attribution(df, baseline)
     plan = full._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") <= 2  # one partial/final agg pair, no union fan-out
+
+
+def test_chi2_homogeneity(spark):
+    from baskerville_spark.checks.drift import chi2_homogeneity
+
+    # identical mixes in every group -> chi2 exactly 0
+    same = spark.createDataFrame(
+        [("g1", "x")] * 2 + [("g1", "y")] * 2
+        + [("g2", "x")] * 2 + [("g2", "y")] * 2,
+        "g string, c string",
+    )
+    out = {r["g"]: r for r in chi2_homogeneity(same, "g", "c").collect()}
+    assert out["g1"]["chi2"] == 0.0 and out["g2"]["chi2"] == 0.0
+    assert out["g1"]["dof"] == 1
+
+    # zero-cell restoration: g1 never shows 'y' — the absent cell must
+    # still contribute its expected mass. 2x2 table [[4,0],[2,2]]:
+    # chi2 = 1/3 + 1 + 1/3 + 1 = 8/3 (hand-computed), symmetric for both.
+    skew = spark.createDataFrame(
+        [("g1", "x")] * 4 + [("g2", "x")] * 2 + [("g2", "y")] * 2,
+        "g string, c string",
+    )
+    out = {r["g"]: r for r in chi2_homogeneity(skew, "g", "c").collect()}
+    assert abs(out["g1"]["chi2"] - 8.0 / 3.0) < 1e-12
+    assert abs(out["g2"]["chi2"] - 8.0 / 3.0) < 1e-12
+    assert out["g1"]["n_group"] == 4 and out["g1"]["n_rest"] == 4
+
+    # threshold wrapper emits the verdict column
+    v = {r["g"]: r for r in
+         chi2_homogeneity(skew, "g", "c", threshold=3.84).collect()}
+    assert v["g1"]["passed"] is True  # 8/3 < 3.84 (chi2_0.95, dof 1)
+
+
+def test_mannwhitney_u(spark):
+    from baskerville_spark.checks.drift import mannwhitney_u
+
+    # no ties: A=[1,2,3] B=[4,5,6] -> U_A=0 (A never wins), U_B=9;
+    # u2 is 2*U exactly; z antisymmetric and negative for the low group
+    df = spark.createDataFrame(
+        [("A", 1.0), ("A", 2.0), ("A", 3.0),
+         ("B", 4.0), ("B", 5.0), ("B", 6.0)],
+        "g string, v double",
+    )
+    out = {r["g"]: r for r in mannwhitney_u(df, "g", "v").collect()}
+    assert out["A"]["u2"] == 0 and out["B"]["u2"] == 18
+    assert out["A"]["n_group"] == 3 and out["A"]["n_rest"] == 3
+    assert out["A"]["z"] < 0 < out["B"]["z"]
+    assert abs(out["A"]["z"] + out["B"]["z"]) < 1e-12
+
+    # ties via average ranks: A=[1,1,2] B=[1,2,2] -> U_A = #(a>b) + ties/2
+    # = 1 + 4/2 = 3 (hand-enumerated 9 pairs), so u2_A=6; U_A+U_B=n1*n2=9
+    ties = spark.createDataFrame(
+        [("A", 1.0), ("A", 1.0), ("A", 2.0),
+         ("B", 1.0), ("B", 2.0), ("B", 2.0)],
+        "g string, v double",
+    )
+    out = {r["g"]: r for r in mannwhitney_u(ties, "g", "v").collect()}
+    assert out["A"]["u2"] == 6 and out["B"]["u2"] == 12
+
+    # NULL values are excluded from ranking, not ranked as a value
+    withnull = spark.createDataFrame(
+        [("A", 1.0), ("A", None), ("B", 2.0)], "g string, v double"
+    )
+    out = {r["g"]: r for r in mannwhitney_u(withnull, "g", "v").collect()}
+    assert out["A"]["n_group"] == 1 and out["A"]["u2"] == 0

@@ -8921,3 +8921,112 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
     out["q132_chi2_mix"] = _Q132_SQL
     out["q133_mannwhitney"] = _Q133_SQL
     return _reorder_for_driver(out)
+
+
+# --------------------------------------------------------------------------
+# q134: stereo channel-balance QA vs exact closed forms — dead channels,
+# polarity flips and fake stereo are invisible to every mono stat. 300
+# synthesized interleaved ±square-wave channel pairs: constant magnitudes
+# make RMS exact (sqrt(a^2)=a in IEEE), alternating signs make the means
+# exactly zero, and the four planted cases have closed-form correlation
+# (+1 in-phase, −1 inverted, 0 quadrature-square, NULL dead channel).
+# The measurement path is the REAL one (encode pcm_s16le, Arrow decode,
+# deinterleave, Pearson); correlation is ROUND(,6)-pinned to ±1/0 and the
+# dB balance is a |measured−analytic|<1e-9 bounded verdict (libm log10
+# may differ in the last ulp between numpy and the JVM — the q83 pattern).
+# --------------------------------------------------------------------------
+
+
+def q134_channel_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from baskerville_spark.functions.audio_quality import audio_channel_balance
+
+    def synth(batches):
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for i in pdf["id"]:
+                i = int(i)
+                a = 400 + (i * 31) % 2000
+                b = 300 + (i * 17) % 1500
+                nf = 160 + (i % 5) * 32  # divisible by 4: full ± periods
+                s2 = np.tile(np.array([1, -1], np.int64), nf // 2)
+                cs = i % 4
+                left = a * s2
+                if cs == 0:
+                    right = b * s2
+                elif cs == 1:
+                    right = -b * s2
+                elif cs == 2:
+                    right = b * np.tile(
+                        np.array([1, 1, -1, -1], np.int64), nf // 4
+                    )
+                else:
+                    right = np.zeros(nf, np.int64)
+                x = np.empty(nf * 2, dtype="<i2")
+                x[0::2] = left
+                x[1::2] = right
+                out.append(
+                    {
+                        "part_id": i % 4,
+                        "clip_id": f"st_{i:06d}",
+                        "bytes": x.tobytes(),
+                        "codec": "pcm_s16le",
+                        "a": a,
+                        "b": b,
+                        "cs": cs,
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    clips = spark.range(300).mapInPandas(
+        synth,
+        schema="part_id int, clip_id string, bytes binary, codec string,"
+        " a int, b int, cs int",
+    )
+    bal = audio_channel_balance(clips).join(
+        clips.select("clip_id", "a", "b", "cs"), "clip_id"
+    )
+    expected = F.lit(20.0) * (
+        F.log10(F.col("a") / F.lit(32768.0))
+        - F.log10(F.col("b") / F.lit(32768.0))
+    )
+    return bal.select(
+        "clip_id",
+        "n_frames",
+        F.round("corr_lr", 6).alias("corr_r6"),
+        F.when(F.col("cs") == 3, F.lit(None).cast("boolean"))
+        .otherwise(F.abs(F.col("balance_db") - expected) < 1e-9)
+        .alias("ok_balance"),
+    )
+
+
+_Q134_SQL = """
+WITH idx AS (SELECT unnest(generate_series(0, 299)) AS i)
+SELECT printf('st_%06d', i) AS clip_id,
+       CAST(160 + (i % 5) * 32 AS BIGINT) AS n_frames,
+       CAST(CASE i % 4 WHEN 0 THEN 1.0 WHEN 1 THEN -1.0
+                       WHEN 2 THEN 0.0 ELSE NULL END AS DOUBLE) AS corr_r6,
+       CASE WHEN i % 4 = 3 THEN NULL ELSE TRUE END AS ok_balance
+FROM idx
+"""
+
+
+_prev_queries_q134 = queries
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    out = _prev_queries_q134()
+    out["q134_channel_balance"] = q134_channel_balance
+    return _reorder_for_driver(out)
+
+
+_prev_oracles_q134 = oracle_sql
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = _prev_oracles_q134()
+    out["q134_channel_balance"] = _Q134_SQL
+    return _reorder_for_driver(out)

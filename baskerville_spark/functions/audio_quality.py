@@ -915,3 +915,103 @@ def audio_vad_stats(
     _require_cols(clips, ("clip_id", "bytes", "codec"))
     cols = [c for c in ("clip_id", "bytes", "codec") if c in clips.columns]
     return clips.select(*cols).mapInArrow(_vad, schema=VAD_SCHEMA)
+
+
+BALANCE_SCHEMA = T.StructType(
+    [
+        T.StructField("part_id", T.IntegerType(), True),
+        T.StructField("clip_id", T.StringType(), False),
+        T.StructField("decode_ok", T.BooleanType(), False),
+        T.StructField("n_frames", T.LongType(), True),
+        T.StructField("rms_l_dbfs", T.DoubleType(), True),
+        T.StructField("rms_r_dbfs", T.DoubleType(), True),
+        T.StructField("balance_db", T.DoubleType(), True),
+        T.StructField("corr_lr", T.DoubleType(), True),
+    ]
+)
+
+_ARROW_BAL = pa.schema(
+    [
+        pa.field("part_id", pa.int32()),
+        pa.field("clip_id", pa.string()),
+        pa.field("decode_ok", pa.bool_()),
+        pa.field("n_frames", pa.int64()),
+        pa.field("rms_l_dbfs", pa.float64()),
+        pa.field("rms_r_dbfs", pa.float64()),
+        pa.field("balance_db", pa.float64()),
+        pa.field("corr_lr", pa.float64()),
+    ]
+)
+
+
+def audio_channel_balance(clips: DataFrame, n_channels: int = 2) -> DataFrame:
+    """Stereo QA over interleaved multi-channel payloads: per-clip L/R RMS
+    (dBFS), ``balance_db`` (= rms_l_dbfs − rms_r_dbfs) and ``corr_lr``
+    (Pearson correlation of the first two channels). The stereo-ingest
+    failure screen mono stats can't see: a dead/near-dead channel
+    (balance_db blows up, rms NULL when silent), a polarity flip
+    (corr ≈ −1), and fake stereo (mono duplicated into both channels,
+    corr ≈ +1 with balance ≈ 0). Channels beyond the first two are
+    ignored for the pair metrics; a trailing partial frame is truncated
+    (same tolerant-reader rule as audio_downmix). Silent channels emit
+    NULL dBFS (never −inf); zero-variance channels emit NULL corr (the
+    statistic is undefined, not 0).
+
+    One Arrow decode pass, narrow rows out. Reference seam: Baskerville
+    has no audio-signal operators; from-scratch for the audio graft cell,
+    gated analytically (q134: ±square-wave channel pairs whose RMS,
+    balance and correlation are exact closed forms).
+    """
+    _require_cols(clips, ("clip_id", "bytes", "codec"))
+
+    def _bal(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            payloads = b.column(b.schema.get_field_index("bytes"))
+            codecs = b.column(b.schema.get_field_index("codec")).to_pylist()
+            clip_ids = b.column(b.schema.get_field_index("clip_id")).to_pylist()
+            part_ids = _opt_part_ids(b)
+            n = len(b)
+            oks = [False] * n
+            frames: list[int | None] = [None] * n
+            rls: list[float | None] = [None] * n
+            rrs: list[float | None] = [None] * n
+            bals: list[float | None] = [None] * n
+            corrs: list[float | None] = [None] * n
+            for i in range(n):
+                pv = payloads[i]
+                payload = pv.as_py() if pv.is_valid else None
+                pcm = audio.decode(payload, codecs[i]) if payload is not None else None
+                if pcm is None or len(pcm) < n_channels:
+                    continue
+                oks[i] = True
+                nf = len(pcm) // n_channels
+                x = pcm[: nf * n_channels].astype(np.float64).reshape(nf, n_channels)
+                left, right = x[:, 0], x[:, 1]
+                frames[i] = int(nf)
+                rms_l = float(np.sqrt((left * left).mean()))
+                rms_r = float(np.sqrt((right * right).mean()))
+                db_l = 20.0 * np.log10(rms_l / FULL_SCALE) if rms_l > 0 else None
+                db_r = 20.0 * np.log10(rms_r / FULL_SCALE) if rms_r > 0 else None
+                rls[i], rrs[i] = db_l, db_r
+                if db_l is not None and db_r is not None:
+                    bals[i] = db_l - db_r
+                lc, rc = left - left.mean(), right - right.mean()
+                den = float(np.sqrt((lc * lc).sum() * (rc * rc).sum()))
+                if den > 0:
+                    corrs[i] = float((lc * rc).sum() / den)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    part_ids,
+                    pa.array(clip_ids, pa.string()),
+                    pa.array(oks, pa.bool_()),
+                    pa.array(frames, pa.int64()),
+                    pa.array(rls, pa.float64()),
+                    pa.array(rrs, pa.float64()),
+                    pa.array(bals, pa.float64()),
+                    pa.array(corrs, pa.float64()),
+                ],
+                schema=_ARROW_BAL,
+            )
+
+    cols = [c for c in ("part_id", "clip_id", "bytes", "codec") if c in clips.columns]
+    return clips.select(*cols).mapInArrow(_bal, schema=BALANCE_SCHEMA)

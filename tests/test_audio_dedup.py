@@ -611,3 +611,48 @@ def test_audio_dc_offset(spark):
         [("c1", bytearray(pcm))], "clip_id string, bytes binary")
     with pytest.raises(ValueError, match="missing required column"):
         audio_dc_offset(no_codec)
+
+
+def test_audio_channel_balance(spark):
+    from baskerville_spark.functions.audio_quality import audio_channel_balance
+
+    def interleave(l_ch, r_ch):
+        x = np.empty(len(l_ch) * 2, dtype="<i2")
+        x[0::2], x[1::2] = l_ch, r_ch
+        return x.tobytes()
+
+    s = np.tile(np.array([1, -1], np.int64), 50)
+    rows = [
+        # fake stereo: identical channels -> corr 1, balance exactly 0
+        Row(part_id=0, clip_id="fake", bytes=interleave(1000 * s, 1000 * s),
+            codec="pcm_s16le"),
+        # polarity flip -> corr -1
+        Row(part_id=0, clip_id="flip", bytes=interleave(1000 * s, -800 * s),
+            codec="pcm_s16le"),
+        # dead right channel -> rms_r/balance/corr all NULL
+        Row(part_id=1, clip_id="dead",
+            bytes=interleave(1000 * s, np.zeros(100, np.int64)),
+            codec="pcm_s16le"),
+        # trailing partial frame truncated (odd sample count)
+        Row(part_id=1, clip_id="odd",
+            bytes=interleave(500 * s, 500 * s)[:-2], codec="pcm_s16le"),
+        Row(part_id=1, clip_id="bad", bytes=b"x", codec="flac"),
+    ]
+    out = {r["clip_id"]: r for r in
+           audio_channel_balance(spark.createDataFrame(rows)).collect()}
+    assert abs(out["fake"]["corr_lr"] - 1.0) < 1e-12
+    assert out["fake"]["balance_db"] == 0.0
+    assert abs(out["flip"]["corr_lr"] + 1.0) < 1e-12
+    assert out["flip"]["balance_db"] > 0  # left louder than right
+    assert out["dead"]["rms_l_dbfs"] is not None
+    assert out["dead"]["rms_r_dbfs"] is None
+    assert out["dead"]["balance_db"] is None and out["dead"]["corr_lr"] is None
+    assert out["odd"]["n_frames"] == 99  # 199 samples -> 99 full frames
+    assert out["bad"]["decode_ok"] is False
+
+    import pytest
+
+    no_codec = spark.createDataFrame(
+        [("c1", bytearray(b"aa"))], "clip_id string, bytes binary")
+    with pytest.raises(ValueError, match="missing required column"):
+        audio_channel_balance(no_codec)

@@ -9030,3 +9030,74 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
     out = _prev_oracles_q134()
     out["q134_channel_balance"] = _Q134_SQL
     return _reorder_for_driver(out)
+
+
+# --------------------------------------------------------------------------
+# q135: Zipf power-law fit of the corpus token-frequency curve — the
+# one-number corpus-health screen (template floods flatten the slope,
+# broken dedup steepens it, low r² flags mismatched source mixtures).
+# Spark plan: ONE explode→groupBy(token) full-data pass (map-side
+# combined), TakeOrdered top-k, then the rank window + OLS sums run on a
+# frame bounded by top_k — never the vocabulary. Oracle: the identical
+# OLS restated in SQL over the identical deterministic ranking
+# (count DESC, token ASC); slope/intercept/r2 ROUND(,6) in both engines
+# (float sum order across the 500 fit points differs; ln() libm may
+# differ in the last ulp — 1e-6 rounding absorbs both).
+# --------------------------------------------------------------------------
+
+
+def q135_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from baskerville_spark.functions.text import zipf_fit
+
+    docs = _t(spark, sf_dir, "documents")
+    out = zipf_fit(docs, "text", top_k=500)
+    return out.select(
+        "n_ranked",
+        F.round("slope", 6).alias("slope"),
+        F.round("intercept", 6).alias("intercept"),
+        F.round("r2", 6).alias("r2"),
+    )
+
+
+_Q135_SQL = """
+WITH tok AS (
+  SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+  FROM documents),
+tok2 AS (SELECT token FROM tok WHERE token <> ''),
+top AS (
+  SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, token ASC) AS r
+  FROM (SELECT token, COUNT(*) AS cnt FROM tok2 GROUP BY token)
+  ORDER BY cnt DESC, token ASC LIMIT 500),
+s AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         SUM(LN(r)) AS sx, SUM(LN(cnt)) AS sy,
+         SUM(LN(r) * LN(cnt)) AS sxy,
+         SUM(LN(r) * LN(r)) AS sxx,
+         SUM(LN(cnt) * LN(cnt)) AS syy
+  FROM top)
+SELECT CAST(n AS BIGINT) AS n_ranked,
+       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+       ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+         AS intercept,
+       ROUND((n * sxy - sx * sy) * (n * sxy - sx * sy)
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+FROM s
+"""
+
+
+_prev_queries_q135 = queries
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    out = _prev_queries_q135()
+    out["q135_zipf_fit"] = q135_zipf_fit
+    return _reorder_for_driver(out)
+
+
+_prev_oracles_q135 = oracle_sql
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = _prev_oracles_q135()
+    out["q135_zipf_fit"] = _Q135_SQL
+    return _reorder_for_driver(out)

@@ -988,3 +988,35 @@ def test_dedup_lines(spark):
     assert got[2]["text_out"] == "keep two\n"
     assert got[2]["n_lines_removed"] == 1
     assert 3 not in got  # every line owned elsewhere → dropped like C4
+
+
+def test_zipf_fit(spark):
+    from baskerville_spark.functions.text import zipf_fit
+
+    # two-point OLS is an exact fit: counts (4, 2) at ranks (1, 2) give
+    # slope = (ln2 - ln4)/(ln2 - ln1) = -1 and r2 = 1
+    two = spark.createDataFrame(
+        [("a a a a b b",)], "text string"
+    )
+    r = zipf_fit(two, "text").collect()[0]
+    assert r["n_ranked"] == 2
+    assert abs(r["slope"] + 1.0) < 1e-12
+    assert abs(r["r2"] - 1.0) < 1e-12
+
+    # numpy cross-check on a non-trivial curve + deterministic tie-break
+    docs = spark.createDataFrame(
+        [("x x x x x y y y z z w",)], "text string"
+    )
+    out = zipf_fit(docs, "text").collect()[0]
+    cnt = np.array([5.0, 3.0, 2.0, 1.0])  # x, y, z, w (ties: none)
+    lx, ly = np.log(np.arange(1, 5, dtype=float)), np.log(cnt)
+    slope, intercept = np.polyfit(lx, ly, 1)
+    assert abs(out["slope"] - slope) < 1e-9
+    assert abs(out["intercept"] - intercept) < 1e-9
+
+    # top_k truncates the fit frame; single-point fit is undefined -> NULL
+    top2 = zipf_fit(docs, "text", top_k=2).collect()[0]
+    assert top2["n_ranked"] == 2
+    one = spark.createDataFrame([("solo solo",)], "text string")
+    r1 = zipf_fit(one, "text").collect()[0]
+    assert r1["n_ranked"] == 1 and r1["slope"] is None and r1["r2"] is None

@@ -9101,3 +9101,75 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
     out = _prev_oracles_q135()
     out["q135_zipf_fit"] = _Q135_SQL
     return _reorder_for_driver(out)
+
+
+# --------------------------------------------------------------------------
+# q136: Spearman rank correlation (average-rank tie handling) — the
+# metadata-consistency association check: monotone physical relationships
+# (dur_ms vs payload bytes; here quantity vs extended price) must hold in
+# RANKS regardless of the nonlinearity, so a weak rho flags mislabeled
+# codecs/corrupt metadata that Pearson (distorted by the curve itself)
+# and per-row bounds (blind to association) both miss. Spark plan: one
+# value-domain count aggregate per column + the SHARED two-phase prefix
+# sum (_prefix_counts), integer 2*avg_rank maps joined back, ONE Pearson
+# aggregate over rank pairs. Oracle: identical average-rank construction
+# in SQL; at gate scale every rank sum is an exact integer in float64,
+# ROUND(,6) absorbs engine-side expression-shape differences.
+# --------------------------------------------------------------------------
+
+
+def q136_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from baskerville_spark.checks.drift import spearman_corr
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = spearman_corr(li, "l_quantity", "l_extendedprice")
+    return out.select("n", F.round("rho", 6).alias("rho"))
+
+
+_Q136_SQL = """
+WITH x AS (
+  SELECT l_quantity AS a, l_extendedprice AS b FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+ra AS (
+  SELECT v, 2 * cnt_lt + cnt_eq + 1 AS r2 FROM (
+    SELECT v, cnt_eq,
+           COALESCE(SUM(cnt_eq) OVER (ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cnt_lt
+    FROM (SELECT a AS v, COUNT(*) AS cnt_eq FROM x GROUP BY a))),
+rb AS (
+  SELECT v, 2 * cnt_lt + cnt_eq + 1 AS r2 FROM (
+    SELECT v, cnt_eq,
+           COALESCE(SUM(cnt_eq) OVER (ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cnt_lt
+    FROM (SELECT b AS v, COUNT(*) AS cnt_eq FROM x GROUP BY b))),
+j AS (
+  SELECT CAST(ra.r2 AS DOUBLE) AS xa, CAST(rb.r2 AS DOUBLE) AS xb
+  FROM x JOIN ra ON x.a = ra.v JOIN rb ON x.b = rb.v),
+s AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         SUM(xa) AS sa, SUM(xb) AS sb, SUM(xa * xb) AS sab,
+         SUM(xa * xa) AS saa, SUM(xb * xb) AS sbb
+  FROM j)
+SELECT CAST(n AS BIGINT) AS n,
+       ROUND((n * sab - sa * sb)
+             / SQRT((n * saa - sa * sa) * (n * sbb - sb * sb)), 6) AS rho
+FROM s
+"""
+
+
+_prev_queries_q136 = queries
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    out = _prev_queries_q136()
+    out["q136_spearman"] = q136_spearman
+    return _reorder_for_driver(out)
+
+
+_prev_oracles_q136 = oracle_sql
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = _prev_oracles_q136()
+    out["q136_spearman"] = _Q136_SQL
+    return _reorder_for_driver(out)

@@ -581,51 +581,21 @@ def chi2_homogeneity(
     return out
 
 
-def mannwhitney_u(
-    df: DataFrame,
-    group_col: str,
-    value_col: str,
-) -> DataFrame:
-    """Per-group Mann-Whitney U (Wilcoxon rank-sum) of the group's values
-    vs the REST of the table, ties handled by average ranks with the
-    standard tie-corrected normal approximation.
+def _prefix_counts(vtot: DataFrame) -> DataFrame:
+    """Append ``cnt_lt`` (count of occurrences with a strictly smaller
+    value) to a ``(v, cnt_eq)`` value-count frame — the average-rank
+    ingredient shared by the rank statistics (2*avg_rank(v) = 2*cnt_lt +
+    cnt_eq + 1, integer).
 
-    Output per group: ``(group, u2, n_group, n_rest, z)`` where ``u2`` is
-    the EXACT integer 2*U (average ranks end in .5, so U itself may be a
-    half-integer; 2U = sum over group values of cnt_g(v) * (2*cnt_lt(v)
-    + cnt_eq(v) + 1) - n_g*(n_g+1) is pure bigint arithmetic — no float
-    in the statistic) and ``z`` = (U - n_g*n_r/2) / sigma with
-    sigma^2 = n_g*n_r/12 * ((N+1) - sum(t^3-t)/(N*(N-1))).
-
-    The rank-based mean-shift test for ordinal/heavy-tailed columns where
-    a t-test's normality assumption fails (dur_ms, bytes-per-second) —
-    the classical complement to the binned KS (which tests shape, with
-    binning error) on exact ranks.
-
-    Scale: ranks are NEVER materialized per row — the pass is
-    groupBy(value) conditional counts (one shuffle on the value domain),
-    then cumulative counts over the (value,) cell frame. A 10^12-row
-    table with a bounded value domain (durations in ms, sample rates)
-    reduces to |domain| cells; the value-domain prefix sum itself is the
-    two-phase distributed form (range blocks + collected block offsets,
-    the functions/packing.py pattern — deterministic block membership
-    from collected max-value bounds, NO single-task global window), so a
-    continuous column with ~n distinct values still works: quantize first
-    only if you want fewer cells, not because the plan requires it.
+    Two-phase distributed prefix sum: ONE job over the range exchange
+    collects per-block totals AND per-block max-value bounds; block
+    membership of the returned frame is then a deterministic function of
+    v (never a second, possibly differently sampled, range exchange —
+    the functions/packing.py round-4 advisor lesson). NO single-task
+    global window, so an unbounded/continuous value domain still works.
     """
     from pyspark.sql import Window
 
-    cells = (
-        df.where(F.col(value_col).isNotNull())
-        .groupBy(F.col(value_col).alias("v"), F.col(group_col).alias("g"))
-        .agg(F.count(F.lit(1)).alias("o"))
-    )
-    vtot = cells.groupBy("v").agg(F.sum("o").alias("cnt_eq"))
-    # two-phase distributed prefix sum over the value domain: ONE job over
-    # the range exchange collects per-block totals AND per-block max-value
-    # bounds; block membership of the returned frame is then a
-    # deterministic function of v (never a second, possibly differently
-    # sampled, range exchange — the packing.py round-4 advisor lesson).
     n_blocks = vtot.sparkSession.sparkContext.defaultParallelism
     ranged = vtot.repartitionByRange(n_blocks, "v").withColumn(
         "block", F.spark_partition_id()
@@ -665,13 +635,55 @@ def mannwhitney_u(
         .orderBy("v")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    vtot = (
+    return (
         vtot.withColumn("block", block)
         .withColumn(
             "cnt_lt",
             (off + F.coalesce(F.sum("cnt_eq").over(w), F.lit(0))).cast("long"),
         )
         .drop("block")
+    )
+
+
+def mannwhitney_u(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-group Mann-Whitney U (Wilcoxon rank-sum) of the group's values
+    vs the REST of the table, ties handled by average ranks with the
+    standard tie-corrected normal approximation.
+
+    Output per group: ``(group, u2, n_group, n_rest, z)`` where ``u2`` is
+    the EXACT integer 2*U (average ranks end in .5, so U itself may be a
+    half-integer; 2U = sum over group values of cnt_g(v) * (2*cnt_lt(v)
+    + cnt_eq(v) + 1) - n_g*(n_g+1) is pure bigint arithmetic — no float
+    in the statistic) and ``z`` = (U - n_g*n_r/2) / sigma with
+    sigma^2 = n_g*n_r/12 * ((N+1) - sum(t^3-t)/(N*(N-1))).
+
+    The rank-based mean-shift test for ordinal/heavy-tailed columns where
+    a t-test's normality assumption fails (dur_ms, bytes-per-second) —
+    the classical complement to the binned KS (which tests shape, with
+    binning error) on exact ranks.
+
+    Scale: ranks are NEVER materialized per row — the pass is
+    groupBy(value) conditional counts (one shuffle on the value domain),
+    then cumulative counts over the (value,) cell frame. A 10^12-row
+    table with a bounded value domain (durations in ms, sample rates)
+    reduces to |domain| cells; the value-domain prefix sum itself is the
+    two-phase distributed form (range blocks + collected block offsets,
+    the functions/packing.py pattern — deterministic block membership
+    from collected max-value bounds, NO single-task global window), so a
+    continuous column with ~n distinct values still works: quantize first
+    only if you want fewer cells, not because the plan requires it.
+    """
+    cells = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(F.col(value_col).alias("v"), F.col(group_col).alias("g"))
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    vtot = _prefix_counts(
+        cells.groupBy("v").agg(F.sum("o").alias("cnt_eq"))
     )
     # 2*rank_avg(v) = 2*cnt_lt + cnt_eq + 1  (integer)
     joined = cells.join(F.broadcast(vtot), "v")
@@ -721,3 +733,61 @@ def mannwhitney_u(
         n_r.cast("long").alias("n_rest"),
         z.alias("z"),
     )
+
+
+def spearman_corr(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Spearman rank correlation of two numeric columns (average ranks
+    for ties — the exact tie-correct form, not the n(n²−1)/6 shortcut,
+    which is wrong under ties).
+
+    One row out: ``(n, rho)``. The metadata-consistency association
+    check: monotone physical relationships (dur_ms vs payload bytes,
+    n_samples vs dur_ms) must hold in RANKS regardless of codec
+    compression curves — a weak rho flags mislabeled codecs or corrupt
+    metadata where Pearson (distorted by the nonlinearity itself) and
+    per-row bounds (blind to association) both miss.
+
+    Plan: rows with either side NULL are excluded (pairwise-complete);
+    each column gets ONE value-domain count aggregate + the shared
+    two-phase prefix sum (_prefix_counts — no single-task window); the
+    integer 2*avg_rank maps join back (shuffle on the value domains,
+    broadcast-eligible when bounded) and ONE final aggregate computes the
+    Pearson sums over the rank pairs in double (rank sums reach ~n³ —
+    past bigint at 10^12 rows; rho is a ratio, so double is the honest
+    accumulator at every scale).
+    """
+    pairs = df.where(
+        F.col(col_a).isNotNull() & F.col(col_b).isNotNull()
+    ).select(F.col(col_a).alias("__a"), F.col(col_b).alias("__b"))
+    ranks = {}
+    for side in ("__a", "__b"):
+        vtot = _prefix_counts(
+            pairs.groupBy(F.col(side).alias("v")).agg(
+                F.count(F.lit(1)).alias("cnt_eq")
+            )
+        )
+        # 2*avg_rank(v): exact integer; Pearson is scale-invariant, so
+        # correlating the doubled ranks gives rho exactly
+        ranks[side] = vtot.select(
+            F.col("v").alias(side),
+            (F.lit(2) * F.col("cnt_lt") + F.col("cnt_eq") + F.lit(1))
+            .cast("double")
+            .alias(f"r{side}"),
+        )
+    ranked = pairs.join(ranks["__a"], "__a").join(ranks["__b"], "__b")
+    ra, rb = F.col("r__a"), F.col("r__b")
+    s = ranked.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(ra).alias("sa"),
+        F.sum(rb).alias("sb"),
+        F.sum(ra * rb).alias("sab"),
+        F.sum(ra * ra).alias("saa"),
+        F.sum(rb * rb).alias("sbb"),
+    )
+    n, sa, sb = F.col("n"), F.col("sa"), F.col("sb")
+    sab, saa, sbb = F.col("sab"), F.col("saa"), F.col("sbb")
+    cov_n = n * sab - sa * sb
+    var_a = n * saa - sa * sa
+    var_b = n * sbb - sb * sb
+    rho = F.when((var_a > 0) & (var_b > 0), cov_n / F.sqrt(var_a * var_b))
+    return s.select(n.cast("long").alias("n"), rho.alias("rho"))

@@ -252,3 +252,48 @@ def test_mannwhitney_u(spark):
     )
     out = {r["g"]: r for r in mannwhitney_u(withnull, "g", "v").collect()}
     assert out["A"]["n_group"] == 1 and out["A"]["u2"] == 0
+
+
+def test_spearman_corr(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from baskerville_spark.checks.drift import spearman_corr
+
+    # strictly monotone (nonlinear) -> rho exactly 1; reversed -> -1
+    mono = spark.createDataFrame(
+        [(1.0, 10.0), (2.0, 40.0), (3.0, 90.0), (4.0, 1000.0)],
+        "a double, b double",
+    )
+    r = spearman_corr(mono, "a", "b").collect()[0]
+    assert r["n"] == 4 and abs(r["rho"] - 1.0) < 1e-12
+    rev = spearman_corr(
+        mono.withColumn("b", -F.col("b")), "a", "b").collect()[0]
+    assert abs(rev["rho"] + 1.0) < 1e-12
+
+    # ties via average ranks: numpy cross-check of the exact tie-correct
+    # form (pearson of average ranks), not the n(n^2-1)/6 shortcut
+    a = [1.0, 1.0, 2.0, 3.0, 3.0, 4.0]
+    b = [5.0, 7.0, 7.0, 9.0, 8.0, 8.0]
+    def avg_ranks(xs):
+        xs = np.asarray(xs)
+        return np.array(
+            [(xs < x).sum() + ((xs == x).sum() + 1) / 2.0 for x in xs])
+    ra, rb = avg_ranks(a), avg_ranks(b)
+    expected = np.corrcoef(ra, rb)[0, 1]
+    ties = spark.createDataFrame(list(zip(a, b)), "a double, b double")
+    out = spearman_corr(ties, "a", "b").collect()[0]
+    assert abs(out["rho"] - expected) < 1e-12
+
+    # pairwise-complete: NULL on either side drops the pair; constant
+    # column -> zero rank variance -> rho NULL (undefined, not 0)
+    withnull = spark.createDataFrame(
+        [(1.0, 1.0), (2.0, None), (None, 3.0), (4.0, 2.0)],
+        "a double, b double",
+    )
+    out = spearman_corr(withnull, "a", "b").collect()[0]
+    assert out["n"] == 2 and abs(out["rho"] - 1.0) < 1e-12
+    const = spark.createDataFrame(
+        [(1.0, 5.0), (2.0, 5.0)], "a double, b double")
+    out = spearman_corr(const, "a", "b").collect()[0]
+    assert out["rho"] is None

@@ -8826,6 +8826,7 @@ def q132_chi2_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dof",
         "n_group",
         "n_rest",
+        F.round("cramers_v", 6).alias("cramers_v"),
     )
 
 
@@ -8840,20 +8841,26 @@ filled AS (
   SELECT gt.g, ct.c, gt.n_group, ct.c_tot, n.n_all,
          COALESCE(cells.o, 0) AS o
   FROM grp_tot gt CROSS JOIN cat_tot ct CROSS JOIN n
-  LEFT JOIN cells ON cells.g = gt.g AND cells.c = ct.c)
+  LEFT JOIN cells ON cells.g = gt.g AND cells.c = ct.c),
+raw AS (
+  SELECT g, n_group, n_all,
+         SUM(
+           POWER(o - n_group * c_tot / CAST(n_all AS DOUBLE), 2)
+             / (n_group * c_tot / CAST(n_all AS DOUBLE))
+           + POWER((c_tot - o)
+                   - (n_all - n_group) * c_tot / CAST(n_all AS DOUBLE), 2)
+             / ((n_all - n_group) * c_tot / CAST(n_all AS DOUBLE))
+         ) AS chi2,
+         CAST(COUNT(*) - 1 AS INT) AS dof
+  FROM filled
+  GROUP BY g, n_group, n_all)
 SELECT g AS l_linenumber,
-       ROUND(SUM(
-         POWER(o - n_group * c_tot / CAST(n_all AS DOUBLE), 2)
-           / (n_group * c_tot / CAST(n_all AS DOUBLE))
-         + POWER((c_tot - o)
-                 - (n_all - n_group) * c_tot / CAST(n_all AS DOUBLE), 2)
-           / ((n_all - n_group) * c_tot / CAST(n_all AS DOUBLE))
-       ), 6) AS chi2,
-       CAST(COUNT(*) - 1 AS INT) AS dof,
+       ROUND(chi2, 6) AS chi2,
+       dof,
        CAST(n_group AS BIGINT) AS n_group,
-       CAST(n_all - n_group AS BIGINT) AS n_rest
-FROM filled
-GROUP BY g, n_group, n_all
+       CAST(n_all - n_group AS BIGINT) AS n_rest,
+       ROUND(SQRT(chi2 / n_all), 6) AS cramers_v
+FROM raw
 """
 
 
@@ -9172,4 +9179,73 @@ _prev_oracles_q136 = oracle_sql
 def oracle_sql() -> dict[str, str]:  # noqa: F811
     out = _prev_oracles_q136()
     out["q136_spearman"] = _Q136_SQL
+    return _reorder_for_driver(out)
+
+
+# --------------------------------------------------------------------------
+# q137: mutual information between two categorical columns — the symmetric
+# whole-table dependence screen next to q132's per-group chi2: a column
+# that should be independent of a pipeline partition (codec vs shard)
+# showing NMI >> 0 means the pipeline leaks structure into the data; a
+# supposedly-derived pair with NMI ~ 0 flags corrupt metadata. ONE
+# groupBy(a,b) full-data pass; marginals + the MI/entropy fold run on the
+# observed |A|x|B| cell frame (zero cells contribute exactly 0 — no
+# cross-join needed, unlike chi2). Oracle: identical construction in SQL;
+# mi/h/nmi ROUND(,6) both sides (float sum order over the cell frame).
+# --------------------------------------------------------------------------
+
+
+def q137_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from baskerville_spark.checks.drift import mutual_info
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = mutual_info(li, "l_returnflag", "l_linestatus")
+    return out.select(
+        "n",
+        F.round("mi", 6).alias("mi"),
+        F.round("h_a", 6).alias("h_a"),
+        F.round("h_b", 6).alias("h_b"),
+        F.round("nmi", 6).alias("nmi"),
+    )
+
+
+_Q137_SQL = """
+WITH cells AS (
+  SELECT l_returnflag AS a, l_linestatus AS b, COUNT(*) AS o
+  FROM lineitem GROUP BY 1, 2),
+a_tot AS (SELECT a, SUM(o) AS na FROM cells GROUP BY a),
+b_tot AS (SELECT b, SUM(o) AS nb FROM cells GROUP BY b),
+tot AS (SELECT SUM(o) AS n FROM cells),
+s AS (
+  SELECT MAX(n) AS n,
+         SUM((o / CAST(n AS DOUBLE))
+             * LN(o * CAST(n AS DOUBLE) / (CAST(na AS DOUBLE) * nb))) AS mi,
+         SUM((o / CAST(n AS DOUBLE)) * LN(CAST(n AS DOUBLE) / na)) AS h_a,
+         SUM((o / CAST(n AS DOUBLE)) * LN(CAST(n AS DOUBLE) / nb)) AS h_b
+  FROM cells JOIN a_tot USING (a) JOIN b_tot USING (b) CROSS JOIN tot)
+SELECT CAST(n AS BIGINT) AS n,
+       ROUND(mi, 6) AS mi,
+       ROUND(h_a, 6) AS h_a,
+       ROUND(h_b, 6) AS h_b,
+       ROUND(CASE WHEN h_a > 0 AND h_b > 0
+                  THEN mi / SQRT(h_a * h_b) END, 6) AS nmi
+FROM s
+"""
+
+
+_prev_queries_q137 = queries
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    out = _prev_queries_q137()
+    out["q137_mutual_info"] = q137_mutual_info
+    return _reorder_for_driver(out)
+
+
+_prev_oracles_q137 = oracle_sql
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = _prev_oracles_q137()
+    out["q137_mutual_info"] = _Q137_SQL
     return _reorder_for_driver(out)

@@ -575,6 +575,12 @@ def chi2_homogeneity(
         "dof",
         F.col("n_group").cast("long").alias("n_group"),
         (F.col("n_all") - F.col("n_group")).cast("long").alias("n_rest"),
+        # Cramér's V: scale-free effect size — for a 2xK table
+        # min(rows,cols)-1 = 1 when K >= 2, so V = sqrt(chi2/N); a chi2
+        # that is "significant" at 10^12 rows but V ~ 0 is noise, not drift
+        F.when(
+            F.col("dof") > 0, F.sqrt(F.col("chi2") / F.col("n_all"))
+        ).alias("cramers_v"),
     )
     if threshold is not None:
         out = out.withColumn("passed", F.col("chi2") <= F.lit(float(threshold)))
@@ -791,3 +797,65 @@ def spearman_corr(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
     var_b = n * sbb - sb * sb
     rho = F.when((var_a > 0) & (var_b > 0), cov_n / F.sqrt(var_a * var_b))
     return s.select(n.cast("long").alias("n"), rho.alias("rho"))
+
+
+def mutual_info(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Mutual information between two categorical columns, in nats, plus
+    the marginal entropies and the normalized form
+    ``nmi = mi / sqrt(h_a * h_b)`` (NULL when either marginal is
+    deterministic — NMI is undefined, not 0).
+
+    One row out: ``(n, mi, h_a, h_b, nmi)``. The categorical association
+    screen: a validation column that should be independent of a pipeline
+    partition (codec vs shard, verdict vs ingest host) showing NMI >> 0
+    means the pipeline is leaking structure into the data; conversely a
+    supposedly-derived pair (codec vs container) with NMI ~ 0 flags
+    corrupt metadata. Complements chi2_homogeneity (significance/effect
+    of ONE group's mix) with a symmetric whole-table dependence measure.
+
+    Zero cells contribute exactly 0 (the p·ln p limit), so only OBSERVED
+    (a, b) cells are touched — no cross-join. NULLs count as a category
+    (SQL GROUP BY semantics), so NULL-correlation is measured, not
+    silently dropped. Scale: ONE groupBy(a, b) full-data pass; marginals
+    and the MI fold run on the |A|x|B| observed-cell frame.
+    """
+    cells = df.groupBy(
+        F.col(col_a).alias("a"), F.col(col_b).alias("b")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    a_tot = cells.groupBy(F.col("a").alias("a2")).agg(F.sum("o").alias("na"))
+    b_tot = cells.groupBy(F.col("b").alias("b2")).agg(F.sum("o").alias("nb"))
+    # null-safe (<=>) joins: groupBy made NULL a category, so a plain
+    # equi-join would silently drop every NULL-keyed cell and understate
+    # MI — exactly the "NULL-correlation measured, not dropped" contract
+    joined = (
+        cells.join(F.broadcast(a_tot), F.col("a").eqNullSafe(F.col("a2")))
+        .join(F.broadcast(b_tot), F.col("b").eqNullSafe(F.col("b2")))
+        .crossJoin(F.broadcast(cells.agg(F.sum("o").alias("n"))))
+    )
+    nd = F.col("n").cast("double")
+    p_ab = F.col("o").cast("double") / nd
+    mi_term = p_ab * F.log(
+        F.col("o").cast("double") * nd
+        / (F.col("na").cast("double") * F.col("nb").cast("double"))
+    )
+    # marginal entropy terms would double-count across the cell frame, so
+    # fold them weighted by the cell's share of its marginal: sum over
+    # cells of (o/na)*(na/n)*ln(n/na) = sum over distinct a of
+    # (na/n)*ln(n/na) — exact, and it keeps everything in ONE aggregate
+    h_a_term = (F.col("o").cast("double") / nd) * F.log(
+        nd / F.col("na").cast("double")
+    )
+    h_b_term = (F.col("o").cast("double") / nd) * F.log(
+        nd / F.col("nb").cast("double")
+    )
+    s = joined.agg(
+        F.max("n").cast("long").alias("n"),
+        F.sum(mi_term).alias("mi"),
+        F.sum(h_a_term).alias("h_a"),
+        F.sum(h_b_term).alias("h_b"),
+    )
+    nmi = F.when(
+        (F.col("h_a") > 0) & (F.col("h_b") > 0),
+        F.col("mi") / F.sqrt(F.col("h_a") * F.col("h_b")),
+    )
+    return s.select("n", "mi", "h_a", "h_b", nmi.alias("nmi"))

@@ -297,3 +297,61 @@ def test_spearman_corr(spark):
         [(1.0, 5.0), (2.0, 5.0)], "a double, b double")
     out = spearman_corr(const, "a", "b").collect()[0]
     assert out["rho"] is None
+
+
+def test_chi2_cramers_v(spark):
+    from baskerville_spark.checks.drift import chi2_homogeneity
+
+    # hand-computed: chi2 = 8/3 over N=8 -> V = sqrt(chi2/N) = sqrt(1/3)
+    skew = spark.createDataFrame(
+        [("g1", "x")] * 4 + [("g2", "x")] * 2 + [("g2", "y")] * 2,
+        "g string, c string",
+    )
+    out = {r["g"]: r for r in chi2_homogeneity(skew, "g", "c").collect()}
+    import math
+    assert abs(out["g1"]["cramers_v"] - math.sqrt(1.0 / 3.0)) < 1e-12
+    # identical mixes -> zero effect size
+    same = spark.createDataFrame(
+        [("g1", "x"), ("g1", "y"), ("g2", "x"), ("g2", "y")],
+        "g string, c string",
+    )
+    out = {r["g"]: r for r in chi2_homogeneity(same, "g", "c").collect()}
+    assert out["g1"]["cramers_v"] == 0.0
+
+
+def test_mutual_info(spark):
+    import math
+
+    from baskerville_spark.checks.drift import mutual_info
+
+    # perfect dependence on a uniform binary pair: MI = H = ln 2, NMI = 1
+    dep = spark.createDataFrame(
+        [("x", "x"), ("x", "x"), ("y", "y"), ("y", "y")], "a string, b string"
+    )
+    r = mutual_info(dep, "a", "b").collect()[0]
+    assert r["n"] == 4
+    assert abs(r["mi"] - math.log(2)) < 1e-12
+    assert abs(r["h_a"] - math.log(2)) < 1e-12
+    assert abs(r["nmi"] - 1.0) < 1e-12
+
+    # independence (uniform 2x2) -> MI exactly 0
+    ind = spark.createDataFrame(
+        [("x", "p"), ("x", "q"), ("y", "p"), ("y", "q")], "a string, b string"
+    )
+    r = mutual_info(ind, "a", "b").collect()[0]
+    assert abs(r["mi"]) < 1e-12 and abs(r["nmi"]) < 1e-12
+
+    # NULL is a category: a NULL perfectly predicts b='p'
+    withnull = spark.createDataFrame(
+        [(None, "p"), (None, "p"), ("x", "q")], "a string, b string"
+    )
+    r = mutual_info(withnull, "a", "b").collect()[0]
+    h = -(2 / 3) * math.log(2 / 3) - (1 / 3) * math.log(1 / 3)
+    assert abs(r["mi"] - h) < 1e-12 and abs(r["nmi"] - 1.0) < 1e-12
+
+    # deterministic marginal: H(A)=0 -> MI 0, NMI undefined (NULL)
+    const = spark.createDataFrame(
+        [("k", "p"), ("k", "q")], "a string, b string"
+    )
+    r = mutual_info(const, "a", "b").collect()[0]
+    assert abs(r["mi"]) < 1e-12 and r["h_a"] == 0.0 and r["nmi"] is None

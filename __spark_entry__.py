@@ -9249,3 +9249,72 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
     out = _prev_oracles_q137()
     out["q137_mutual_info"] = _Q137_SQL
     return _reorder_for_driver(out)
+
+
+# --------------------------------------------------------------------------
+# q138: Benford first-significant-digit screen — fabricated/template
+# numeric columns break the Benford curve before their moments look
+# wrong. The digit comes from the FIRST [1-9] CHARACTER of the value's
+# string form, correct in plain and scientific notation in BOTH engines
+# (the numeric floor(x/10^floor(log10 x)) alternative emits digit 10
+# whenever log10 lands an ulp low on a power of ten). One full-data
+# regexp+groupBy pass; a literal 9-row frame restores zero-count digits
+# (expectation 30% with count 0 is the loudest signal — it must not
+# vanish). Fractions ROUND(,6); counts exact.
+# --------------------------------------------------------------------------
+
+
+def q138_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from baskerville_spark.checks.stats import benford_digits
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = benford_digits(li, "l_extendedprice")
+    return out.select(
+        "digit",
+        "n_d",
+        F.round("obs_frac", 6).alias("obs_frac"),
+        F.round("exp_frac", 6).alias("exp_frac"),
+        F.round("abs_dev", 6).alias("abs_dev"),
+    )
+
+
+_Q138_SQL = """
+WITH d AS (
+  SELECT CAST(regexp_extract(CAST(l_extendedprice AS VARCHAR),
+                             '[1-9]', 0) AS INT) AS digit
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL
+    AND regexp_extract(CAST(l_extendedprice AS VARCHAR), '[1-9]', 0) <> ''),
+counts AS (SELECT digit, COUNT(*) AS n_d FROM d GROUP BY digit),
+digits AS (
+  SELECT CAST(unnest(generate_series(1, 9)) AS INT) AS digit),
+full_d AS (
+  SELECT digits.digit, COALESCE(counts.n_d, 0) AS n_d
+  FROM digits LEFT JOIN counts USING (digit)),
+tot AS (SELECT SUM(n_d) AS n_total FROM full_d)
+SELECT digit,
+       CAST(n_d AS BIGINT) AS n_d,
+       ROUND(n_d / CAST(GREATEST(n_total, 1) AS DOUBLE), 6) AS obs_frac,
+       ROUND(LOG10(1.0 + 1.0 / digit), 6) AS exp_frac,
+       ROUND(ABS(n_d / CAST(GREATEST(n_total, 1) AS DOUBLE)
+                 - LOG10(1.0 + 1.0 / digit)), 6) AS abs_dev
+FROM full_d CROSS JOIN tot
+"""
+
+
+_prev_queries_q138 = queries
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    out = _prev_queries_q138()
+    out["q138_benford"] = q138_benford
+    return _reorder_for_driver(out)
+
+
+_prev_oracles_q138 = oracle_sql
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = _prev_oracles_q138()
+    out["q138_benford"] = _Q138_SQL
+    return _reorder_for_driver(out)

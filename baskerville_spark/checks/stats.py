@@ -210,3 +210,47 @@ def robust_outlier_violations(
             F.round("mad", 6).alias("mad"),
         )
     )
+
+
+def benford_digits(df: DataFrame, col: str) -> DataFrame:
+    """Benford first-significant-digit analysis of a numeric column: one
+    row per digit 1..9 with observed count/fraction, the Benford
+    expectation log10(1 + 1/d), and the absolute deviation. Fabricated or
+    template-generated numeric columns (synthetic payments, copy-pasted
+    measurements, unit-mangled durations) break the Benford curve long
+    before their mean/stddev look wrong — the classic forensic screen,
+    applicable when the column spans several orders of magnitude.
+
+    The digit is extracted as the first [1-9] character of the value's
+    string form — correct in plain AND scientific notation ('0.00123',
+    '1.23E7', '-9.9e-5' all yield the right digit), sign-blind, and NULL
+    for 0/NaN/Inf (excluded with n accounting). The numeric alternative,
+    floor(x / 10^floor(log10 x)), returns digit 10 whenever log10 lands
+    an ulp low on a power of ten — the string path has no such edge.
+
+    Scale: ONE full-data pass (regexp + groupBy on a 9-value key); the
+    digit frame is a literal 9-row join. Zero-observation digits still
+    emit their row (a digit with expectation 30% and count 0 is the
+    strongest possible signal — it must not vanish from the report).
+    """
+    digit = F.regexp_extract(F.col(col).cast("string"), "[1-9]", 0)
+    counts = (
+        df.where(F.col(col).isNotNull() & (digit != ""))
+        .groupBy(digit.cast("int").alias("digit"))
+        .agg(F.count(F.lit(1)).alias("n_d"))
+    )
+    digits = df.sparkSession.range(1, 10).select(
+        F.col("id").cast("int").alias("digit")
+    )
+    full = digits.join(counts, "digit", "left").na.fill({"n_d": 0})
+    total = full.agg(F.sum("n_d").alias("n_total"))
+    out = full.crossJoin(F.broadcast(total))
+    obs = F.col("n_d") / F.greatest(F.col("n_total"), F.lit(1))
+    exp = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    return out.select(
+        "digit",
+        F.col("n_d").cast("long").alias("n_d"),
+        obs.cast("double").alias("obs_frac"),
+        exp.alias("exp_frac"),
+        F.abs(obs - exp).cast("double").alias("abs_dev"),
+    )

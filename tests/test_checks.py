@@ -1129,3 +1129,26 @@ def test_functional_dependency_composite_determinant(spark):
         "k1 int, k2 int, dep string")
     r = functional_dependency(df, "fd", ["k1", "k2"], "dep").collect()[0]
     assert (r["n_groups"], r["n_violating"], r["passed"]) == (4, 1, False)
+
+
+def test_benford_digits(spark):
+    import math
+
+    from baskerville_spark.checks.stats import benford_digits
+
+    df = spark.createDataFrame(
+        [(1.0,), (0.00123,), (-9.9e-5,), (150.0,), (0.0,), (None,),
+         (12300000.0,), (2000.0,)],
+        "x double",
+    )
+    out = {r["digit"]: r for r in benford_digits(df, "x").collect()}
+    # all nine digit rows exist, zero-count digits included
+    assert sorted(out) == list(range(1, 10))
+    # 1.0, 0.00123, 150.0, 1.23e7 -> digit 1 (plain, sub-one and
+    # scientific string forms); -9.9e-5 -> 9 (sign-blind); 2000 -> 2;
+    # 0.0 and NULL excluded from the denominator
+    assert out[1]["n_d"] == 4 and out[2]["n_d"] == 1 and out[9]["n_d"] == 1
+    assert out[3]["n_d"] == 0
+    assert abs(out[1]["obs_frac"] - 4 / 6) < 1e-12
+    assert abs(out[1]["exp_frac"] - math.log10(2)) < 1e-12
+    assert abs(out[3]["abs_dev"] - math.log10(1 + 1 / 3)) < 1e-12

@@ -78,6 +78,16 @@ class ValidationConfig:
     emit_states: bool = False
     state_distinct_cols: tuple = ("clip_id",)
     state_hist_edges: dict = field(default_factory=dict)  # col -> bin edges
+    # per-partition chi-squared homogeneity of each categorical column's
+    # mix vs the REST of the table (checks/drift.chi2_homogeneity) —
+    # judged on Cramér's V (scale-free effect size: raw chi2 is always
+    # "significant" at 10^12 rows), verdict rows chi2:<col>. Off by
+    # default so existing verdict grids/oracles are unchanged.
+    check_categorical_mix: bool = False
+    # 0.2 = "medium effect" (same convention as PSI_THRESHOLD); note a hot
+    # drifted partition also contaminates every clean partition's
+    # complement, lifting their V — the threshold must clear that floor
+    cramers_v_max: float = 0.2
     # additive decode-QA states (checks/audio_state.py) to {out}/audio_states
     # — one decode pass per ingest batch, settled clips never re-decoded.
     # Requires check_audio-capable input (a bytes column).
@@ -295,6 +305,27 @@ def run_validation(
                 psi_threshold=cfg.psi_threshold, ks_threshold=cfg.ks_threshold,
             )
         )
+
+    # --- per-partition categorical-mix homogeneity (chi2 + Cramér's V) ---
+    if cfg.check_categorical_mix:
+        for c in cfg.categorical_cols:
+            mix = drift_mod.chi2_homogeneity(slim, "part_id", c)
+            verdicts = verdicts.unionByName(
+                mix.select(
+                    F.col("part_id").cast("int").alias("part_id"),
+                    F.lit(f"chi2:{c}").alias("check_name"),
+                    # single-partition tables (n_rest = 0) have no
+                    # complement to test against: undefined, not failed
+                    F.coalesce(
+                        F.col("cramers_v") <= F.lit(float(cfg.cramers_v_max)),
+                        F.lit(True),
+                    ).alias("passed"),
+                    F.col("cramers_v").cast("double").alias("metric_value"),
+                    F.lit(float(cfg.cramers_v_max)).alias("threshold"),
+                    F.col("n_group").cast("long").alias("n_rows"),
+                    F.lit(None).cast("long").alias("n_violations"),
+                )
+            )
 
     # --- user-declared constraint suite (config-driven, e.g. JSON) ---
     if cfg.extra_suite:

@@ -312,3 +312,34 @@ def test_cosine_topk_batched(spark):
     assert got[(11, 1)] == (2, 1.0)           # scale-invariant
     assert got[(11, 2)][0] == 3
     assert len(out) == 4                      # k=2 per query, 2 queries
+
+
+def test_runner_categorical_mix_optin(spark, t1_clips, t1_cfg, t1_tref):
+    """check_categorical_mix=True adds chi2:codec verdict rows judged on
+    Cramér's V: the drifted last partition (unseen 'mp3' codec) fails,
+    the clean partitions pass, and the metric matches an independent
+    chi2_homogeneity recomputation. Defaults leave the grid unchanged."""
+    from baskerville_spark.checks.drift import chi2_homogeneity
+    from baskerville_spark.runtime.runner import ValidationConfig, run_validation
+
+    res = run_validation(
+        spark, t1_clips, t1_tref,
+        cfg=ValidationConfig(check_categorical_mix=True),
+    )
+    verd = {r["part_id"]: r for r in res.verdicts.collect()
+            if r["check_name"] == "chi2:codec"}
+    assert set(verd) == set(range(t1_cfg.n_parts))
+    drift_part = t1_cfg.n_parts - 1
+    assert not verd[drift_part]["passed"]
+    assert verd[0]["passed"] and verd[1]["passed"]
+    # metric matches the standalone operator
+    exp = {r["part_id"]: r["cramers_v"] for r in
+           chi2_homogeneity(t1_clips, "part_id", "codec").collect()}
+    for p, r in verd.items():
+        assert abs(r["metric_value"] - exp[p]) < 1e-12
+    res.unpersist()
+
+    res0 = run_validation(spark, t1_clips, t1_tref)
+    assert not any(n["check_name"].startswith("chi2:")
+                   for n in res0.verdicts.collect())
+    res0.unpersist()

@@ -9318,3 +9318,77 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
     out = _prev_oracles_q138()
     out["q138_benford"] = _Q138_SQL
     return _reorder_for_driver(out)
+
+
+# --------------------------------------------------------------------------
+# q139: window-over-window rolling chi2 / Cramér's V — completes the
+# rolling family (PSI q96 weights tail moves by log-ratio, KS q97 sees
+# bulk CDF shifts, chi2/V is the calibrated scale-free effect size on the
+# SAME bucket counts, comparable across windows of different sizes).
+# Identical one-aggregate + |days|-row self-join plan; the oracle reuses
+# the one shared day-counts CTE builder (q96/q97/q104's shared-fixture
+# rule) so the three gates can never bin differently, and restates the
+# 2xK contingency algebra with the same zero-cell skip and term order.
+# --------------------------------------------------------------------------
+
+
+def q139_rolling_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from baskerville_spark.checks.drift import rolling_chi2_verdicts
+
+    e = _t(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    v = rolling_chi2_verdicts(
+        e, F.dayofmonth(F.col("ts")), "value", DRIFT_VALUE_EDGES
+    )
+    return v.select(
+        "window_id",
+        "prev_window_id",
+        "n_rows",
+        F.round("cramers_v", 6).alias("cramers_v"),
+        F.col("passed").cast("int").alias("passed"),
+    )
+
+
+def _q139_sql() -> str:
+    cte, nb = _rolling_day_counts_cte()
+    terms = []
+    for i in range(nb):
+        c_i = f"(cur.b{i} + prv.b{i})"
+        e_cur = f"(cur.n * {c_i} / CAST(cur.n + prv.n AS DOUBLE))"
+        e_prv = f"(prv.n * {c_i} / CAST(cur.n + prv.n AS DOUBLE))"
+        terms.append(
+            f"CASE WHEN {c_i} > 0 THEN "
+            f"POWER(cur.b{i} - {e_cur}, 2) / {e_cur} "
+            f"+ POWER(prv.b{i} - {e_prv}, 2) / {e_prv} ELSE 0.0 END"
+        )
+    chi2 = " + ".join(terms)
+    return f"""{cte}
+SELECT cur.window_id AS window_id,
+       prv.window_id AS prev_window_id,
+       CAST(cur.n AS BIGINT) AS n_rows,
+       ROUND(CASE WHEN cur.n > 0 AND prv.n > 0 THEN
+         SQRT(({chi2}) / CAST(cur.n + prv.n AS DOUBLE)) END, 6) AS cramers_v,
+       CAST(CASE WHEN cur.n > 0 AND prv.n > 0 THEN
+         SQRT(({chi2}) / CAST(cur.n + prv.n AS DOUBLE)) END <= 0.2 AS INT)
+         AS passed
+FROM c cur JOIN c prv ON cur.window_id = prv.window_id + 1
+"""
+
+
+_prev_queries_q139 = queries
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    out = _prev_queries_q139()
+    out["q139_rolling_chi2"] = q139_rolling_chi2
+    return _reorder_for_driver(out)
+
+
+_prev_oracles_q139 = oracle_sql
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = _prev_oracles_q139()
+    out["q139_rolling_chi2"] = _q139_sql()
+    return _reorder_for_driver(out)

@@ -431,6 +431,41 @@ def rolling_ks_verdicts(
     return _rolling_select(j, ks, "ks", threshold)
 
 
+def rolling_chi2_verdicts(
+    df: DataFrame,
+    window_col: Column,
+    value_col: str,
+    bin_edges: list[float],
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Window-over-window chi-squared homogeneity on the shared bucket
+    counts, judged on Cramér's V (sqrt(chi2/N) for the 2xK table — the
+    scale-free companion to rolling PSI/KS: PSI weights tail moves by
+    log-ratio, KS sees bulk CDF shifts, chi2/V is the CALIBRATED effect
+    size on the same counts, comparable across windows of different
+    sizes). Cells empty in BOTH windows contribute exactly 0 (skipped —
+    0/0 guards), mirroring chi2_homogeneity's zero-cell handling. Same
+    single-aggregate + |windows|-row self-join plan as rolling PSI/KS;
+    no EPS clamping (counts, not ratios)."""
+    j, _, _ = _rolling_pairs(df, window_col, value_col, bin_edges)
+    nb = len(list(bin_edges)) - 1
+    n_tot = (F.col("cur_n") + F.col("prv_n")).cast("double")
+    chi2 = F.lit(0.0)
+    for i in range(nb):
+        c_i = F.col(f"cur_b{i}") + F.col(f"prv_b{i}")
+        e_cur = F.col("cur_n") * c_i / n_tot
+        e_prv = F.col("prv_n") * c_i / n_tot
+        chi2 = chi2 + F.when(
+            c_i > 0,
+            (F.col(f"cur_b{i}") - e_cur) ** 2 / e_cur
+            + (F.col(f"prv_b{i}") - e_prv) ** 2 / e_prv,
+        ).otherwise(F.lit(0.0))
+    v = F.when(
+        (F.col("cur_n") > 0) & (F.col("prv_n") > 0), F.sqrt(chi2 / n_tot)
+    )
+    return _rolling_select(j, v, "cramers_v", threshold)
+
+
 # --------------------------------------------------------------------------
 # Drift attribution: WHY did a psi:<col> alarm fire
 # --------------------------------------------------------------------------

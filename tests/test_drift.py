@@ -355,3 +355,41 @@ def test_mutual_info(spark):
     )
     r = mutual_info(const, "a", "b").collect()[0]
     assert abs(r["mi"]) < 1e-12 and r["h_a"] == 0.0 and r["nmi"] is None
+
+
+def test_rolling_chi2_verdicts(spark):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from baskerville_spark.checks.drift import rolling_chi2_verdicts
+
+    # identical windows -> chi2 exactly 0 -> V 0; hard shift flags
+    rows = [(1, float(v)) for v in (1.0, 10.0, 50.0, 200.0) * 25]
+    rows += [(2, float(v)) for v in (1.0, 10.0, 50.0, 200.0) * 25]
+    rows += [(3, 900.0)] * 100
+    df = spark.createDataFrame(rows, "w int, value double")
+    out = {
+        r["window_id"]: r
+        for r in rolling_chi2_verdicts(
+            df, F.col("w"), "value", [0.0, 5.0, 25.0, 100.0, 500.0]
+        ).collect()
+    }
+    assert out[2]["cramers_v"] == 0.0 and out[2]["passed"]
+    # window 3: all 100 rows land in the TOP bucket (outer edges are
+    # dropped by rolling_bucket_aggs, so 200.0 and 900.0 share bucket 3 of
+    # 4). 2x4 table [[0,0,0,100],[25,25,25,25]]: chi2 = 3*25 + 45 = 120,
+    # V = sqrt(120/200)
+    cur = [0, 0, 0, 100]
+    prv = [25, 25, 25, 25]
+    N = 200
+    chi2 = 0.0
+    for o_c, o_p in zip(cur, prv):
+        c = o_c + o_p
+        if c == 0:
+            continue
+        e_c, e_p = 100 * c / N, 100 * c / N
+        chi2 += (o_c - e_c) ** 2 / e_c + (o_p - e_p) ** 2 / e_p
+    assert chi2 == 120.0
+    assert abs(out[3]["cramers_v"] - math.sqrt(chi2 / N)) < 1e-12
+    assert not out[3]["passed"]

@@ -8400,6 +8400,11 @@ _DRIVER_UNPROVEN_FIRST = [
         (126, "row_level_diff"), (127, "psi_attribution"),
         (128, "metric_anomalies"),
         (129, "suggest_constraints"), (130, "functional_deps"),
+        (131, "dc_offset"), (132, "chi2_mix"),
+        (133, "mannwhitney"), (134, "channel_balance"),
+        (135, "zipf_fit"), (136, "spearman"),
+        (137, "mutual_info"), (138, "benford"),
+        (139, "rolling_chi2"),
     ]
 ]
 

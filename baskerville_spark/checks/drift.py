@@ -582,14 +582,27 @@ def chi2_homogeneity(
     categorical test the reference lacks.
     """
     cells = df.groupBy(
-        F.col(group_col).alias("g"), F.col(cat_col).alias("c")
+        F.col(group_col).alias("g2"), F.col(cat_col).alias("c2")
     ).agg(F.count(F.lit(1)).alias("o"))
-    cat_tot = cells.groupBy("c").agg(F.sum("o").alias("c_tot"))
-    grp_tot = cells.groupBy("g").agg(F.sum("o").alias("n_group"))
+    cat_tot = cells.groupBy(F.col("c2").alias("c")).agg(
+        F.sum("o").alias("c_tot")
+    )
+    grp_tot = cells.groupBy(F.col("g2").alias("g")).agg(
+        F.sum("o").alias("n_group")
+    )
     n_all = cells.agg(F.sum("o").alias("n_all"))
+    # null-safe (<=>) join back to the cells: groupBy made NULL a group /
+    # category, and a plain equi-join would zero NULL-keyed cells while
+    # the totals still count them — inflating chi2 for every NULL group
+    # (the same silent-drop class the mutual_info NULL test caught)
     full = (
         grp_tot.crossJoin(F.broadcast(cat_tot))
-        .join(cells, ["g", "c"], "left")
+        .join(
+            cells,
+            F.col("g").eqNullSafe(F.col("g2"))
+            & F.col("c").eqNullSafe(F.col("c2")),
+            "left",
+        )
         .na.fill({"o": 0})
         .crossJoin(F.broadcast(n_all))
     )

@@ -393,3 +393,19 @@ def test_rolling_chi2_verdicts(spark):
     assert chi2 == 120.0
     assert abs(out[3]["cramers_v"] - math.sqrt(chi2 / N)) < 1e-12
     assert not out[3]["passed"]
+
+
+def test_chi2_homogeneity_null_category(spark):
+    """NULL is a category: identical (x, NULL) mixes in both groups must
+    give chi2 exactly 0 — a plain equi-join back to the cell frame zeroes
+    the NULL cells while the totals still count them, inflating chi2
+    (the silent-drop class the mutual_info NULL test caught)."""
+    from baskerville_spark.checks.drift import chi2_homogeneity
+
+    df = spark.createDataFrame(
+        [("g1", "x"), ("g1", None), ("g2", "x"), ("g2", None)],
+        "g string, c string",
+    )
+    out = {r["g"]: r for r in chi2_homogeneity(df, "g", "c").collect()}
+    assert out["g1"]["chi2"] == 0.0 and out["g2"]["chi2"] == 0.0
+    assert out["g1"]["dof"] == 1  # two categories: x and NULL

@@ -581,9 +581,15 @@ def chi2_homogeneity(
     baseline comparison (incident_detector.py:251-295) to a calibrated
     categorical test the reference lacks.
     """
+    # persist the cell frame (bounded by |G|x|K|, tiny): four frames
+    # derive from it (cat/group totals, N, the join probe) and without a
+    # materialization each branch re-scans the FACT table — 4 full scans
+    # at 100 TB where one suffices (plan-pinned in pytest; freed by the
+    # session's LRU / clearCache, the uniqueness.py persisted-intermediate
+    # convention)
     cells = df.groupBy(
         F.col(group_col).alias("g2"), F.col(cat_col).alias("c2")
-    ).agg(F.count(F.lit(1)).alias("o"))
+    ).agg(F.count(F.lit(1)).alias("o")).persist()
     cat_tot = cells.groupBy(F.col("c2").alias("c")).agg(
         F.sum("o").alias("c_tot")
     )
@@ -731,14 +737,18 @@ def mannwhitney_u(
     continuous column with ~n distinct values still works: quantize first
     only if you want fewer cells, not because the plan requires it.
     """
+    # persist the cell frame: the value-total branch, the prefix-sum
+    # collect job, and the rank join all derive from it — unpersisted,
+    # each is a separate full scan of the fact table (plan-pinned)
     cells = (
         df.where(F.col(value_col).isNotNull())
         .groupBy(F.col(value_col).alias("v"), F.col(group_col).alias("g"))
         .agg(F.count(F.lit(1)).alias("o"))
+        .persist()
     )
     vtot = _prefix_counts(
         cells.groupBy("v").agg(F.sum("o").alias("cnt_eq"))
-    )
+    ).persist()
     # 2*rank_avg(v) = 2*cnt_lt + cnt_eq + 1  (integer)
     joined = cells.join(F.broadcast(vtot), "v")
     # rank sums reach ~N^2: accumulate 2R in decimal(38,0) (exact, loud on
@@ -801,23 +811,29 @@ def spearman_corr(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
     metadata where Pearson (distorted by the nonlinearity itself) and
     per-row bounds (blind to association) both miss.
 
-    Plan: rows with either side NULL are excluded (pairwise-complete);
-    each column gets ONE value-domain count aggregate + the shared
-    two-phase prefix sum (_prefix_counts — no single-task window); the
-    integer 2*avg_rank maps join back (shuffle on the value domains,
-    broadcast-eligible when bounded) and ONE final aggregate computes the
-    Pearson sums over the rank pairs in double (rank sums reach ~n³ —
-    past bigint at 10^12 rows; rho is a ratio, so double is the honest
+    Plan: rows with either side NULL are excluded (pairwise-complete).
+    The ONLY full-data pass is ONE groupBy on the joint (a, b) cell —
+    the minimal sufficient statistic for any rank correlation — and the
+    cell frame is persisted (plan-pinned: one fact scan) because both
+    marginal rank maps and the weighted Pearson aggregate derive from
+    it. Each marginal gets the shared two-phase prefix sum
+    (_prefix_counts — no single-task window); the integer 2*avg_rank
+    maps join back onto the CELLS (not the rows) and the final aggregate
+    weights by the cell count, in double (rank sums reach ~n³ — past
+    bigint at 10^12 rows; rho is a ratio, so double is the honest
     accumulator at every scale).
     """
-    pairs = df.where(
-        F.col(col_a).isNotNull() & F.col(col_b).isNotNull()
-    ).select(F.col(col_a).alias("__a"), F.col(col_b).alias("__b"))
+    cells = (
+        df.where(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
+        .groupBy(F.col(col_a).alias("__a"), F.col(col_b).alias("__b"))
+        .agg(F.count(F.lit(1)).alias("__o"))
+        .persist()
+    )
     ranks = {}
     for side in ("__a", "__b"):
         vtot = _prefix_counts(
-            pairs.groupBy(F.col(side).alias("v")).agg(
-                F.count(F.lit(1)).alias("cnt_eq")
+            cells.groupBy(F.col(side).alias("v")).agg(
+                F.sum("__o").alias("cnt_eq")
             )
         )
         # 2*avg_rank(v): exact integer; Pearson is scale-invariant, so
@@ -828,15 +844,16 @@ def spearman_corr(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
             .cast("double")
             .alias(f"r{side}"),
         )
-    ranked = pairs.join(ranks["__a"], "__a").join(ranks["__b"], "__b")
+    ranked = cells.join(ranks["__a"], "__a").join(ranks["__b"], "__b")
     ra, rb = F.col("r__a"), F.col("r__b")
+    o = F.col("__o").cast("double")
     s = ranked.agg(
-        F.count(F.lit(1)).cast("double").alias("n"),
-        F.sum(ra).alias("sa"),
-        F.sum(rb).alias("sb"),
-        F.sum(ra * rb).alias("sab"),
-        F.sum(ra * ra).alias("saa"),
-        F.sum(rb * rb).alias("sbb"),
+        F.sum(o).cast("double").alias("n"),
+        F.sum(o * ra).alias("sa"),
+        F.sum(o * rb).alias("sb"),
+        F.sum(o * ra * rb).alias("sab"),
+        F.sum(o * ra * ra).alias("saa"),
+        F.sum(o * rb * rb).alias("sbb"),
     )
     n, sa, sb = F.col("n"), F.col("sa"), F.col("sb")
     sab, saa, sbb = F.col("sab"), F.col("saa"), F.col("sbb")
@@ -867,9 +884,11 @@ def mutual_info(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
     silently dropped. Scale: ONE groupBy(a, b) full-data pass; marginals
     and the MI fold run on the |A|x|B| observed-cell frame.
     """
+    # persist the cell frame: both marginals, N, and the join probe all
+    # derive from it — unpersisted, each branch re-scans the fact table
     cells = df.groupBy(
         F.col(col_a).alias("a"), F.col(col_b).alias("b")
-    ).agg(F.count(F.lit(1)).alias("o"))
+    ).agg(F.count(F.lit(1)).alias("o")).persist()
     a_tot = cells.groupBy(F.col("a").alias("a2")).agg(F.sum("o").alias("na"))
     b_tot = cells.groupBy(F.col("b").alias("b2")).agg(F.sum("o").alias("nb"))
     # null-safe (<=>) joins: groupBy made NULL a category, so a plain

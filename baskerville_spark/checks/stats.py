@@ -242,7 +242,9 @@ def benford_digits(df: DataFrame, col: str) -> DataFrame:
     digits = df.sparkSession.range(1, 10).select(
         F.col("id").cast("int").alias("digit")
     )
-    full = digits.join(counts, "digit", "left").na.fill({"n_d": 0})
+    # persist the 9-row frame: the total and the output both derive from
+    # it — unpersisted, each branch is a separate full scan of the table
+    full = digits.join(counts, "digit", "left").na.fill({"n_d": 0}).persist()
     total = full.agg(F.sum("n_d").alias("n_total"))
     out = full.crossJoin(F.broadcast(total))
     obs = F.col("n_d") / F.greatest(F.col("n_total"), F.lit(1))

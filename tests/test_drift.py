@@ -409,3 +409,36 @@ def test_chi2_homogeneity_null_category(spark):
     out = {r["g"]: r for r in chi2_homogeneity(df, "g", "c").collect()}
     assert out["g1"]["chi2"] == 0.0 and out["g2"]["chi2"] == 0.0
     assert out["g1"]["dof"] == 1  # two categories: x and NULL
+
+
+def test_stat_operators_cache_cell_frames(spark, tmp_path):
+    """The classical-statistics operators persist their post-aggregation
+    cell frames: every derived branch (marginals, totals, join probes)
+    must read the cache (InMemoryTableScan in the executed plan), not
+    re-scan the fact table — unpersisted, chi2/MI cost FOUR full scans
+    and the rank ops six. Pinned so a dropped .persist() regresses
+    loudly."""
+    from baskerville_spark.checks.drift import (
+        chi2_homogeneity,
+        mannwhitney_u,
+        mutual_info,
+        spearman_corr,
+    )
+    from baskerville_spark.checks.stats import benford_digits
+
+    df = spark.createDataFrame(
+        [("g1", "x", 1.0, 10.0), ("g1", "y", 2.0, 20.0),
+         ("g2", "x", 3.0, 30.0), ("g2", "y", 4.0, 40.0)],
+        "g string, c string, a double, b double",
+    )
+    frames = [
+        chi2_homogeneity(df, "g", "c"),
+        mutual_info(df, "g", "c"),
+        mannwhitney_u(df, "g", "a"),
+        spearman_corr(df, "a", "b"),
+        benford_digits(df, "a"),
+    ]
+    for frame in frames:
+        plan = frame._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryTableScan" in plan
+    spark.catalog.clearCache()

@@ -108,6 +108,74 @@ def cmd_validate(args) -> int:
     return 0
 
 
+def cmd_profile(args) -> int:
+    """Statistical profile of a clip table: the association/forensic
+    screens that need no baseline — per-partition categorical-mix chi2
+    (Cramér's V), codec↔partition mutual information, duration↔payload
+    Spearman rank consistency, Benford first-digit forensics, and (when
+    a transcript column exists) the Zipf corpus-health fit. Each report
+    lands as parquet under --out/<screen>; one compact JSON summary line
+    on stdout (the validate-report convention)."""
+    from pyspark.sql import functions as F
+
+    from baskerville_spark.checks.drift import (
+        chi2_homogeneity,
+        mutual_info,
+        spearman_corr,
+    )
+    from baskerville_spark.checks.stats import benford_digits
+    from baskerville_spark.functions.text import zipf_fit
+
+    spark = _spark(args)
+    df = spark.read.parquet(args.clips)
+    out = args.out
+    summary: dict = {"profiled": args.clips}
+
+    mix = chi2_homogeneity(df, args.part_col, args.cat_col)
+    mix.write.mode("overwrite").parquet(f"{out}/chi2_{args.cat_col}")
+    row = mix.agg(F.max("cramers_v").alias("v")).first()
+    summary["max_cramers_v"] = round(float(row["v"]), 6) if row["v"] is not None else None
+
+    mi = mutual_info(df, args.cat_col, args.part_col)
+    mi.write.mode("overwrite").parquet(f"{out}/mi_{args.cat_col}")
+    r = mi.first()
+    summary["nmi_cat_vs_part"] = (
+        round(float(r["nmi"]), 6) if r["nmi"] is not None else None
+    )
+
+    if "bytes" in df.columns and args.dur_col in df.columns:
+        sp = spearman_corr(
+            df.withColumn("__blen", F.length("bytes")), args.dur_col, "__blen"
+        )
+        sp.write.mode("overwrite").parquet(f"{out}/spearman_{args.dur_col}_bytes")
+        r = sp.first()
+        summary["spearman_dur_vs_bytes"] = (
+            round(float(r["rho"]), 6) if r["rho"] is not None else None
+        )
+
+    if args.dur_col in df.columns:
+        bf = benford_digits(df, args.dur_col)
+        bf.write.mode("overwrite").parquet(f"{out}/benford_{args.dur_col}")
+        r = bf.agg(F.max("abs_dev").alias("d")).first()
+        summary["benford_max_abs_dev"] = (
+            round(float(r["d"]), 6) if r["d"] is not None else None
+        )
+
+    if args.text_col in df.columns:
+        zf = zipf_fit(df, args.text_col)
+        zf.write.mode("overwrite").parquet(f"{out}/zipf_{args.text_col}")
+        r = zf.first()
+        summary["zipf_slope"] = (
+            round(float(r["slope"]), 6) if r["slope"] is not None else None
+        )
+        summary["zipf_r2"] = (
+            round(float(r["r2"]), 6) if r["r2"] is not None else None
+        )
+
+    print(json.dumps(summary))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="baskerville_spark")
     p.add_argument("--master", default=None, help="Spark master (default: env/local)")
@@ -138,6 +206,19 @@ def main(argv: list[str] | None = None) -> int:
                    help="JSON constraint-suite file (checks/suite.py "
                         "suite_from_json); verdicts appear as suite:<name>")
     v.set_defaults(fn=cmd_validate)
+
+    pr = sub.add_parser(
+        "profile",
+        help="baseline-free statistical screens (chi2/V, MI, Spearman, "
+             "Benford, Zipf) → parquet reports + JSON summary",
+    )
+    pr.add_argument("--clips", required=True)
+    pr.add_argument("--out", required=True)
+    pr.add_argument("--part-col", default="part_id")
+    pr.add_argument("--cat-col", default="codec")
+    pr.add_argument("--dur-col", default="dur_ms")
+    pr.add_argument("--text-col", default="transcript")
+    pr.set_defaults(fn=cmd_profile)
 
     args = p.parse_args(argv)
     return args.fn(args)

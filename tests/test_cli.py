@@ -184,3 +184,28 @@ def test_cli_validate_with_json_suite(spark, tmp_path, capsys):
     # one row per (partition, constraint), same grid shape as built-ins
     assert len(suite_rows) == 2 * 3
     assert all(r["passed"] is not None for r in suite_rows)
+
+
+def test_cli_profile(spark, tmp_path, capsys):
+    """profile: baseline-free statistical screens end to end — parquet
+    reports per screen + one JSON summary line, on the generated fixture
+    (whose drifted last partition must dominate max_cramers_v)."""
+    out = str(tmp_path)
+    assert main([
+        "generate", "--out", f"{out}/demo", "--n-rows", "400", "--n-parts", "4",
+    ]) == 0
+    assert main([
+        "profile", "--clips", f"{out}/demo/clips", "--out", f"{out}/profile",
+    ]) == 0
+    lines = [l for l in capsys.readouterr().out.strip().splitlines()
+             if l.startswith("{")]
+    rep = json.loads(lines[-1])
+    assert rep["max_cramers_v"] is not None and rep["max_cramers_v"] > 0.2
+    assert rep["spearman_dur_vs_bytes"] is not None
+    assert 0 <= rep["benford_max_abs_dev"] <= 1
+    assert rep["zipf_slope"] is not None and rep["zipf_slope"] < 0
+
+    mix = spark.read.parquet(f"{out}/profile/chi2_codec")
+    assert mix.count() == 4 and "cramers_v" in mix.columns
+    bf = spark.read.parquet(f"{out}/profile/benford_dur_ms")
+    assert bf.count() == 9

@@ -750,16 +750,23 @@ def mannwhitney_u(
         cells.groupBy("v").agg(F.sum("o").alias("cnt_eq"))
     ).persist()
     # 2*rank_avg(v) = 2*cnt_lt + cnt_eq + 1  (integer)
-    joined = cells.join(F.broadcast(vtot), "v")
-    # rank sums reach ~N^2: accumulate 2R in decimal(38,0) (exact, loud on
-    # overflow) rather than bigint (silent wrap past ~3e9 rows); the final
-    # u2 column is long — past ~3e9 rows/group use z, the calibrated form.
+    # plain join, not broadcast: the docstring promises continuous value
+    # domains (~n distinct values) work, and broadcasting the whole rank
+    # map would OOM the driver there (r05 review); when the domain IS
+    # tiny, AQE converts this to a broadcast join on its own
+    joined = cells.join(vtot, "v")
+    # rank sums reach ~N^2: the PER-CELL product must already be decimal —
+    # casting after a long*long multiply launders a silently wrapped value
+    # (ANSI off is the repo default); decimal(38,0) is exact and loud on
+    # overflow. The final u2 column is long — past ~3e9 rows/group use z,
+    # the calibrated form.
     per_group = joined.groupBy("g").agg(
         F.sum("o").alias("n_group"),
         F.sum(
-            (
-                F.col("o") * (F.lit(2) * F.col("cnt_lt") + F.col("cnt_eq") + F.lit(1))
-            ).cast("decimal(38,0)")
+            F.col("o").cast("decimal(38,0)")
+            * (F.lit(2) * F.col("cnt_lt") + F.col("cnt_eq") + F.lit(1)).cast(
+                "decimal(38,0)"
+            )
         ).alias("two_r"),
     )
     n_all = vtot.agg(

@@ -963,6 +963,12 @@ def audio_channel_balance(clips: DataFrame, n_channels: int = 2) -> DataFrame:
     balance and correlation are exact closed forms).
     """
     _require_cols(clips, ("clip_id", "bytes", "codec"))
+    if n_channels < 2:
+        # fail at call time, not as an opaque IndexError inside the Arrow
+        # worker on the first decodable clip (x[:, 1] needs two channels)
+        raise ValueError(
+            f"audio_channel_balance needs n_channels >= 2, got {n_channels}"
+        )
 
     def _bal(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for b in batches:

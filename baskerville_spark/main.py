@@ -131,17 +131,23 @@ def cmd_profile(args) -> int:
     out = args.out
     summary: dict = {"profiled": args.clips}
 
-    mix = chi2_homogeneity(df, args.part_col, args.cat_col)
-    mix.write.mode("overwrite").parquet(f"{out}/chi2_{args.cat_col}")
-    row = mix.agg(F.max("cramers_v").alias("v")).first()
-    summary["max_cramers_v"] = round(float(row["v"]), 6) if row["v"] is not None else None
+    # every screen is guarded on its columns: a table without a codec or
+    # partition column skips those screens (recorded as absent keys), it
+    # doesn't die in AnalysisException after spinning up Spark
+    if args.part_col in df.columns and args.cat_col in df.columns:
+        mix = chi2_homogeneity(df, args.part_col, args.cat_col)
+        mix.write.mode("overwrite").parquet(f"{out}/chi2_{args.cat_col}")
+        row = mix.agg(F.max("cramers_v").alias("v")).first()
+        summary["max_cramers_v"] = (
+            round(float(row["v"]), 6) if row["v"] is not None else None
+        )
 
-    mi = mutual_info(df, args.cat_col, args.part_col)
-    mi.write.mode("overwrite").parquet(f"{out}/mi_{args.cat_col}")
-    r = mi.first()
-    summary["nmi_cat_vs_part"] = (
-        round(float(r["nmi"]), 6) if r["nmi"] is not None else None
-    )
+        mi = mutual_info(df, args.cat_col, args.part_col)
+        mi.write.mode("overwrite").parquet(f"{out}/mi_{args.cat_col}")
+        r = mi.first()
+        summary["nmi_cat_vs_part"] = (
+            round(float(r["nmi"]), 6) if r["nmi"] is not None else None
+        )
 
     if "bytes" in df.columns and args.dur_col in df.columns:
         sp = spearman_corr(
@@ -162,7 +168,10 @@ def cmd_profile(args) -> int:
         )
 
     if args.text_col in df.columns:
-        zf = zipf_fit(df, args.text_col)
+        # zipf_fit persists nothing internally — without this persist the
+        # summary .first() would re-run the full explode+groupBy corpus
+        # scan the write just paid (r05 review)
+        zf = zipf_fit(df, args.text_col).persist()
         zf.write.mode("overwrite").parquet(f"{out}/zipf_{args.text_col}")
         r = zf.first()
         summary["zipf_slope"] = (
@@ -171,6 +180,7 @@ def cmd_profile(args) -> int:
         summary["zipf_r2"] = (
             round(float(r["r2"]), 6) if r["r2"] is not None else None
         )
+        zf.unpersist()
 
     print(json.dumps(summary))
     return 0

@@ -209,3 +209,20 @@ def test_cli_profile(spark, tmp_path, capsys):
     assert mix.count() == 4 and "cramers_v" in mix.columns
     bf = spark.read.parquet(f"{out}/profile/benford_dur_ms")
     assert bf.count() == 9
+
+
+def test_cli_profile_skips_missing_columns(spark, tmp_path, capsys):
+    """A table without the categorical/partition/duration/text columns
+    skips those screens (absent summary keys) instead of dying in
+    AnalysisException (r05 review)."""
+    out = str(tmp_path)
+    spark.createDataFrame([(1.0,), (2.0,)], "x double").write.parquet(
+        f"{out}/bare"
+    )
+    assert main(["profile", "--clips", f"{out}/bare", "--out", f"{out}/p"]) == 0
+    lines = [l for l in capsys.readouterr().out.strip().splitlines()
+             if l.startswith("{")]
+    rep = json.loads(lines[-1])
+    for k in ("max_cramers_v", "nmi_cat_vs_part", "spearman_dur_vs_bytes",
+              "benford_max_abs_dev", "zipf_slope"):
+        assert k not in rep

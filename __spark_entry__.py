@@ -8404,7 +8404,7 @@ _DRIVER_UNPROVEN_FIRST = [
         (133, "mannwhitney"), (134, "channel_balance"),
         (135, "zipf_fit"), (136, "spearman"),
         (137, "mutual_info"), (138, "benford"),
-        (139, "rolling_chi2"),
+        (139, "rolling_chi2"), (140, "token_budget"),
     ]
 ]
 
@@ -9396,4 +9396,76 @@ _prev_oracles_q139 = oracle_sql
 def oracle_sql() -> dict[str, str]:  # noqa: F811
     out = _prev_oracles_q139()
     out["q139_rolling_chi2"] = _q139_sql()
+    return _reorder_for_driver(out)
+
+
+# --------------------------------------------------------------------------
+# q140: budget-constrained corpus selection — "the greedy prefix of the
+# corpus, in priority order, up to N tokens" (training-mix composition).
+# Priority here is md5(doc_id) — an unbiased deterministic shuffle both
+# engines spell identically (lowercase hex of the decimal string) — and
+# the running total is the packing.py two-phase distributed prefix sum
+# lifted to a COMPOSITE (priority, id) sort key: per-block totals + max
+# struct bounds collected in ONE job, block membership re-derived from
+# the row's own key (struct comparison), within-block window cumsum.
+# cum_tokens is exact bigint; selected = cum_tokens <= budget. Oracle:
+# one SQL cumulative window over the identical ordering.
+# --------------------------------------------------------------------------
+
+
+def q140_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from baskerville_spark.functions.sampling import select_within_token_budget
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.size(
+        F.filter(
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+            lambda t: t != "",
+        )
+    )
+    base = docs.select(
+        "doc_id",
+        toks.cast("long").alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string").cast("binary")).alias("pri"),
+    )
+    out = select_within_token_budget(
+        base, "doc_id", "n_tokens", budget=20000, priority_col="pri"
+    )
+    return out.select("doc_id", "n_tokens", "cum_tokens", "selected")
+
+
+_Q140_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                              x -> x <> '')) AS BIGINT) AS n_tokens,
+         md5(CAST(doc_id AS VARCHAR)) AS pri
+  FROM documents)
+SELECT doc_id,
+       n_tokens,
+       CAST(SUM(n_tokens) OVER (ORDER BY pri ASC, doc_id ASC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_tokens,
+       SUM(n_tokens) OVER (ORDER BY pri ASC, doc_id ASC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) <= 20000
+         AS selected
+FROM t
+"""
+
+
+_prev_queries_q140 = queries
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    out = _prev_queries_q140()
+    out["q140_token_budget"] = q140_token_budget
+    return _reorder_for_driver(out)
+
+
+_prev_oracles_q140 = oracle_sql
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = _prev_oracles_q140()
+    out["q140_token_budget"] = _Q140_SQL
     return _reorder_for_driver(out)

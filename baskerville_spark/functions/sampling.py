@@ -124,3 +124,103 @@ def train_val_test_split(
     for thr, name in zip(thresholds[1:], names[1:-1]):
         expr = expr.when(b < F.lit(thr), F.lit(name))
     return expr.otherwise(F.lit(names[-1])).alias("split")
+
+
+def select_within_token_budget(
+    df,
+    id_col: str,
+    tokens_col: str,
+    budget: int,
+    priority_col: str,
+):
+    """Greedy prefix selection under a global token budget: order the
+    corpus by ``(priority_col ASC, id_col ASC)`` (deterministic — ties
+    broken by id) and mark each document ``selected`` while the running
+    token total stays within ``budget`` (standard training-mix
+    composition: "the best documents up to N tokens"; pass a quality
+    score, a sampling hash like md5(id) for an unbiased shuffle, or a
+    domain weight as the priority).
+
+    Output: every input row with ``cum_tokens`` (running total INCLUDING
+    the row, exact bigint) and ``selected`` (cum_tokens <= budget — the
+    greedy prefix, never a partially-counted document).
+
+    Scale: the global running sum is the packing.py two-phase form —
+    ONE job over a range exchange on the (priority, id) sort key collects
+    per-block token totals and per-block max sort keys; block membership
+    of the returned frame is then a deterministic function of the row's
+    own key compared against the collected COMPOSITE bounds (struct
+    comparison in Column algebra), so the returned plan never re-runs a
+    possibly differently-sampled range exchange. The only per-row state
+    is a within-block window cumsum — no single-task global window, no
+    driver-side data beyond P (parallelism) bound rows.
+    """
+    from pyspark.sql import Window
+
+    base = df.withColumn("__pri", F.col(priority_col)).withColumn(
+        "__tok", F.col(tokens_col).cast("long")
+    )
+    n_blocks = base.sparkSession.sparkContext.defaultParallelism
+    ranged = base.repartitionByRange(
+        n_blocks, F.col("__pri").asc(), F.col(id_col).asc()
+    ).withColumn("__block", F.spark_partition_id())
+    stats = sorted(
+        ranged.groupBy("__block")
+        .agg(
+            F.sum("__tok").alias("t"),
+            F.max(F.struct(F.col("__pri"), F.col(id_col).alias("__id"))).alias(
+                "mx"
+            ),
+        )
+        .collect(),
+        key=lambda r: r["__block"],
+    )
+    offsets: list[int] = []
+    acc = 0
+    for r in stats:
+        offsets.append(acc)
+        acc += int(r["t"] or 0)
+    bounds = [r["mx"] for r in stats[:-1]]
+    if bounds:
+        barr = F.array(
+            *[
+                F.struct(
+                    F.lit(b["__pri"]).alias("__pri"),
+                    F.lit(b["__id"]).alias("__id"),
+                )
+                for b in bounds
+            ]
+        )
+        row_key = F.struct(
+            F.col("__pri").alias("__pri"), F.col(id_col).alias("__id")
+        )
+        # structs compare lexicographically: #bounds strictly below this
+        # row's key IS its block index (same law as packing.py's scalar
+        # bounds, lifted to the composite sort key)
+        block = F.size(F.filter(barr, lambda b: b < row_key))
+    else:
+        block = F.lit(0)
+    off = (
+        F.element_at(
+            F.create_map(
+                *[F.lit(x) for i, o in enumerate(offsets) for x in (i, o)]
+            ),
+            block,
+        )
+        if offsets
+        else F.lit(0)
+    )
+    w = (
+        Window.partitionBy("__block")
+        .orderBy(F.col("__pri").asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = (
+        base.withColumn("__block", block)
+        .withColumn(
+            "cum_tokens", (off + F.sum("__tok").over(w)).cast("long")
+        )
+        .withColumn("selected", F.col("cum_tokens") <= F.lit(int(budget)))
+        .drop("__pri", "__tok", "__block")
+    )
+    return out

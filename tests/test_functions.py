@@ -1020,3 +1020,39 @@ def test_zipf_fit(spark):
     one = spark.createDataFrame([("solo solo",)], "text string")
     r1 = zipf_fit(one, "text").collect()[0]
     assert r1["n_ranked"] == 1 and r1["slope"] is None and r1["r2"] is None
+
+
+def test_select_within_token_budget(spark):
+    from baskerville_spark.functions.sampling import select_within_token_budget
+
+    # priority order: p1(10) p2(20) p3(15) p4(5) -> cum 10,30,45,50.
+    # budget 45: p1,p2,p3 selected; p4 NOT (greedy prefix — even though
+    # its 5 tokens would fit if p3 were skipped, prefix semantics hold)
+    df = spark.createDataFrame(
+        [(1, 10, "a"), (2, 20, "b"), (3, 15, "c"), (4, 5, "d")],
+        "doc_id int, n_tokens int, pri string",
+    )
+    out = {r["doc_id"]: r for r in select_within_token_budget(
+        df, "doc_id", "n_tokens", budget=45, priority_col="pri"
+    ).collect()}
+    assert [out[i]["cum_tokens"] for i in (1, 2, 3, 4)] == [10, 30, 45, 50]
+    assert out[3]["selected"] and not out[4]["selected"]
+
+    # ties on priority break by id (deterministic): same pri, ids 1..3
+    ties = spark.createDataFrame(
+        [(3, 10, "x"), (1, 10, "x"), (2, 10, "x")],
+        "doc_id int, n_tokens int, pri string",
+    )
+    out = {r["doc_id"]: r["cum_tokens"] for r in select_within_token_budget(
+        ties, "doc_id", "n_tokens", budget=15, priority_col="pri"
+    ).collect()}
+    assert out == {1: 10, 2: 20, 3: 30}
+
+    # exact-boundary doc IS selected (<=, not <)
+    edge = spark.createDataFrame(
+        [(1, 10, "a"), (2, 10, "b")], "doc_id int, n_tokens int, pri string"
+    )
+    sel = {r["doc_id"]: r["selected"] for r in select_within_token_budget(
+        edge, "doc_id", "n_tokens", budget=20, priority_col="pri"
+    ).collect()}
+    assert sel == {1: True, 2: True}

@@ -8405,6 +8405,8 @@ _DRIVER_UNPROVEN_FIRST = [
         (135, "zipf_fit"), (136, "spearman"),
         (137, "mutual_info"), (138, "benford"),
         (139, "rolling_chi2"), (140, "token_budget"),
+        (141, "label_conflicts"), (142, "wasserstein_drift"),
+        (143, "partition_spill"),
     ]
 ]
 
@@ -9468,4 +9470,243 @@ _prev_oracles_q140 = oracle_sql
 def oracle_sql() -> dict[str, str]:  # noqa: F811
     out = _prev_oracles_q140()
     out["q140_token_budget"] = _Q140_SQL
+    return _reorder_for_driver(out)
+
+
+# --------------------------------------------------------------------------
+# q141: cross-modal label-conflict detection — identical DECODED audio
+# content carrying disagreeing transcripts (label noise). The corpus is the
+# generator's all-clean partition 0 (every clip unique content, canonical
+# transcript) plus a planted flac transcode of every 13th clip under a new
+# id with a mutated transcript: the engine must recover EXACTLY the planted
+# groups, keyed by min(clip_id), with both members as violation rows.
+# Oracle: closed-form over the generator's mod arithmetic (a clean
+# partition has no dup-renames, no mp3, no SNR rows — FIXTURES.md §1).
+# --------------------------------------------------------------------------
+
+
+def q141_label_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from baskerville_spark.functions.audio_dedup import (
+        conflicting_label_groups,
+        reencode,
+    )
+    from baskerville_spark.generator import GenConfig, generate_clips
+
+    # n_rows=250/n_parts=1 is BYTE-IDENTICAL to partition 0 of the
+    # 4-partition 1000-row table (row i is a pure function of its index
+    # and clean-part status; both configs make 0..249 clean) but skips
+    # synthesizing the 750 rows the gate would filter out.
+    cfg = GenConfig(n_rows=250, n_parts=1)
+    clips = generate_clips(spark, cfg).persist()
+    suffix = F.substring("clip_id", 6, 12).cast("int")
+    plants = clips.where(suffix % 13 == 5)
+    variants = (
+        reencode(plants, "flac")
+        .withColumn("clip_id", F.concat(F.lit("lblv_"), F.col("clip_id")))
+        .withColumn(
+            "transcript", F.concat(F.col("transcript"), F.lit(" variant"))
+        )
+    )
+    corpus = clips.unionByName(variants)
+    out = conflicting_label_groups(corpus).persist()
+    out.count()
+    clips.unpersist()
+    return out
+
+
+_Q141_SQL = """
+WITH idx AS (SELECT unnest(generate_series(0, 249)) AS s),
+g AS (SELECT s FROM idx WHERE s % 13 = 5)
+SELECT printf('clip_%012d', s) AS group_key,
+       CASE WHEN m = 1 THEN 'lblv_' || printf('clip_%012d', s)
+            ELSE printf('clip_%012d', s) END AS clip_id,
+       CAST(2 AS BIGINT) AS n_labels
+FROM g CROSS JOIN (VALUES (0), (1)) AS v(m)
+"""
+
+
+_prev_queries_q141 = queries
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    out = _prev_queries_q141()
+    out["q141_label_conflicts"] = q141_label_conflicts
+    return _reorder_for_driver(out)
+
+
+_prev_oracles_q141 = oracle_sql
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = _prev_oracles_q141()
+    out["q141_label_conflicts"] = _Q141_SQL
+    return _reorder_for_driver(out)
+
+
+# --------------------------------------------------------------------------
+# q142: Wasserstein-1 (earth-mover) drift per event_type over fixed
+# equi-width bins — the integral member of the drift family (PSI q44 =
+# divergence, KS q10 = supremum): a one-bin shift and a ten-bin shift cost
+# PSI/KS the same, W1 charges the transport distance. Sample A = even
+# event_ids, sample B = odd, with a planted +75 shift on B's 'error' rows
+# so exactly that group crosses the threshold. The per-bin CDF difference
+# stays the EXACT integer |cum_a*tot_b - cum_b*tot_a| (decimal(38,0)
+# Spark-side — bigint overflows at 10^12 rows) and only the single final
+# width*num/(tot_a*tot_b) division is float, so Spark's unordered double
+# SUM can never hash-diverge from the oracle's ordered one.
+# --------------------------------------------------------------------------
+
+
+def q142_wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from baskerville_spark.checks.drift import wasserstein_binned
+
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    side = (F.col("event_id") % 2) == 0
+    shifted = F.col("value") + F.when(
+        (~side) & (F.col("event_type") == "error"), F.lit(75.0)
+    ).otherwise(F.lit(0.0))
+    df = ev.select(
+        "event_type", shifted.alias("v"), side.alias("sa")
+    )
+    return wasserstein_binned(
+        df, "v", F.col("sa"), ["event_type"],
+        lo=0.0, hi=500.0, n_bins=20, threshold=10.0,
+    )
+
+
+_Q142_SQL = """
+WITH x AS (
+  SELECT event_type,
+         CAST(value AS DOUBLE)
+           + CASE WHEN event_id % 2 <> 0 AND event_type = 'error'
+                  THEN 75.0 ELSE 0.0 END AS v,
+         (event_id % 2 = 0) AS sa
+  FROM events WHERE value IS NOT NULL),
+b AS (
+  SELECT event_type,
+         CAST(least(greatest(CAST(floor(v / 25.0) AS BIGINT), 0), 19) AS INT)
+           AS bin,
+         SUM(CASE WHEN sa THEN 1 ELSE 0 END) AS c_a,
+         SUM(CASE WHEN sa THEN 0 ELSE 1 END) AS c_b
+  FROM x GROUP BY 1, 2),
+grid AS (
+  SELECT event_type, bin
+  FROM (SELECT DISTINCT event_type FROM b)
+  CROSS JOIN (SELECT unnest(generate_series(0, 19)) AS bin)),
+f AS (
+  SELECT grid.event_type, grid.bin,
+         COALESCE(c_a, 0) AS c_a, COALESCE(c_b, 0) AS c_b
+  FROM grid LEFT JOIN b USING (event_type, bin)),
+c AS (
+  SELECT event_type, bin,
+         SUM(c_a) OVER w AS cum_a, SUM(c_b) OVER w AS cum_b
+  FROM f WINDOW w AS (PARTITION BY event_type ORDER BY bin
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+c2 AS (
+  SELECT event_type, cum_a, cum_b,
+         MAX(cum_a) OVER (PARTITION BY event_type) AS tot_a,
+         MAX(cum_b) OVER (PARTITION BY event_type) AS tot_b
+  FROM c),
+agg AS (
+  SELECT event_type,
+         SUM(ABS(cum_a * tot_b - cum_b * tot_a)) AS num,
+         MAX(tot_a) AS tot_a, MAX(tot_b) AS tot_b
+  FROM c2 GROUP BY 1)
+SELECT event_type,
+       CAST(tot_a AS BIGINT) AS n_a,
+       CAST(tot_b AS BIGINT) AS n_b,
+       ROUND(25.0 * CAST(num AS DOUBLE)
+             / (CAST(tot_a AS DOUBLE) * CAST(tot_b AS DOUBLE)), 6) AS w1,
+       ROUND(25.0 * CAST(num AS DOUBLE)
+             / (CAST(tot_a AS DOUBLE) * CAST(tot_b AS DOUBLE)), 6) > 10.0
+         AS drift
+FROM agg
+WHERE tot_a > 0 AND tot_b > 0
+"""
+
+
+_prev_queries_q142 = queries
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    out = _prev_queries_q142()
+    out["q142_wasserstein_drift"] = q142_wasserstein_drift
+    return _reorder_for_driver(out)
+
+
+_prev_oracles_q142 = oracle_sql
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = _prev_oracles_q142()
+    out["q142_wasserstein_drift"] = _Q142_SQL
+    return _reorder_for_driver(out)
+
+
+# --------------------------------------------------------------------------
+# q143: partition-spill integrity — keys physically present in more than
+# one table partition (checks/consistency.partition_spill). Distinct from
+# uniqueness q09/q42: a within-partition duplicate (the generator's
+# dup-renamed rows share the SAME partition by construction) is NOT a
+# spill; the check flags exactly the planted cross-partition copies. The
+# corpus is the full 4-partition generator table plus a copy of every
+# clip_id-suffix%23==11 row moved to the next partition. Oracle:
+# closed-form over the generator's partition/dup arithmetic — a key is a
+# violation iff its suffix is selected AND the key exists (dup-renamed
+# indices have no canonical row of their own).
+# --------------------------------------------------------------------------
+
+
+def q143_partition_spill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from baskerville_spark.checks.consistency import partition_spill
+    from baskerville_spark.generator import GenConfig, generate_clips
+
+    cfg = GenConfig(n_rows=1000, n_parts=4)
+    clips = (
+        generate_clips(spark, cfg).select("clip_id", "part_id").persist()
+    )
+    suffix = F.substring("clip_id", 6, 12).cast("int")
+    spilled = clips.where(suffix % 23 == 11).withColumn(
+        "part_id", (F.col("part_id") + 1) % 4
+    )
+    corpus = clips.unionByName(spilled)
+    out = partition_spill(corpus, "clip_id", "part_id").persist()
+    out.count()
+    clips.unpersist()
+    return out
+
+
+_Q143_SQL = """
+WITH idx AS (SELECT unnest(generate_series(0, 999)) AS s),
+fl AS (
+  SELECT s, least(3, (s*4)//1000) AS part,
+    (s > 0 AND s % 199 = 17
+       AND least(3, (s*4)//1000) = least(3, ((s-1)*4)//1000)
+       AND least(3, (s*4)//1000) <> 0) AS dup_renamed
+  FROM idx)
+SELECT printf('clip_%012d', s) AS clip_id,
+       CAST(2 AS BIGINT) AS n_parts,
+       CASE WHEN part = 3 THEN '0,3'
+            ELSE CAST(part AS VARCHAR) || ',' || CAST(part + 1 AS VARCHAR)
+       END AS parts
+FROM fl
+WHERE s % 23 = 11 AND NOT dup_renamed
+"""
+
+
+_prev_queries_q143 = queries
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    out = _prev_queries_q143()
+    out["q143_partition_spill"] = q143_partition_spill
+    return _reorder_for_driver(out)
+
+
+_prev_oracles_q143 = oracle_sql
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = _prev_oracles_q143()
+    out["q143_partition_spill"] = _Q143_SQL
     return _reorder_for_driver(out)

@@ -11,7 +11,13 @@ stats/verdict suite is a single shuffle over the fact table.
 from baskerville_spark.checks.stats import column_stats  # noqa: F401
 from baskerville_spark.checks.uniqueness import duplicate_keys, uniqueness_violations  # noqa: F401
 from baskerville_spark.checks.referential import ref_integrity_violations  # noqa: F401
-from baskerville_spark.checks.drift import capture_baseline, drift_verdicts, psi_attribution  # noqa: F401
+from baskerville_spark.checks.drift import (  # noqa: F401
+    capture_baseline,
+    drift_verdicts,
+    psi_attribution,
+    wasserstein_binned,
+)
+from baskerville_spark.checks.consistency import partition_spill  # noqa: F401
 from baskerville_spark.checks.invariants import audio_invariant  # noqa: F401
 from baskerville_spark.checks.schema_check import ColumnSpec, enforce_schema  # noqa: F401
 from baskerville_spark.checks.suite import Constraint, run_suite  # noqa: F401

@@ -180,3 +180,42 @@ def speaking_rate_violations(
         F.lit("speaking_rate").alias("check_name"),
         F.round(cps, 6).alias("chars_per_sec"),
     )
+
+
+def partition_spill(df: DataFrame, key_col: str, part_col: str) -> DataFrame:
+    """Partition-key integrity: keys physically present in MORE THAN ONE
+    table partition. Distinct from plain uniqueness (q09/q42: same key
+    twice anywhere): a key duplicated WITHIN a partition is caught by any
+    per-partition pass, but a key spilled ACROSS partitions silently
+    breaks every per-partition contract the engine relies on — MERGE
+    upserts touch one copy, incremental revalidation re-checks one
+    partition and declares the key clean, partition-level retention
+    deletes half a record. The reference's cache-key discipline assumes
+    exactly this never happens (models/request_set_cache.py:207-251
+    updates one row per key); this check makes the assumption a gated
+    verdict.
+
+    Scale shape: select(key, part).distinct() is the only shuffle that
+    sees data (map-side combined; the projection is two narrow columns);
+    the follow-up groupBy(key) sees at most |partitions| rows per key, so
+    a hot key is bounded by partition count, never row count — no salting
+    needed. Output: (key, n_parts, parts) with parts a sorted CSV both
+    engines can derive.
+    """
+    pairs = df.select(
+        F.col(key_col).alias("k"), F.col(part_col).alias("p")
+    ).where(F.col(key_col).isNotNull() & F.col(part_col).isNotNull()).distinct()
+    return (
+        pairs.groupBy("k")
+        .agg(
+            F.countDistinct("p").cast("long").alias("n_parts"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_set("p")), lambda x: x.cast("string")
+                ),
+                ",",
+            ).alias("parts"),
+        )
+        .where(F.col("n_parts") > 1)
+        .select(F.col("k").alias(key_col), "n_parts", "parts")
+    )

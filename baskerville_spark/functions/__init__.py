@@ -59,6 +59,7 @@ from baskerville_spark.functions.audio_quality import (  # noqa: F401
 from baskerville_spark.functions.audio_dedup import (  # noqa: F401
     audio_align_offsets,
     audio_content_fingerprints,
+    conflicting_label_groups,
     content_duplicate_pairs,
 )
 from baskerville_spark.functions.timegrid import (  # noqa: F401

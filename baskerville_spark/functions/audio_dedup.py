@@ -308,3 +308,49 @@ def audio_align_offsets(
             yield pa.RecordBatch.from_pydict(rows, schema=_ARROW_ALIGN)
 
     return joined.mapInArrow(_align, schema=ALIGN_SCHEMA)
+
+
+def conflicting_label_groups(clips: DataFrame) -> DataFrame:
+    """Label-noise detection: clips whose DECODED audio content is
+    identical but whose transcripts disagree — the training-data bug that
+    uniqueness (same clip_id) and content dedup (same audio, any label)
+    both structurally miss, and that silently teaches a model two answers
+    for one input. Reference seam: Baskerville's closest notion is the
+    duplicated request-set key check (models/request_set_cache.py); the
+    cross-modal label-consistency check is a from-scratch extension for
+    the audio graft cell.
+
+    Plan shape (10^12-clip scale): one mapInArrow decode pass emits narrow
+    (content_md5, clip_id) rows — payloads never shuffle; transcripts join
+    on clip_id BEFORE grouping so the grouped rows stay narrow; one hash
+    aggregate per content_md5 computes countDistinct(transcript); the
+    conflicting-group set is bounded by the planted-noise rate, so the
+    member back-join broadcasts it (AQE at real scale). Group sizes are
+    bounded by the corpus duplication factor, never by corpus size, so
+    the exact countDistinct cannot blow a reducer.
+
+    Returns one violation row per MEMBER of a conflicting group:
+    (group_key, clip_id, n_labels) with group_key = min(clip_id) of the
+    group — a deterministic name both engines can derive.
+    """
+    _require_cols(clips, ("clip_id", "bytes", "codec", "transcript"))
+    fps = audio_content_fingerprints(clips)
+    # persist the narrow labeled frame: both the group aggregate and the
+    # member back-join derive from it — unpersisted, the DECODE pass (the
+    # expensive leg) runs twice (persisted-intermediate convention; freed
+    # by the session's LRU / clearCache)
+    labeled = fps.where(F.col("decode_ok")).select("content_md5", "clip_id").join(
+        clips.select("clip_id", "transcript"), "clip_id"
+    ).persist()
+    groups = (
+        labeled.groupBy("content_md5")
+        .agg(
+            F.min("clip_id").alias("group_key"),
+            F.countDistinct("transcript").alias("n_labels"),
+        )
+        .where(F.col("n_labels") > 1)
+    )
+    return (
+        labeled.join(F.broadcast(groups), "content_md5")
+        .select("group_key", "clip_id", "n_labels")
+    )

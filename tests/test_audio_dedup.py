@@ -672,3 +672,47 @@ def test_audio_channel_balance_rejects_mono(spark):
     )
     with pytest.raises(ValueError, match="n_channels >= 2"):
         audio_channel_balance(df, n_channels=1)
+
+
+def test_conflicting_label_groups(spark):
+    from baskerville_spark.functions.audio_dedup import conflicting_label_groups
+
+    pcm_a = audio.synth_pcm("lblA", 8000, 80)
+    pcm_b = audio.synth_pcm("lblB", 8000, 80)
+    rows = [
+        # same decoded content across containers, DISAGREEING labels
+        ("c1", bytearray(audio.encode(pcm_a, "pcm_s16le")), "pcm_s16le", "hello"),
+        ("c2", bytearray(audio.encode(pcm_a, "flac")), "flac", "goodbye"),
+        # same content, SAME label -> consistent, not a conflict
+        ("c3", bytearray(audio.encode(pcm_b, "pcm_s16le")), "pcm_s16le", "x y"),
+        ("c4", bytearray(audio.encode(pcm_b, "flac")), "flac", "x y"),
+        # undecodable payload never forms a group
+        ("c5", bytearray(b"\x00\x01"), "mp3", "junk"),
+    ]
+    df = spark.createDataFrame(
+        rows, "clip_id string, bytes binary, codec string, transcript string"
+    )
+    out = sorted(
+        (r["group_key"], r["clip_id"], r["n_labels"])
+        for r in conflicting_label_groups(df).collect()
+    )
+    assert out == [("c1", "c1", 2), ("c1", "c2", 2)]
+
+
+def test_conflicting_label_groups_caches_decode_pass(spark):
+    """The labeled (content_md5, clip_id, transcript) frame is persisted:
+    the member back-join must read the cache, not re-run the decode pass."""
+    from baskerville_spark.functions.audio_dedup import conflicting_label_groups
+
+    pcm = audio.synth_pcm("lblC", 8000, 80)
+    df = spark.createDataFrame(
+        [
+            ("c1", bytearray(audio.encode(pcm, "pcm_s16le")), "pcm_s16le", "a"),
+            ("c2", bytearray(audio.encode(pcm, "flac")), "flac", "b"),
+        ],
+        "clip_id string, bytes binary, codec string, transcript string",
+    )
+    out = conflicting_label_groups(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan
+    spark.catalog.clearCache()

@@ -1152,3 +1152,34 @@ def test_benford_digits(spark):
     assert abs(out[1]["obs_frac"] - 4 / 6) < 1e-12
     assert abs(out[1]["exp_frac"] - math.log10(2)) < 1e-12
     assert abs(out[3]["abs_dev"] - math.log10(1 + 1 / 3)) < 1e-12
+
+
+def test_wasserstein_binned_closed_form(spark):
+    from pyspark.sql import functions as F
+
+    from baskerville_spark.checks.drift import wasserstein_binned
+
+    # side A: one row at bin 0; side B: one row at bin 2 (width 1, 4 bins)
+    # CDFs: A = 1,1,1,1  B = 0,0,1,1 -> |diff| = 1,1,0,0 -> W1 = 2.0
+    df = spark.createDataFrame(
+        [("g", 0.5, True), ("g", 2.5, False)], "grp string, v double, sa boolean"
+    )
+    r = wasserstein_binned(
+        df, "v", F.col("sa"), ["grp"], lo=0.0, hi=4.0, n_bins=4, threshold=1.0
+    ).collect()[0]
+    assert (r["n_a"], r["n_b"], r["w1"], r["drift"]) == (1, 1, 2.0, True)
+
+
+def test_wasserstein_binned_identical_sides_and_clamping(spark):
+    from pyspark.sql import functions as F
+
+    from baskerville_spark.checks.drift import wasserstein_binned
+
+    # identical samples on both sides -> W1 exactly 0; values outside
+    # [lo, hi) clamp into the edge bins instead of vanishing
+    rows = [("g", v, s) for v in (-5.0, 1.5, 99.0) for s in (True, False)]
+    df = spark.createDataFrame(rows, "grp string, v double, sa boolean")
+    r = wasserstein_binned(
+        df, "v", F.col("sa"), ["grp"], lo=0.0, hi=4.0, n_bins=4
+    ).collect()[0]
+    assert (r["n_a"], r["n_b"], r["w1"], r["drift"]) == (3, 3, 0.0, False)

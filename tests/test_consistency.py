@@ -343,3 +343,20 @@ def test_runner_categorical_mix_optin(spark, t1_clips, t1_cfg, t1_tref):
     assert not any(n["check_name"].startswith("chi2:")
                    for n in res0.verdicts.collect())
     res0.unpersist()
+
+
+def test_partition_spill_flags_cross_partition_keys_only(spark):
+    from baskerville_spark.checks.consistency import partition_spill
+
+    df = spark.createDataFrame(
+        [
+            ("a", 0), ("a", 2), ("a", 1),   # spilled across 3 parts
+            ("b", 1), ("b", 1),             # duplicated WITHIN a part: clean
+            ("c", 3),                        # unique: clean
+            (None, 0), ("d", None),          # NULL key/part ignored
+        ],
+        "clip_id string, part_id int",
+    )
+    out = {r["clip_id"]: r for r in partition_spill(df, "clip_id", "part_id").collect()}
+    assert list(out) == ["a"]
+    assert out["a"]["n_parts"] == 3 and out["a"]["parts"] == "0,1,2"

@@ -442,3 +442,20 @@ def test_stat_operators_cache_cell_frames(spark, tmp_path):
         plan = frame._jdf.queryExecution().executedPlan().toString()
         assert "InMemoryTableScan" in plan
     spark.catalog.clearCache()
+
+
+def test_wasserstein_caches_cell_frame(spark):
+    """wasserstein_binned persists its binned-count frame: the bin-grid
+    branch must read the cache, not re-scan the fact table (same pin as
+    test_stat_operators_cache_cell_frames)."""
+    from pyspark.sql import functions as F
+
+    from baskerville_spark.checks.drift import wasserstein_binned
+
+    df = spark.createDataFrame(
+        [("g", 1.0, True), ("g", 2.0, False)], "grp string, v double, sa boolean"
+    )
+    out = wasserstein_binned(df, "v", F.col("sa"), ["grp"], 0.0, 4.0, 4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan
+    spark.catalog.clearCache()

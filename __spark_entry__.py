@@ -8406,7 +8406,7 @@ _DRIVER_UNPROVEN_FIRST = [
         (137, "mutual_info"), (138, "benford"),
         (139, "rolling_chi2"), (140, "token_budget"),
         (141, "label_conflicts"), (142, "wasserstein_drift"),
-        (143, "partition_spill"),
+        (143, "partition_spill"), (144, "out_of_order"),
     ]
 ]
 
@@ -9709,4 +9709,75 @@ _prev_oracles_q143 = oracle_sql
 def oracle_sql() -> dict[str, str]:  # noqa: F811
     out = _prev_oracles_q143()
     out["q143_partition_spill"] = _Q143_SQL
+    return _reorder_for_driver(out)
+
+
+# --------------------------------------------------------------------------
+# q144: out-of-order ingestion rate (checks/consistency.out_of_order_stats)
+# — per user, the fraction of events whose event time runs behind the
+# running max of everything already ingested (ordered by event_id): the
+# measured lateness a streaming watermark must absorb. A 2-day backdate is
+# planted on every event_id%97==13 row (median per-user gap is ~7 h, so a
+# planted row is late unless it is its user's first); both engines apply
+# the identical mutation, so the late set needs no closed form. One
+# key-partitioned window pass + one hash aggregate; no global sort.
+# --------------------------------------------------------------------------
+
+
+def q144_out_of_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from baskerville_spark.checks.consistency import out_of_order_stats
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.when(
+            F.col("event_id") % 97 == 13,
+            F.col("ts") - F.expr("INTERVAL 2 DAYS"),
+        ).otherwise(F.col("ts")).alias("ts"),
+    )
+    return out_of_order_stats(ev, "user_id", "event_id", "ts", threshold=0.01)
+
+
+_Q144_SQL = """
+WITH ev AS (
+  SELECT user_id, event_id,
+         CASE WHEN event_id % 97 = 13 THEN ts - INTERVAL 2 DAY ELSE ts END
+           AS ts
+  FROM events),
+x AS (
+  SELECT user_id, ts,
+         MAX(ts) OVER (PARTITION BY user_id ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_max
+  FROM ev),
+a AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(CASE WHEN ts < prev_max THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_late
+  FROM x GROUP BY 1)
+SELECT user_id, n_events, n_late,
+       ROUND(CAST(n_late AS DOUBLE) / CAST(n_events AS DOUBLE), 6)
+         AS late_frac,
+       ROUND(CAST(n_late AS DOUBLE) / CAST(n_events AS DOUBLE), 6) > 0.01
+         AS flagged
+FROM a
+"""
+
+
+_prev_queries_q144 = queries
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    out = _prev_queries_q144()
+    out["q144_out_of_order"] = q144_out_of_order
+    return _reorder_for_driver(out)
+
+
+_prev_oracles_q144 = oracle_sql
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = _prev_oracles_q144()
+    out["q144_out_of_order"] = _Q144_SQL
     return _reorder_for_driver(out)

@@ -219,3 +219,56 @@ def partition_spill(df: DataFrame, key_col: str, part_col: str) -> DataFrame:
         .where(F.col("n_parts") > 1)
         .select(F.col("k").alias(key_col), "n_parts", "parts")
     )
+
+
+def out_of_order_stats(
+    df: DataFrame,
+    key_col: str,
+    seq_col: str,
+    ts_col: str,
+    threshold: float = 0.01,
+) -> DataFrame:
+    """Ingestion-order QA: per key, the fraction of events whose event
+    time runs BEHIND the running maximum of everything already ingested
+    (ordered by the ingest sequence) — the out-of-order rate that decides
+    whether a streaming watermark of a given lateness bound would have
+    dropped data. The running-max comparison catches ANY regression, not
+    just adjacent inversions (an event 3 steps late with in-order
+    neighbours still flags). Reference lineage: the time-bucket pipeline
+    assumes in-order micro-batches outright (models/base_spark.py
+    time_bucket grouping); this check turns that assumption into a gated
+    verdict before the windowed checks rely on it.
+
+    Scale shape: one window pass partitioned by key ordered by the
+    sequence (no global sort — each key sorts independently inside its
+    hash partition), then one hash aggregate per key. NULL ts never
+    counts as late (NULL < x is NULL -> 0) and never advances the
+    running max. Returns (key, n_events, n_late, late_frac, flagged).
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(seq_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    late = F.when(F.col(ts_col) < F.max(ts_col).over(w), 1).otherwise(0)
+    frac = F.round(
+        F.col("n_late").cast("double") / F.col("n_events").cast("double"), 6
+    )
+    return (
+        df.select(key_col, seq_col, ts_col)
+        .withColumn("__late", late)
+        .groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("__late").alias("n_late"),
+        )
+        .select(
+            key_col,
+            "n_events",
+            "n_late",
+            frac.alias("late_frac"),
+            (frac > F.lit(threshold)).alias("flagged"),
+        )
+    )

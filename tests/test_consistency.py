@@ -360,3 +360,27 @@ def test_partition_spill_flags_cross_partition_keys_only(spark):
     out = {r["clip_id"]: r for r in partition_spill(df, "clip_id", "part_id").collect()}
     assert list(out) == ["a"]
     assert out["a"]["n_parts"] == 3 and out["a"]["parts"] == "0,1,2"
+
+
+def test_out_of_order_stats_running_max(spark):
+    from baskerville_spark.checks.consistency import out_of_order_stats
+
+    # u1: seq 3 is late vs the running max set at seq 1 (10:00) even
+    # though it is in order vs its NEIGHBOUR (seq 2, 08:00 — itself late);
+    # u2: fully in-order; NULL ts neither counts late nor advances the max
+    rows = [
+        ("u1", 1, "2024-01-01 10:00:00"),
+        ("u1", 2, "2024-01-01 08:00:00"),  # late (any regression, not adjacent)
+        ("u1", 3, "2024-01-01 09:00:00"),  # late vs running max 10:00
+        ("u1", 4, None),
+        ("u1", 5, "2024-01-01 11:00:00"),  # in order again
+        ("u2", 1, "2024-01-01 00:00:00"),
+        ("u2", 2, "2024-01-01 01:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "k string, seq int, ts_s string").select(
+        "k", "seq", F.col("ts_s").cast("timestamp").alias("ts")
+    )
+    out = {r["k"]: r for r in out_of_order_stats(df, "k", "seq", "ts").collect()}
+    assert (out["u1"]["n_events"], out["u1"]["n_late"]) == (5, 2)
+    assert out["u1"]["late_frac"] == 0.4 and out["u1"]["flagged"]
+    assert (out["u2"]["n_late"], out["u2"]["flagged"]) == (0, False)

@@ -23,14 +23,30 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _scan_par(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Spread a small-file scan across the cluster BEFORE heavy per-row
+    compute (levenshtein / shingle explode / regex normalization / md5).
+
+    The testdata tables are single-file single-rowgroup parquet, so every
+    scan is ONE task and all row work that precedes the first exchange
+    serializes on one core (guide §2.5 input skew: "one huge unsplittable
+    file ... repartition immediately after the read"). Adaptive: the extra
+    round-robin exchange is inserted only when the scan has fewer input
+    files than cores — at real scale (many files ≥ cores) the scan is
+    already parallel and the repartition is skipped, so this never costs a
+    shuffle where the layout is healthy. ``inputFiles`` is driver-side
+    metadata (no job)."""
+    par = spark.sparkContext.defaultParallelism
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:  # non-file sources: leave the plan alone
+        return df
+    return df.repartition(par) if 0 < n_files < par else df
+
+
 def _docs_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents, repartitioned for explode-heavy (shingle) pipelines: the
-    testdata table is a single parquet file → one scan task, which serializes
-    the whole shingle fan-out on one core (a small-file artifact — at real
-    scale the table has many files and this repartition is unnecessary)."""
-    return _t(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    """documents, scan-parallelized for explode/regex-heavy pipelines."""
+    return _scan_par(spark, _t(spark, sf_dir, "documents"))
 
 
 # ---------------------------------------------------------------------------
@@ -2219,7 +2235,7 @@ def q51_normalized_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     as a comma-joined string (array-hashing hazard — see check_oracle)."""
     from baskerville_spark.functions.dedup import exact_duplicates
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _scan_par(spark, _t(spark, sf_dir, "documents").select("doc_id", "text"))
     clones = d.where(F.col("doc_id") % 7 == 0).select(
         (F.col("doc_id") + 100_000).alias("doc_id"),
         F.concat(F.upper(F.col("text")), F.lit(" !!!")).alias("text"),
@@ -3388,57 +3404,83 @@ def q65_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     normalized chars (both engines filter identically)."""
     from baskerville_spark.functions.graph import dedup_clusters
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    tenth = d.where(F.col("doc_id") % 10 == 0)
+    d = _scan_par(spark, _t(spark, sf_dir, "documents").select("doc_id", "text"))
     did = F.col("doc_id").cast("string")
-    corpus = d.unionByName(
-        tenth.select(
-            (F.col("doc_id") + 100_000).alias("doc_id"),
-            F.concat(F.upper("text"), F.lit(" !!!")).alias("text"),
-        )
-    ).unionByName(
-        tenth.select(
-            (F.col("doc_id") + 300_000).alias("doc_id"),
-            F.concat(
-                F.left("text", F.lit(120)), F.lit(" qq unique tail "), did
-            ).alias("text"),
-        )
-    ).unionByName(
-        tenth.select(
-            (F.col("doc_id") + 400_000).alias("doc_id"),
-            F.concat(
-                F.lit("zq head "), did, F.lit(" "), F.right("text", F.lit(160))
-            ).alias("text"),
+    tenth = F.col("doc_id") % 10 == 0
+    # Corpus and membership as SINGLE-branch conditional explodes instead of
+    # 4- and 3-way unions: the union form evaluated the scan + normalization
+    # 12 branch-combinations deep (each union leg is its own stage fan-out
+    # of tiny tasks, and the regex normalization ran once per leg); the
+    # explode computes each row's variants and bucket list in ONE pass —
+    # same multiset of (doc_id, text) and (doc_id, bucket) rows (the
+    # when()-guards restate each leg's filter; array_compact drops the
+    # non-matching legs), and downstream groupBys are order-insensitive.
+    variant = F.array_compact(
+        F.array(
+            F.struct(F.col("doc_id"), F.col("text")),
+            F.when(
+                tenth,
+                F.struct(
+                    (F.col("doc_id") + 100_000).alias("doc_id"),
+                    F.concat(F.upper("text"), F.lit(" !!!")).alias("text"),
+                ),
+            ),
+            F.when(
+                tenth,
+                F.struct(
+                    (F.col("doc_id") + 300_000).alias("doc_id"),
+                    F.concat(
+                        F.left("text", F.lit(120)), F.lit(" qq unique tail "), did
+                    ).alias("text"),
+                ),
+            ),
+            F.when(
+                tenth,
+                F.struct(
+                    (F.col("doc_id") + 400_000).alias("doc_id"),
+                    F.concat(
+                        F.lit("zq head "), did, F.lit(" "), F.right("text", F.lit(160))
+                    ).alias("text"),
+                ),
+            ),
         )
     )
+    corpus = d.select(F.explode(variant).alias("v")).select("v.doc_id", "v.text")
     nt = F.trim(
         F.regexp_replace(
             F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", ""), " +", " "
         )
     )
     normed = corpus.select("doc_id", nt.alias("nt"))
+    ntc = F.col("nt")
     long_enough = F.length("nt") >= 64
-    membership = (
-        normed.where(F.col("nt").isNotNull())
-        .select("doc_id", F.concat(F.lit("f:"), F.md5("nt")).alias("bucket"))
-        .unionByName(
-            normed.where(long_enough).select(
-                "doc_id",
-                F.concat(F.lit("p:"), F.md5(F.left("nt", F.lit(64)))).alias("bucket"),
-            )
-        )
-        .unionByName(
-            normed.where(long_enough).select(
-                "doc_id",
-                F.concat(F.lit("s:"), F.md5(F.right("nt", F.lit(64)))).alias("bucket"),
-            )
+    buckets = F.array_compact(
+        F.array(
+            F.when(
+                ntc.isNotNull(), F.concat(F.lit("f:"), F.md5("nt"))
+            ),
+            F.when(
+                long_enough, F.concat(F.lit("p:"), F.md5(F.left("nt", F.lit(64))))
+            ),
+            F.when(
+                long_enough, F.concat(F.lit("s:"), F.md5(F.right("nt", F.lit(64))))
+            ),
         )
     )
-    return dedup_clusters(
+    membership = normed.select("doc_id", F.explode(buckets).alias("bucket"))
+    # Persist the narrow (doc_id, bucket) rows: the star-edge and seed jobs
+    # inside dedup_clusters each evaluate membership once, and each
+    # evaluation replays the normalization regex over the corpus. The CC
+    # loop checkpoints its labels, so the cache can be dropped on return.
+    membership = membership.persist()
+    membership.count()
+    out = dedup_clusters(
         membership, id_col="doc_id", bucket_col="bucket", vertices=corpus
     ).select(
         F.col("id").alias("doc_id"), "cluster_id", "cluster_size", "is_canonical"
     )
+    membership.unpersist()
+    return out
 
 
 _Q65_SQL = """
@@ -3806,7 +3848,7 @@ def q70_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     beyond round-6 output)."""
     from baskerville_spark.functions.dedup import shingle_containment_pairs
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _scan_par(spark, _t(spark, sf_dir, "documents").select("doc_id", "text"))
     corpus = d.unionByName(
         d.where(F.col("doc_id") % 6 == 0).select(
             (F.col("doc_id") + 700_000).alias("doc_id"),
@@ -3886,7 +3928,7 @@ def q71_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     two map-side-combining aggregates."""
     from baskerville_spark.functions.text import repetition_metrics
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _scan_par(spark, _t(spark, sf_dir, "documents").select("doc_id", "text"))
     rep = F.array_join(
         F.flatten(
             F.array_repeat(F.slice(F.split(F.col("text"), "\\s+"), 1, 4), 10)
@@ -4054,7 +4096,7 @@ def q73_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     must not be half-eaten by the phone pattern) is under the hash."""
     from baskerville_spark.functions.text import pii_scrub
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _scan_par(spark, _t(spark, sf_dir, "documents").select("doc_id", "text"))
     corpus = d.unionByName(
         d.where(F.col("doc_id") % 10 == 0).select(
             (F.col("doc_id") + 1_000_000).alias("doc_id"),
@@ -4259,7 +4301,7 @@ def q76_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct shingles — the training corpus never shuffles its text."""
     from baskerville_spark.functions.dedup import decontaminate
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _scan_par(spark, _t(spark, sf_dir, "documents").select("doc_id", "text"))
     bench = d.where(F.col("doc_id") % 10 == 7)
     train = d.where(F.col("doc_id") % 10 != 7)
     return decontaminate(train, bench, n=8)
@@ -6341,7 +6383,12 @@ def q106_transcript_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame
     deletion — scored with the native JVM levenshtein (no Python) and
     normalized to a character error rate; DuckDB's levenshtein must agree
     on every row."""
-    d = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    # _scan_par: three O(len_a * len_b) levenshtein DPs per row — the one
+    # query in the suite where per-row CPU dwarfs everything else; on the
+    # single-file scan it all ran on one core (guide §2.5)
+    d = _scan_par(
+        spark, _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    )
     sub = F.regexp_replace(F.col("text"), "e", "a")
     cut = F.substring(F.col("text"), 11, 1_000_000)
     ref_len = F.greatest(F.length("text"), F.lit(1))
@@ -9063,7 +9110,7 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
 def q135_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from baskerville_spark.functions.text import zipf_fit
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _scan_par(spark, _t(spark, sf_dir, "documents"))
     out = zipf_fit(docs, "text", top_k=500)
     return out.select(
         "n_ranked",

@@ -467,6 +467,15 @@ def dedup_clusters(
         # derivation already shapes — bucket graphs then converge in
         # half the rounds (seeds are bucket minima, i.e. same-component
         # vertex ids, satisfying the init_labels contract).
+        #
+        # The star-edge and seed jobs each evaluate ``membership`` once
+        # (they run as separate jobs; Spark shares no stages across jobs).
+        # When the membership derivation is expensive (regex/hash over
+        # text), the CALLER should persist+count the narrow (id, bucket)
+        # frame before calling and unpersist after — the CC loop
+        # checkpoints its labels, so nothing re-reads membership once this
+        # function returns. Persisting unconditionally here costs an extra
+        # job that measurably hurts the cheap-membership callers.
         roots = membership.groupBy(bucket_col).agg(F.min(id_col).alias("__root"))
         seeds = (
             membership.join(roots, bucket_col)

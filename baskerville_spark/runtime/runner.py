@@ -193,7 +193,7 @@ def run_validation(
     if persist_intermediate:
         st = st.persist()  # tiny (parts × cols); feeds several verdict branches
         persisted.append(st)
-        st.count()  # eager fill (see violations note below)
+        # eager fill happens below, CONCURRENTLY with the violations fill
     verdicts = stats.stats_verdicts(st, cfg.null_rate_max, cfg.range_bounds)
 
     # per-partition row counts derived from stats — no extra scan of the fact
@@ -241,11 +241,10 @@ def run_validation(
     if inv is not None and cfg.emit_audio_states and persist_intermediate:
         # two consumers of the decode pass (violations + audio states):
         # cache the narrow per-clip rows so audio is decoded exactly once.
-        # Eager fill, same reason as the violations persist below (subtree
-        # caches don't reliably populate under AQE).
+        # Eager fill happens below (subtree caches don't reliably populate
+        # under AQE), concurrently with the stats fill.
         inv = inv.persist()
         persisted.append(inv)
-        inv.count()
     if cfg.check_audio:
         violation_dfs.append(inv_mod.invariant_violations(inv))
         check_names += ["snr", "decode_error", "transcript_eq"]
@@ -289,9 +288,28 @@ def run_validation(
         # downstream action re-runs the full check scans including the audio
         # decode. One explicit action here fills the cache; every verdict /
         # caller action after it reads O(violations) rows only.
+        #
+        # The fills run CONCURRENTLY (guide §2.6 — independent jobs
+        # back-fill each other's task tails): stats and the decode-bearing
+        # frame share only the already-filled slim cache. When the audio
+        # states ride the decode pass, `inv` is the decode-bearing frame and
+        # the violations fill afterwards reads its cache (decode exactly
+        # once); otherwise violations itself carries the decode.
         violations = violations.persist()
         persisted.append(violations)
-        violations.count()
+        from concurrent.futures import ThreadPoolExecutor
+
+        first: list[DataFrame] = [st]
+        second: DataFrame | None = None
+        if inv is not None and cfg.emit_audio_states:
+            first.append(inv)
+            second = violations
+        else:
+            first.append(violations)
+        with ThreadPoolExecutor(max_workers=len(first)) as pool:
+            list(pool.map(lambda df: df.count(), first))
+        if second is not None:
+            second.count()
 
     verdicts = verdicts.unionByName(
         _violation_verdicts(violations, part_rows, check_names)
@@ -376,6 +394,29 @@ def run_validation(
     )
 
 
+def _partition_values(clips: DataFrame) -> set[int] | None:
+    """part_id values of a hive-partitioned (``part_id=N`` directory) clip
+    table, read from the scan's file list — DRIVER-side metadata the reader
+    has already listed, so resume discovery costs no Spark job. None when
+    any file is outside that layout (caller falls back to a distinct scan:
+    partition values then genuinely live in the data)."""
+    import re
+
+    try:
+        files = clips.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    out: set[int] = set()
+    for f in files:
+        m = re.search(r"[/\\]part_id=(-?\d+)[/\\]", f)
+        if m is None:
+            return None
+        out.add(int(m.group(1)))
+    return out
+
+
 def _delete_pending_sink_dirs(
     spark: SparkSession, out_dir: str, sink_names: tuple, pending: list
 ) -> None:
@@ -411,9 +452,11 @@ def run_resumable(
     started = datetime.now(timezone.utc)
 
     clips = spark.read.parquet(clips_path)
-    all_parts = {
-        r["part_id"] for r in clips.select("part_id").distinct().collect()
-    }
+    all_parts = _partition_values(clips)
+    if all_parts is None:  # non-partitioned layout: pay the distinct
+        all_parts = {
+            r["part_id"] for r in clips.select("part_id").distinct().collect()
+        }
     done = manifest_mod.done_partitions(spark, manifest_path)
     pending = sorted(all_parts - done)
     if not pending:
@@ -457,13 +500,25 @@ def run_resumable(
     _delete_pending_sink_dirs(
         spark, out_dir, tuple(name for name, _ in sinks), pending
     )
-    for name, df in sinks:
+
+    # The sink writes are independent jobs over already-persisted narrow
+    # intermediates — run them CONCURRENTLY so each write's task tail
+    # back-fills the others (guide §2.6); FIFO scheduling keeps this a
+    # latency overlap, not a resource fight. Job descriptions/groups are
+    # thread-local, so the UI labels stay per-sink.
+    def _write(item: tuple) -> None:
+        name, df = item
         (
             df.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("part_id")
             .parquet(f"{out_dir}/{name}")
         )
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(sinks)) as pool:
+        list(pool.map(_write, sinks))
     run_metrics = dict(obs.get)  # side effect of the violations write
 
     # Per-partition manifest metrics from the WRITTEN verdicts (reads back

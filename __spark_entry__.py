@@ -49,6 +49,35 @@ def _docs_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _scan_par(spark, _t(spark, sf_dir, "documents"))
 
 
+def _stream_shuffle(spark: SparkSession):
+    """Context manager sizing ``spark.sql.shuffle.partitions`` — which fixes
+    the streaming STATE-STORE partition count at query start (AQE never
+    coalesces stateful-streaming shuffles the way it does batch ones) — to
+    the protocol gates' data volume: a 3-micro-batch stream over <=100k rows
+    needs a handful of state partitions, not one per core; at 32 each
+    trigger paid 32 state-store commits + 32 near-empty tasks per stateful
+    stage (measured q64: 13.4s -> 5.3s at local[32]). Partition count is a
+    function of state size (guide §2.2), so the gate value is independent of
+    cluster width; production streams size via BASK_STREAM_STATE_PARTITIONS
+    or their own session conf. Restores the batch setting on exit."""
+    import os
+    from contextlib import contextmanager
+
+    @contextmanager
+    def _cm():
+        target = int(
+            os.environ.get("BASK_STREAM_STATE_PARTITIONS", "0")
+        ) or min(8, spark.sparkContext.defaultParallelism)
+        old = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(target))
+        try:
+            yield
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
+
+    return _cm()
+
+
 _CLIP_FIXTURES: dict[tuple, str] = {}
 
 
@@ -833,25 +862,26 @@ def q23_streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     completion over the events parquet; result equals the batch oracle."""
     e_schema = _t(spark, sf_dir, "events").schema
     name = f"q23_out_{uuid.uuid4().hex[:8]}"
-    stream = (
-        spark.readStream.schema(e_schema)
-        .option("pathGlobFilter", "events.parquet")  # stream source needs a dir
-        .parquet(sf_dir)
-        .withColumn("ts", F.col("ts").cast("timestamp"))  # NTZ → event-time type
-        .withWatermark("ts", "1 hour")
-        .groupBy(F.window("ts", "1 hour"), "event_type")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    q = (
-        stream.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with _stream_shuffle(spark):
+        stream = (
+            spark.readStream.schema(e_schema)
+            .option("pathGlobFilter", "events.parquet")  # stream source needs a dir
+            .parquet(sf_dir)
+            .withColumn("ts", F.col("ts").cast("timestamp"))  # NTZ → event-time type
+            .withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour"), "event_type")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        q = (
+            stream.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     out = spark.table(name)
     return out.select(
         F.unix_timestamp(F.col("window.start")).alias("bucket_epoch"),
@@ -1536,25 +1566,26 @@ def q39_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct-user counts per type, equal to the batch DISTINCT oracle."""
     e_schema = _t(spark, sf_dir, "events").schema
     name = f"q39_out_{uuid.uuid4().hex[:8]}"
-    stream = (
-        spark.readStream.schema(e_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.col("ts").cast("timestamp"))
-        .withWatermark("ts", "1 hour")
-        .dropDuplicates(["user_id", "event_type"])
-        .select("user_id", "event_type")
-    )
-    q = (
-        stream.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with _stream_shuffle(spark):
+        stream = (
+            spark.readStream.schema(e_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .withWatermark("ts", "1 hour")
+            .dropDuplicates(["user_id", "event_type"])
+            .select("user_id", "event_type")
+        )
+        q = (
+            stream.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return (
         spark.table(name)
         .groupBy("event_type")
@@ -1852,33 +1883,34 @@ def q45_streaming_kafka_shaped(spark: SparkSession, sf_dir: str) -> DataFrame:
             value_struct=F.struct("event_id", "user_id", "event_type", "value"),
             key_col=F.col("user_id"), n_files=4,
         )
-        stream = read_kafka_shaped_stream(spark, tmp, max_files_per_trigger=2)
-        decoded = decode_json_values(
-            stream, "event_id bigint, user_id bigint, event_type string, value double"
-        )
-        agg = decoded.groupBy("event_type").agg(
-            F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
-        )
         name = f"q45_out_{uuid.uuid4().hex[:8]}"
-        # availableNow: drain everything in maxFilesPerTrigger-sized batches
-        # and self-terminate. processAllAvailable() on an unbounded trigger
-        # made wall time trigger-scheduling-dependent — identical code
-        # measured 3.9-12.7 s across r04 captures under load (VERDICT item
-        # #7); the bounded trigger runs exactly the planned batches and
-        # stops, so timing tracks work, not poll sleeps.
-        q = (
-            agg.writeStream.outputMode("complete")
-            .format("memory")
-            .queryName(name)
-            .trigger(availableNow=True)
-            .start()
-        )
-        try:
-            q.awaitTermination(120)
-            n_batches = q.lastProgress["batchId"] + 1 if q.lastProgress else 0
-        finally:
-            q.stop()
+        with _stream_shuffle(spark):
+            stream = read_kafka_shaped_stream(spark, tmp, max_files_per_trigger=2)
+            decoded = decode_json_values(
+                stream, "event_id bigint, user_id bigint, event_type string, value double"
+            )
+            agg = decoded.groupBy("event_type").agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("value"), 2).alias("sum_value"),
+            )
+            # availableNow: drain everything in maxFilesPerTrigger-sized batches
+            # and self-terminate. processAllAvailable() on an unbounded trigger
+            # made wall time trigger-scheduling-dependent — identical code
+            # measured 3.9-12.7 s across r04 captures under load (VERDICT item
+            # #7); the bounded trigger runs exactly the planned batches and
+            # stops, so timing tracks work, not poll sleeps.
+            q = (
+                agg.writeStream.outputMode("complete")
+                .format("memory")
+                .queryName(name)
+                .trigger(availableNow=True)
+                .start()
+            )
+            try:
+                q.awaitTermination(120)
+                n_batches = q.lastProgress["batchId"] + 1 if q.lastProgress else 0
+            finally:
+                q.stop()
         if n_batches < 2:  # not `assert`: python -O must not disable the gate
             raise RuntimeError(f"expected >=2 micro-batches, got {n_batches}")
         out = spark.table(name).persist()
@@ -3170,17 +3202,18 @@ def q62_feature_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ]
     store = StateStore(f"{tmp}/cache")
-    q = run_feature_loop(
-        spark,
-        src,
-        spark.read.parquet(src).schema,
-        store,
-        ["user_id"],
-        specs,
-        vector_fn,
-        checkpoint_dir=f"{tmp}/ckpt",
-    )
-    q.awaitTermination()
+    with _stream_shuffle(spark):
+        q = run_feature_loop(
+            spark,
+            src,
+            spark.read.parquet(src).schema,
+            store,
+            ["user_id"],
+            specs,
+            vector_fn,
+            checkpoint_dir=f"{tmp}/ckpt",
+        )
+        q.awaitTermination()
     n_versions = len(
         [d for d in os.listdir(store.root) if d.startswith("v_")]
     )
@@ -3349,23 +3382,24 @@ def q64_stateful_stream_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp = tempfile.mkdtemp(prefix="bsk_q64_")
     src = f"{tmp}/src"
     _split_events_mod3(e.select("event_id", "user_id", "value"), src)
-    stream = (
-        spark.readStream.schema("user_id long, value double")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-    )
-    out = incremental_group_stats(stream, key_col="user_id", value_col="value")
     name = f"q64_out_{uuid.uuid4().hex[:8]}"
-    q = (
-        out.writeStream.outputMode("update")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with _stream_shuffle(spark):
+        stream = (
+            spark.readStream.schema("user_id long, value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        out = incremental_group_stats(stream, key_col="user_id", value_col="value")
+        q = (
+            out.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     import shutil
 
     shutil.rmtree(tmp, ignore_errors=True)  # result lives in the memory sink
@@ -6282,25 +6316,26 @@ def q104_streaming_rolling_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e_schema = _t(spark, sf_dir, "events").schema
     name = f"q104_out_{uuid.uuid4().hex[:8]}"
-    stream = (
-        spark.readStream.schema(e_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.col("ts").cast("timestamp"))
-        .withWatermark("ts", "1 day")
-        .groupBy(F.window("ts", "1 day"))
-        .agg(*rolling_bucket_aggs("value", DRIFT_VALUE_EDGES))
-    )
-    q = (
-        stream.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with _stream_shuffle(spark):
+        stream = (
+            spark.readStream.schema(e_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .withWatermark("ts", "1 day")
+            .groupBy(F.window("ts", "1 day"))
+            .agg(*rolling_bucket_aggs("value", DRIFT_VALUE_EDGES))
+        )
+        q = (
+            stream.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     counts = spark.table(name).select(
         F.datediff(F.col("window.start"), F.lit("1970-01-01"))
         .cast("int")
@@ -8002,13 +8037,6 @@ def q123_streaming_state_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     src, states_p = f"{tmp}/src", f"{tmp}/states"
     _split_events_mod3(e, src)
 
-    stream = (
-        spark.readStream.schema(
-            "event_id long, event_type string, user_id long, value_mils long"
-        )
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-    )
     seen_batches: list[int] = []
 
     def _append_state(batch: DataFrame, batch_id: int) -> None:
@@ -8018,13 +8046,21 @@ def q123_streaming_state_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         st.write.mode("append").parquet(states_p)
         seen_batches.append(int(batch_id))
 
-    q = (
-        stream.writeStream.foreachBatch(_append_state)
-        .option("checkpointLocation", f"{tmp}/ckpt")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_shuffle(spark):
+        stream = (
+            spark.readStream.schema(
+                "event_id long, event_type string, user_id long, value_mils long"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(_append_state)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     if len(seen_batches) < 2:
         raise RuntimeError(
             f"expected >=2 micro-batches, saw {sorted(seen_batches)}"

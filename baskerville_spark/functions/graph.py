@@ -409,13 +409,19 @@ def connected_components_bigstar(
     stars = e.groupBy("u").agg(
         F.min("v").alias("root"), F.countDistinct("v").alias("nroots")
     )
-    bad = stars.where(F.col("nroots") > 1).limit(1).count()
-    deep = (
-        e.alias("a")
-        .join(e.alias("b"), F.col("a.v") == F.col("b.u"))
-        .limit(1)
-        .count()
-    )
+    # the two probes are independent tiny jobs over the final edge list —
+    # run them concurrently (guide §2.6) instead of back-to-back
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(2) as pool:
+        f_bad = pool.submit(stars.where(F.col("nroots") > 1).limit(1).count)
+        f_deep = pool.submit(
+            e.alias("a")
+            .join(e.alias("b"), F.col("a.v") == F.col("b.u"))
+            .limit(1)
+            .count
+        )
+        bad, deep = f_bad.result(), f_deep.result()
     if bad or deep:
         raise RuntimeError(
             "bigstar fixed point is not a star forest (checksum collision) "

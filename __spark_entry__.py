@@ -8474,6 +8474,14 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
 # --------------------------------------------------------------------------
 
 _DRIVER_UNPROVEN_FIRST = [
+    # q21 leads: bench.py materializes the FIRST queries() entry as its
+    # untimed warm-up, and q21 is the gate whose shapes (stats agg,
+    # uniqueness, RI join, audio decode, shared clip fixture) the other
+    # protocol gates reuse — leading with it absorbs the one-time codegen /
+    # python-worker costs exactly where the harness intends them absorbed.
+    # It is driver-green since r01, so it doubles as the first canary.
+    "q21_clip_validation",
+] + [
     f"q{n}_{s}" for n, s in [
         (100, "corpus_split"),
         (101, "file_skipping"), (102, "zorder"),
@@ -8502,7 +8510,6 @@ _DRIVER_UNPROVEN_FIRST = [
         # oldest driver-green gates (r01) as canaries in the window's tail
         (1, "request_sets"), (2, "request_intervals"),
         (3, "top_event_per_user"), (4, "pivot_event_counts"),
-        (5, "customers_without_orders"),
     ]
 ]
 
@@ -9159,7 +9166,7 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
 def q135_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from baskerville_spark.functions.text import zipf_fit
 
-    docs = _scan_par(spark, _t(spark, sf_dir, "documents"))
+    docs = _t(spark, sf_dir, "documents")
     out = zipf_fit(docs, "text", top_k=500)
     return out.select(
         "n_ranked",

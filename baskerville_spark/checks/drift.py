@@ -836,8 +836,12 @@ def spearman_corr(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("__o"))
         .persist()
     )
-    ranks = {}
-    for side in ("__a", "__b"):
+    # eager fill FIRST: the two marginal prefix-sum jobs below run
+    # concurrently, and without a materialized cache they would race to
+    # compute the cell fold twice (the one full-data pass)
+    cells.count()
+
+    def _rank_map(side: str) -> DataFrame:
         vtot = _prefix_counts(
             cells.groupBy(F.col(side).alias("v")).agg(
                 F.sum("__o").alias("cnt_eq")
@@ -845,12 +849,22 @@ def spearman_corr(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
         )
         # 2*avg_rank(v): exact integer; Pearson is scale-invariant, so
         # correlating the doubled ranks gives rho exactly
-        ranks[side] = vtot.select(
+        return vtot.select(
             F.col("v").alias(side),
             (F.lit(2) * F.col("cnt_lt") + F.col("cnt_eq") + F.lit(1))
             .cast("double")
             .alias(f"r{side}"),
         )
+
+    # the two marginals are independent block-stat jobs over the cached
+    # cell frame (each _prefix_counts runs a driver collect) — overlap
+    # them so one's task tail back-fills the other (guide §2.6)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(2) as pool:
+        fa = pool.submit(_rank_map, "__a")
+        fb = pool.submit(_rank_map, "__b")
+        ranks = {"__a": fa.result(), "__b": fb.result()}
     ranked = cells.join(ranks["__a"], "__a").join(ranks["__b"], "__b")
     ra, rb = F.col("r__a"), F.col("r__b")
     o = F.col("__o").cast("double")

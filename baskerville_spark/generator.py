@@ -141,8 +141,14 @@ def _row(i: int, cfg: GenConfig) -> dict:
 
 
 def _default_partitions(spark: SparkSession, cfg: GenConfig) -> int:
-    # enough splits to keep every core busy even with uneven synth cost
-    return max(cfg.n_parts, spark.sparkContext.defaultParallelism * 2)
+    # enough splits to keep every core busy even with uneven synth cost,
+    # but never more than ~1 task per 50 rows: a 1000-row protocol fixture
+    # on 64 splits paid ~60 near-empty mapInPandas task launches (python
+    # worker + Arrow setup each) for ~0.5 core-seconds of synth — measured
+    # 5.6 s wall, ~2.5 s at row-proportional split count. Large tables
+    # (the 100k-clip bench, scaling runs) still get the full 2x-cores fan.
+    wide = max(cfg.n_parts, spark.sparkContext.defaultParallelism * 2)
+    return max(cfg.n_parts, min(wide, cfg.n_rows // 50 + 1))
 
 
 def generate_clips(spark: SparkSession, cfg: GenConfig, num_partitions: int | None = None) -> DataFrame:
